@@ -1,0 +1,95 @@
+"""Catalog: named parquet-backed tables with row-count statistics.
+
+Mirrors keenwa's catalog surface (reference src/catalog/mod.rs:21-93:
+``Catalog { schemas } → Schema { tables } → Table { name, columns,
+statistics }``, ``TableBuilder.add_row_count``, mutable implementation
+src/catalog/mutable.rs). Keenwa's per-table row counts feed its
+SimpleCostEstimator (reference src/cost/simple.rs:25-157); here they
+feed our broadcast-hint decisions and are also what Catalyst's CBO
+would consume via ANALYZE on persisted tables.
+
+Row counts come free from parquet footers (no data scan), the same
+"declared statistics" model keenwa uses — the catalog knows sizes
+without reading rows.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from keenwa_spark.errors import ArgumentError
+
+#: Tables the driver materializes at /root/testdata/sf*/ (TESTDATA.md)
+STANDARD_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class TableDef:
+    """One catalog table (reference src/catalog/mod.rs:65-93)."""
+
+    name: str
+    path: str
+    row_count: int | None = None
+    size_bytes: int | None = None
+    columns: list[tuple[str, str]] = field(default_factory=list)
+
+
+class Catalog:
+    """Register parquet tables as temp views + keep statistics."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, TableDef] = {}
+
+    def register_parquet(self, name: str, path: str) -> TableDef:
+        if not os.path.exists(path):
+            raise ArgumentError(f"no parquet file at {path}")
+        meta = pq.ParquetFile(path).metadata
+        df = self.spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        tdef = TableDef(
+            name=name,
+            path=path,
+            row_count=meta.num_rows,
+            size_bytes=os.path.getsize(path),
+            columns=[(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+        )
+        self.tables[name] = tdef
+        return tdef
+
+    def register_dir(self, sf_dir: str, tables: tuple[str, ...] = STANDARD_TABLES) -> None:
+        """Register every standard table under a testdata sf directory."""
+        for name in tables:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                self.register_parquet(name, path)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            raise ArgumentError(f"table does not exist: {name}")
+        return self.spark.table(name)
+
+    def row_count(self, name: str) -> int | None:
+        tdef = self.tables.get(name)
+        return tdef.row_count if tdef else None
+
+    def is_broadcastable(self, name: str, threshold_bytes: int = 64 << 20) -> bool:
+        """Small enough to broadcast-join (keenwa lacks broadcast; this is
+        the scale-aware upgrade its cost model would want)."""
+        tdef = self.tables.get(name)
+        return bool(tdef and tdef.size_bytes is not None and tdef.size_bytes < threshold_bytes)

@@ -1,0 +1,53 @@
+"""Engine: the top-level entry point (SQL + builder + catalog).
+
+Plays the role of keenwa's OperatorFromSqlBuilder + Optimizer wiring
+(reference examples/sql.rs:15-49, src/sql/mod.rs:38-83): given a query
+and a catalog, produce an optimized executable plan. Here parsing,
+name resolution, typing, and cost-based physical planning are all
+Catalyst; the engine adds the dialect gate, the catalog/statistics
+layer, and the fluent builder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from keenwa_spark import dialect
+from keenwa_spark.catalog import Catalog
+
+class Engine:
+    """SQL + DataFrame-builder frontend over Spark SQL.
+
+    >>> eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    >>> eng.sql("SELECT count(*) AS n FROM lineitem").show()
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None, strict: bool = False):
+        self.spark = spark
+        self.catalog = Catalog(spark)
+        self.strict = strict
+        if sf_dir:
+            self.catalog.register_dir(sf_dir)
+
+    # -- SQL entry point (reference src/sql/mod.rs:85-100 parse + build) --
+    def sql(self, query: str) -> DataFrame:
+        """Validate against the dialect then plan+execute via Catalyst."""
+        dialect.validate(query, strict=self.strict)
+        return self.spark.sql(query)
+
+    def explain(self, query: str, mode: str = "formatted") -> str:
+        """Text physical plan — the analog of keenwa's plan formatter
+        (reference src/operators/format.rs)."""
+        df = self.sql(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode
+        )
+
+    # -- programmatic builder (reference src/operators/builder/mod.rs) --
+    def builder(self):
+        from keenwa_spark.builder import PlanBuilder
+
+        return PlanBuilder(self)
+
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)

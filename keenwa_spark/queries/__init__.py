@@ -1,0 +1,114 @@
+"""Executable query inventory — one entry per operator/construct from
+SURVEY.md §2, each with a DuckDB oracle SQL string where the semantics
+are ANSI-SQL-expressible.
+
+This is the layer keenwa could never have (it has no executor): every
+construct its optimizer can plan, we plan AND execute, and verify by
+value against an independent engine. Registry entries are consumed by
+``__spark_entry__.py`` (the driver contract) and by the local harness
+``tools/check_correctness.py``.
+
+Cross-engine determinism conventions (see SURVEY.md §7 risk register):
+- money/quantity sums go through DECIMAL(18,2) so the aggregation is
+  exact and partition-order-independent, then CAST back to DOUBLE so
+  the output schema is plain float64 on both engines;
+- SUM(int) is CAST to BIGINT (DuckDB returns HUGEINT otherwise);
+- timestamps are cast to DATE or epoch BIGINT in outputs (arrow
+  tz-aware vs naive mismatch);
+- every computed column is aliased identically in both dialects;
+- rankings always carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# name -> spec
+REGISTRY: dict[str, "QuerySpec"] = {}
+
+_REGISTERED_DIRS: set[tuple[int, str]] = set()
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the standard tables of ``sf_dir`` as temp views (cached
+    per SparkSession so repeated query calls don't re-register)."""
+    from keenwa_spark.catalog import Catalog
+
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED_DIRS:
+        return
+    Catalog(spark).register_dir(sf_dir)
+    # invalidate other dirs for this session: views were overwritten
+    _REGISTERED_DIRS.difference_update({k for k in _REGISTERED_DIRS if k[0] == id(spark)})
+    _REGISTERED_DIRS.add(key)
+
+
+def register(
+    name: str,
+    fn: Callable[[SparkSession, str], DataFrame],
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> None:
+    if name in REGISTRY:
+        raise ValueError(f"duplicate query name: {name}")
+    REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+
+
+def sql_query(
+    name: str,
+    spark_sql: str,
+    oracle: str | None = "",
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> None:
+    """Register a query given as Spark SQL text. ``oracle=""`` (default)
+    means the same text runs on DuckDB (shared-dialect subset);
+    ``oracle=None`` means no oracle (rows-only check)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        from keenwa_spark import dialect
+
+        dialect.validate(spark_sql)
+        return spark.sql(spark_sql)
+
+    register(name, fn, spark_sql if oracle == "" else oracle, doc=doc, tags=tags)
+
+
+def df_query(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+):
+    """Decorator for queries written with the DataFrame API / builder."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_views(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        register(name, wrapped, oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (idempotent) and return the registry."""
+    from keenwa_spark.queries import events, pipeline, relational  # noqa: F401
+
+    return REGISTRY
