@@ -59,14 +59,43 @@ class Catalog:
     def register_parquet(self, name: str, path: str) -> TableDef:
         if not os.path.exists(path):
             raise ArgumentError(f"no parquet file at {path}")
-        meta = pq.ParquetFile(path).metadata
+        if os.path.isdir(path):
+            # Spark-standard directory layout: sum the part files
+            dataset = pq.ParquetDataset(path)
+            arrow_schema = dataset.schema
+            row_count = sum(
+                frag.metadata.num_rows if frag.metadata else frag.count_rows()
+                for frag in dataset.fragments
+            )
+            size_bytes = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        else:
+            pf = pq.ParquetFile(path)
+            arrow_schema = pf.schema_arrow
+            row_count = pf.metadata.num_rows
+            size_bytes = os.path.getsize(path)
         df = self.spark.read.parquet(path)
+        # parquet TIMESTAMP(NANOS) has no Spark type; the session reads it
+        # as long (nanosAsLong) and the view converts to a micros timestamp
+        import pyarrow as pa
+        from pyspark.sql import functions as F
+
+        for field in arrow_schema:
+            if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+                df = df.withColumn(
+                    field.name,
+                    F.expr(f"timestamp_micros(CAST({field.name} DIV 1000 AS BIGINT))"),
+                )
         df.createOrReplaceTempView(name)
         tdef = TableDef(
             name=name,
             path=path,
-            row_count=meta.num_rows,
-            size_bytes=os.path.getsize(path),
+            row_count=row_count,
+            size_bytes=size_bytes,
             columns=[(f.name, f.dataType.simpleString()) for f in df.schema.fields],
         )
         self.tables[name] = tdef

@@ -29,8 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 # name -> spec
 REGISTRY: dict[str, "QuerySpec"] = {}
 
-_REGISTERED_DIRS: set[tuple[int, str]] = set()
-
 
 @dataclass
 class QuerySpec:
@@ -43,16 +41,16 @@ class QuerySpec:
 
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the standard tables of ``sf_dir`` as temp views (cached
-    per SparkSession so repeated query calls don't re-register)."""
+    per SparkSession so repeated query calls don't re-register).
+
+    The cache marker lives on the session object itself (not ``id()``,
+    which can be reused after GC — see ADVICE r01)."""
     from keenwa_spark.catalog import Catalog
 
-    key = (id(spark), sf_dir)
-    if key in _REGISTERED_DIRS:
+    if getattr(spark, "_keenwa_views_dir", None) == sf_dir:
         return
     Catalog(spark).register_dir(sf_dir)
-    # invalidate other dirs for this session: views were overwritten
-    _REGISTERED_DIRS.difference_update({k for k in _REGISTERED_DIRS if k[0] == id(spark)})
-    _REGISTERED_DIRS.add(key)
+    spark._keenwa_views_dir = sf_dir  # type: ignore[attr-defined]
 
 
 def register(
@@ -109,6 +107,14 @@ def df_query(
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (idempotent) and return the registry."""
-    from keenwa_spark.queries import events, pipeline, relational  # noqa: F401
+    from keenwa_spark.queries import (  # noqa: F401
+        builder_queries,
+        events,
+        expressions,
+        pipeline,
+        relational,
+        subqueries,
+        windows,
+    )
 
     return REGISTRY

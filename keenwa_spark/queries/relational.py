@@ -1,0 +1,576 @@
+"""Relational operator inventory — SURVEY.md §2a rows 1-21 + 56-58.
+
+One executable, oracle-checked query per logical operator of the
+reference's 14-variant ``LogicalExpr`` algebra (reference
+src/operators/relational/logical/mod.rs:38-67), all 8 join types
+(reference src/operators/relational/join.rs:12-29), the three set
+operators with ALL/DISTINCT (reference
+src/operators/relational/logical/set_ops.rs:9-132), DISTINCT /
+DISTINCT ON (reference src/operators/relational/logical/distinct.rs:11-18,
+src/sql/mod.rs:255-266), LIMIT/OFFSET, VALUES, the empty relation
+(SELECT without FROM, reference src/sql/mod.rs:238-239), non-recursive
+CTEs (reference src/sql/mod.rs:209-225), derived tables (:534-548),
+and JOIN USING / NATURAL JOIN (:458-505).
+
+Spark-first notes (scale):
+- dimension joins (region/nation/customer/supplier/part) stay under the
+  64 MB broadcast threshold at any realistic SF slice per executor, so
+  Catalyst plans BroadcastHashJoin — no shuffle of the fact table;
+- aggregations are expressed declaratively so Catalyst plans
+  partial (map-side) + final HashAggregate;
+- money/quantity sums go through DECIMAL so results are exact and
+  partition-order-independent (cross-engine hash-stable), then CAST
+  back to DOUBLE for a plain float64 output schema;
+- every LIMIT carries a total ORDER BY with a unique tie-break key.
+
+Most entries register with ``oracle=""`` — the identical SQL text runs
+on Spark and DuckDB (shared ANSI subset). Where the dialects diverge
+(semi/anti joins, DISTINCT ON, VALUES derived-table syntax) the Spark
+side uses the DataFrame API or Spark SQL and the oracle is separate
+DuckDB text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keenwa_spark.queries import df_query, sql_query
+
+# ---------------------------------------------------------------------------
+# Scan / filter / projection (LogicalGet, LogicalSelect, LogicalProjection)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "get_scan",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    """,
+    doc="LogicalGet: column-pruned table scan (reference logical/get.rs:8-12). "
+    "Plan check: ReadSchema lists only the 3 projected columns.",
+    tags=("relational", "scan"),
+)
+
+sql_query(
+    "filter_select",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity >= 30 AND (l_discount > 0.07 OR l_returnflag = 'R')
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+    """,
+    doc="LogicalSelect: conjunctive/disjunctive filter pushed to the parquet "
+    "scan (reference logical/select.rs:9-14). Plan check: PushedFilters.",
+    tags=("relational", "filter"),
+)
+
+sql_query(
+    "projection_exprs",
+    """
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_extendedprice * (1 - l_discount) AS disc_price,
+      l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+      l_returnflag || '/' || l_linestatus AS flag_status
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    doc="LogicalProjection: computed expressions incl. arithmetic and string "
+    "concat (reference logical/projection.rs:10-16).",
+    tags=("relational", "projection"),
+)
+
+# ---------------------------------------------------------------------------
+# Joins — all 8 reference JoinTypes (reference relational/join.rs:12-29)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "join_inner",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 100000
+    """,
+    doc="JoinType::Inner equi-join; customer is dimension-sized so Catalyst "
+    "broadcasts it (no fact-side shuffle).",
+    tags=("relational", "join"),
+)
+
+sql_query(
+    "join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+    doc="JoinType::Left outer with an extra ON-condition predicate (kept in "
+    "the join, not pushed, per outer-join semantics).",
+    tags=("relational", "join"),
+)
+
+sql_query(
+    "join_right",
+    """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM customer c
+    RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey AND c_acctbal < 0
+    """,
+    doc="JoinType::Right outer join (reference join.rs:19).",
+    tags=("relational", "join"),
+)
+
+sql_query(
+    "join_full",
+    """
+    WITH big_cust AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+    ),
+    big_ord AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_custkey HAVING SUM(o_totalprice) > 900000
+    )
+    SELECT b.c_custkey, b.c_name, g.o_custkey, g.total
+    FROM big_cust b
+    FULL JOIN big_ord g ON b.c_custkey = g.o_custkey
+    """,
+    doc="JoinType::Full outer join over two filtered sides, each side "
+    "contributing unmatched rows (reference join.rs:21).",
+    tags=("relational", "join", "cte"),
+)
+
+sql_query(
+    "join_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r
+    CROSS JOIN nation n
+    """,
+    doc="JoinType::Cross — cartesian of two tiny dims (5 x 25); Catalyst "
+    "plans BroadcastNestedLoopJoin, never a shuffled cartesian.",
+    tags=("relational", "join"),
+)
+
+
+@df_query(
+    "join_left_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    doc="JoinType::LeftSemi (reference join.rs:23): DataFrame how='left_semi'; "
+    "oracle is the equivalent EXISTS.",
+    tags=("relational", "join"),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.table("customer")
+    urgent = spark.table("orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@df_query(
+    "join_right_semi",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+    )
+    """,
+    doc="JoinType::RightSemi (reference join.rs:25): Spark has no right-semi; "
+    "implemented as the reference's own equivalence — swap inputs + left-semi "
+    "(SURVEY §2a row 10).",
+    tags=("relational", "join"),
+)
+def join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = spark.table("orders")
+    # right-semi(building, orders) == left-semi(orders, building)
+    return orders.join(
+        building, orders.o_custkey == building.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@df_query(
+    "join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+    doc="JoinType::Anti (reference join.rs:27): customers with no orders; "
+    "DataFrame how='left_anti', oracle NOT EXISTS.",
+    tags=("relational", "join"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+sql_query(
+    "join_using",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier s
+    JOIN (SELECT n_nationkey AS s_nationkey, n_name FROM nation) n
+    USING (s_nationkey)
+    """,
+    doc="JOIN USING with join-column dedup (reference src/sql/mod.rs:458-505, "
+    "JoinCondition::Using reference relational/join.rs:48-53).",
+    tags=("relational", "join"),
+)
+
+@df_query(
+    "join_natural",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey, c.c_name, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    doc="NATURAL JOIN (reference src/sql/mod.rs:497-505): rename to a shared "
+    "column then NATURAL JOIN in Spark SQL; oracle is the explicit equi-join.",
+    tags=("relational", "join"),
+)
+def join_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.table("customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_name"
+    ).createOrReplaceTempView("_cust_n")
+    spark.table("nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    ).createOrReplaceTempView("_nat_n")
+    return spark.sql(
+        "SELECT nationkey, c_name, n_name FROM _cust_n NATURAL JOIN _nat_n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate (LogicalAggregate: GROUP BY + HAVING, reference logical/aggregates.rs:10-21)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "agg_group_having",
+    """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      MIN(l_quantity) AS min_qty,
+      MAX(l_extendedprice) AS max_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 10
+    """,
+    doc="LogicalAggregate with GROUP BY + HAVING and the full aggregate "
+    "function inventory avg/count/max/min/sum (reference "
+    "scalar/aggregates.rs:10-16). TPC-H Q1 shape; decimal-routed sums for "
+    "cross-engine exactness. Catalyst plans partial+final HashAggregate.",
+    tags=("relational", "aggregate"),
+)
+
+sql_query(
+    "agg_global",
+    """
+    SELECT
+      COUNT(*) AS n_rows,
+      COUNT(DISTINCT l_orderkey) AS n_orders,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      CAST(CAST(MIN(l_shipdate) AS DATE) AS STRING) AS first_ship,
+      CAST(CAST(MAX(l_shipdate) AS DATE) AS STRING) AS last_ship
+    FROM lineitem
+    """,
+    doc="Global (no GROUP BY) aggregate — LogicalAggregate with empty "
+    "group_exprs (reference logical/aggregates.rs:14).",
+    tags=("relational", "aggregate"),
+)
+
+# ---------------------------------------------------------------------------
+# Set operators (LogicalUnion/Intersect/Except, reference logical/set_ops.rs)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "union_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9990
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    doc="LogicalUnion{all=true} (reference set_ops.rs:9-17) — Append, no "
+    "dedup shuffle.",
+    tags=("relational", "setop"),
+)
+
+sql_query(
+    "union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="LogicalUnion{all=false} — union + distinct (HashAggregate).",
+    tags=("relational", "setop"),
+)
+
+sql_query(
+    "intersect_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 500
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+    doc="LogicalIntersect{all=false} (reference set_ops.rs:67-73); Spark "
+    "plans a left-semi aggregate.",
+    tags=("relational", "setop"),
+)
+
+sql_query(
+    "intersect_all",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+    """,
+    doc="LogicalIntersect{all=true} — bag semantics (multiplicity = min of "
+    "the two sides).",
+    tags=("relational", "setop"),
+)
+
+sql_query(
+    "except_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 1000
+    """,
+    doc="LogicalExcept{all=false} (reference set_ops.rs:124-132).",
+    tags=("relational", "setop"),
+)
+
+sql_query(
+    "except_all",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+    EXCEPT ALL
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="LogicalExcept{all=true} — bag difference.",
+    tags=("relational", "setop"),
+)
+
+# ---------------------------------------------------------------------------
+# Distinct / DISTINCT ON (reference logical/distinct.rs:11-18, sql/mod.rs:255-266)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "distinct_plain",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    """,
+    doc="LogicalDistinct{on_expr=None} — plain DISTINCT.",
+    tags=("relational", "distinct"),
+)
+
+
+@df_query(
+    "distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+      o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+    doc="DISTINCT ON (single expr — reference sql/mod.rs:255-266, "
+    "logical/distinct.rs:16): per customer, the single highest-price order. "
+    "Spark has no native DISTINCT ON → deterministic window row_number "
+    "emulation with unique o_orderkey tie-break (SURVEY §7 risk 1). "
+    "DuckDB oracle uses native DISTINCT ON.",
+    tags=("relational", "distinct", "window"),
+)
+def distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        spark.table("orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Limit / Offset / Sort (reference logical/limit.rs, logical/offset.rs)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "limit_order",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    doc="LogicalLimit over Sort (reference logical/limit.rs:9-13); Spark "
+    "fuses to TakeOrderedAndProject (strictly better than the reference's "
+    "two-node plan — SURVEY §2b top-k note). Unique o_orderkey tie-break.",
+    tags=("relational", "limit"),
+)
+
+sql_query(
+    "offset_limit",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    doc="LogicalOffset + LogicalLimit (reference logical/offset.rs:8-12); "
+    "deterministic total order.",
+    tags=("relational", "limit"),
+)
+
+sql_query(
+    "order_mixed_dirs",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal BETWEEN 1000 AND 1200
+    ORDER BY c_nationkey ASC, c_acctbal DESC, c_custkey
+    """,
+    doc="Ordering expr ASC/DESC mix (reference scalar Expr::Ordering "
+    "expr.rs:138-145); NULLS FIRST/LAST intentionally absent (rejected by "
+    "the reference frontend, sql/mod.rs:594).",
+    tags=("relational", "sort"),
+)
+
+# ---------------------------------------------------------------------------
+# Values / Empty (reference logical/values.rs, logical/empty.rs)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "values_inline",
+    """
+    SELECT t.region_code AS region_code, CAST(t.bonus AS DOUBLE) AS bonus
+    FROM (VALUES (0, 1.5), (1, 2.0), (2, 2.5), (3, 3.0), (4, 3.5))
+         AS t(region_code, bonus)
+    ORDER BY region_code
+    """,
+    doc="LogicalValues inline rows (reference logical/values.rs:9-13) as a "
+    "derived table with column aliases.",
+    tags=("relational", "values"),
+)
+
+sql_query(
+    "values_join",
+    """
+    SELECT r.r_name, CAST(t.bonus AS DOUBLE) AS bonus
+    FROM region r
+    JOIN (VALUES (0, 1.5), (1, 2.0), (2, 2.5), (3, 3.0), (4, 3.5))
+         AS t(region_code, bonus)
+      ON r.r_regionkey = t.region_code
+    """,
+    doc="VALUES participating in a join — LocalTableScan broadcast side.",
+    tags=("relational", "values", "join"),
+)
+
+sql_query(
+    "select_no_from",
+    """
+    SELECT 1 + 2 AS three, 'k' || 'w' AS kw, CAST(NULL AS INT) AS nothing
+    """,
+    doc="LogicalEmpty{return_one_row=true}: SELECT without FROM (reference "
+    "logical/empty.rs:10-12, sql/mod.rs:238-239). Typed NULL literal.",
+    tags=("relational", "empty"),
+)
+
+# ---------------------------------------------------------------------------
+# CTEs and derived tables (reference sql/mod.rs:209-225, :534-548)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "cte_reuse",
+    """
+    WITH nation_region AS (
+      SELECT n_nationkey, n_name, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    cust_per_nation AS (
+      SELECT c_nationkey, COUNT(*) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT nr.r_name, nr.n_name, cpn.n_cust
+    FROM nation_region nr
+    JOIN cust_per_nation cpn ON nr.n_nationkey = cpn.c_nationkey
+    WHERE cpn.n_cust > 40
+    """,
+    doc="Non-recursive CTEs, two defined and both consumed (reference "
+    "build_cte sql/mod.rs:209-225; recursive rejected :210 — see dialect "
+    "gate).",
+    tags=("relational", "cte"),
+)
+
+sql_query(
+    "derived_table",
+    """
+    SELECT seg.c_mktsegment, seg.avg_bal
+    FROM (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer
+      GROUP BY c_mktsegment
+    ) seg
+    WHERE seg.avg_bal > 4000
+    """,
+    doc="Derived table (subquery in FROM with alias, reference "
+    "sql/mod.rs:534-548).",
+    tags=("relational", "derived"),
+)
+
+# ---------------------------------------------------------------------------
+# Flagship: multi-way star join → agg → sort → limit (SURVEY §7 Phase 0)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "flagship_top_customers",
+    """
+    SELECT
+      c.c_name,
+      n.n_name,
+      COUNT(*) AS order_cnt,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_name
+    LIMIT 10
+    """,
+    doc="Flagship scan→join→join→agg→sort→limit slice (SURVEY §7 Phase 0); "
+    "exercises every physical category the reference's own optimizer bench "
+    "covers (reference benches/optimizer_benchmark.rs:104-120). customer and "
+    "nation broadcast; single shuffle for the aggregate.",
+    tags=("relational", "flagship"),
+)

@@ -30,6 +30,9 @@ def get_spark(app_name: str = "keenwa_spark", master: str | None = None) -> Spar
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
+        # timestamp — read as long, Catalog converts to micros in the view
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
