@@ -1,1 +1,202 @@
-"""Placeholder — filled this round."""
+"""Batch event-analytics queries over the ``events`` table.
+
+Beyond-reference surface (keenwa has no event/time-series operators —
+SURVEY.md §2 streaming note): sessionization, event-type rollups,
+top-k users, daily activity, and funnel analysis, all expressed as
+declarative DataFrame/SQL plans.
+
+Scale design: every query here is a single shuffle on ``user_id`` (or
+one agg shuffle on a low-cardinality key). Sessionization is the
+classic lag→flag→cumsum window chain — at 100 TB this partitions by
+user_id and sorts within partitions; no driver-side state, no UDFs.
+
+``events.ts`` arrives as parquet TIMESTAMP(NANOS); the catalog view
+exposes it as a micros timestamp (see catalog.py). Epoch seconds:
+Spark ``unix_timestamp`` vs DuckDB ``epoch`` — oracle text differs.
+"""
+
+from __future__ import annotations
+
+from keenwa_spark.queries import sql_query
+
+sql_query(
+    "ev_type_rollup",
+    """
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Event-type rollup: counts, distinct users, decimal-exact value "
+    "sums. Map-side partial agg; single shuffle on a 5-value key.",
+    tags=("events", "aggregate"),
+)
+
+sql_query(
+    "ev_daily_activity",
+    """
+    SELECT
+      CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS dau
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+    doc="Daily activity + DAU. date_trunc is shared dialect; day emitted "
+    "as an ISO string (cross-engine timestamp convention).",
+    tags=("events", "aggregate"),
+)
+
+sql_query(
+    "ev_topk_users",
+    """
+    SELECT
+      user_id,
+      COUNT(*) AS n_purchases,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS spend
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY spend DESC, user_id
+    LIMIT 10
+    """,
+    doc="Top-k spenders: filter → agg → TakeOrderedAndProject; "
+    "unique user_id tie-break.",
+    tags=("events", "topk"),
+)
+
+sql_query(
+    "ev_sessionize",
+    """
+    WITH flagged AS (
+      SELECT
+        user_id,
+        ts,
+        event_type,
+        CASE
+          WHEN unix_timestamp(ts) - unix_timestamp(
+            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          ) > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          THEN 1 ELSE 0
+        END AS new_session,
+        event_id
+      FROM events
+    ),
+    sessioned AS (
+      SELECT
+        user_id,
+        ts,
+        event_id,
+        CAST(SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      session_seq,
+      COUNT(*) AS n_events,
+      CAST(MAX(unix_timestamp(ts)) - MIN(unix_timestamp(ts)) AS BIGINT)
+        AS duration_sec
+    FROM sessioned
+    GROUP BY user_id, session_seq
+    """,
+    oracle="""
+    WITH flagged AS (
+      SELECT
+        user_id,
+        ts,
+        event_type,
+        CASE
+          WHEN epoch(ts) - epoch(
+            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          ) > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          THEN 1 ELSE 0
+        END AS new_session,
+        event_id
+      FROM events
+    ),
+    sessioned AS (
+      SELECT
+        user_id,
+        ts,
+        event_id,
+        CAST(SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      session_seq,
+      COUNT(*) AS n_events,
+      CAST(FLOOR(MAX(epoch(ts))) - FLOOR(MIN(epoch(ts))) AS BIGINT)
+        AS duration_sec
+    FROM sessioned
+    GROUP BY user_id, session_seq
+    """,
+    doc="Sessionization with a 30-minute inactivity gap: lag → new-session "
+    "flag → running-sum session id → per-session stats. One shuffle on "
+    "user_id reused by both windows and the final aggregate (same "
+    "partitioning key). Epoch fns differ: unix_timestamp vs epoch; "
+    "DuckDB epoch() returns fractional seconds → FLOOR for parity with "
+    "Spark's integer unix_timestamp.",
+    tags=("events", "window", "sessionize"),
+)
+
+sql_query(
+    "ev_funnel",
+    """
+    WITH stage_times AS (
+      SELECT
+        user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+        MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS viewed,
+      COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END)
+        AS clicked_after_view,
+      COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                  AND t_purchase > t_click THEN 1 END)
+        AS purchased_after_click
+    FROM stage_times
+    """,
+    doc="Ordered funnel view→click→purchase via conditional MIN pivot — "
+    "single agg pass, no self-joins (the at-scale pattern; a 3-way "
+    "self-join would shuffle the fact table three times).",
+    tags=("events", "funnel"),
+)
+
+sql_query(
+    "ev_props_json",
+    """
+    SELECT
+      event_type,
+      CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+      COUNT(*) AS n
+    FROM events
+    WHERE get_json_object(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    oracle="""
+    SELECT
+      event_type,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+      COUNT(*) AS n
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Semi-structured props column: JSON path extraction + typed "
+    "aggregation (Spark get_json_object vs DuckDB json_extract_string).",
+    tags=("events", "json"),
+)

@@ -1,1 +1,397 @@
-"""Placeholder — filled this round."""
+"""Scalar expression + function inventory — SURVEY.md §2c rows 22-55.
+
+One oracle-checked query per variant family of the reference's
+29-variant expression enum (reference src/operators/scalar/expr.rs:17-155),
+its 5 aggregate functions (reference src/operators/scalar/aggregates.rs:10-16),
+and its 8 scalar string functions (reference src/operators/scalar/funcs.rs:9-18).
+
+Dialect-divergence notes (probed against DuckDB 1.0 + Spark 4.1):
+- Spark SQL array indexing ``arr[i]`` is 0-based, DuckDB 1-based
+  (SURVEY §7 risk 4) — array queries use separate oracle text;
+- DuckDB ``concat()`` skips NULLs, Spark's returns NULL — `||` agrees
+  (NULL-propagating) in both, so shared text uses `||` when args are
+  nullable;
+- DuckDB lacks ``char_length``/``named_struct`` — oracle uses
+  ``length``/struct literals;
+- NULLs are manufactured deterministically via NULLIF (the TPC-H-ish
+  testdata has no NULL cells).
+"""
+
+from __future__ import annotations
+
+from keenwa_spark.queries import sql_query
+
+# ---------------------------------------------------------------------------
+# BinaryExpr: arithmetic, comparison, logic, concat (expr.rs:30-37, 1090-1119)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "expr_arithmetic",
+    """
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_quantity + l_tax            AS add_c,
+      l_quantity - l_discount       AS sub_c,
+      l_extendedprice * l_discount  AS mul_c,
+      l_extendedprice / l_quantity  AS div_c,
+      l_linenumber % 3              AS mod_c,
+      CAST(l_orderkey / 2 AS DOUBLE) AS int_div_is_double
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+    doc="BinaryExpr arithmetic ops Plus/Minus/Multiply/Divide/Modulo "
+    "(reference expr.rs:1090-1119). Per-row double arithmetic is "
+    "bit-deterministic across engines (no reordering).",
+    tags=("expr",),
+)
+
+sql_query(
+    "expr_comparison_logic",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_totalprice > 300000 AND o_orderstatus = 'F')
+       OR (o_totalprice <= 5000 AND o_orderstatus <> 'P')
+       OR (o_totalprice >= 449000 AND NOT (o_orderstatus = 'O'))
+    """,
+    doc="BinaryExpr comparison (Eq/NotEq/Lt/LtEq/Gt/GtEq) + And/Or/Not "
+    "(reference expr.rs:1090-1110, Not expr.rs:46).",
+    tags=("expr",),
+)
+
+sql_query(
+    "expr_concat",
+    """
+    SELECT
+      c_custkey,
+      c_name || ':' || c_mktsegment AS tagline,
+      c_name || NULLIF(c_mktsegment, c_mktsegment) AS null_prop
+    FROM customer
+    WHERE c_custkey <= 100
+    """,
+    doc="BinaryOp::Concat `||` (reference expr.rs:1117) incl. NULL "
+    "propagation (NULLIF manufactures a NULL; `||` is NULL-propagating in "
+    "both engines, unlike DuckDB's concat()).",
+    tags=("expr",),
+)
+
+# ---------------------------------------------------------------------------
+# Cast / Not / Negation (expr.rs:39-48)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "expr_cast",
+    """
+    SELECT
+      o_orderkey,
+      CAST(FLOOR(o_totalprice) AS INT)     AS price_int,
+      CAST(o_orderkey AS STRING)           AS key_str,
+      CAST(CAST(o_orderkey AS STRING) AS BIGINT) AS roundtrip,
+      CAST(CAST(o_orderdate AS DATE) AS STRING) AS od_str,
+      CAST(o_totalprice > 100000 AS INT)   AS flag_int
+    FROM orders
+    WHERE o_orderkey < 400
+    """,
+    doc="Expr::Cast (reference expr.rs:39-44) across numeric/string/date/"
+    "bool domains.",
+    tags=("expr",),
+)
+
+sql_query(
+    "expr_not_negation",
+    """
+    SELECT
+      c_custkey,
+      -c_acctbal AS neg_bal,
+      NOT (c_acctbal > 0) AS not_positive
+    FROM customer
+    WHERE NOT (c_mktsegment = 'BUILDING') AND c_custkey < 200
+    """,
+    doc="Expr::Not / Expr::Negation (reference expr.rs:46-48).",
+    tags=("expr",),
+)
+
+# ---------------------------------------------------------------------------
+# InList / IS family / Between (expr.rs:50-73)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "expr_in_list",
+    """
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderkey % 10 NOT IN (3, 5, 7)
+      AND o_orderkey < 3000
+    """,
+    doc="Expr::InList with NOT (reference expr.rs:50-54).",
+    tags=("expr",),
+)
+
+sql_query(
+    "expr_is_family",
+    """
+    SELECT
+      c_custkey,
+      NULLIF(c_acctbal, 0.0) IS NULL                    AS bal_zeroed,
+      c_name IS NOT NULL                                AS has_name,
+      (NULLIF(c_acctbal, c_acctbal) > 0) IS UNKNOWN     AS cmp_unknown,
+      (c_acctbal > 5000) IS TRUE                        AS rich_true,
+      (c_acctbal > 5000) IS NOT FALSE                   AS rich_not_false,
+      (c_acctbal < 0) IS FALSE                          AS nonneg
+    FROM customer
+    WHERE c_custkey <= 300
+    """,
+    doc="IS [NOT] NULL / TRUE / FALSE / UNKNOWN (reference expr.rs:56-62); "
+    "NULLIF manufactures NULL and UNKNOWN cells.",
+    tags=("expr",),
+)
+
+sql_query(
+    "expr_between",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 15
+      AND l_linenumber NOT BETWEEN 3 AND 5
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+    """,
+    doc="Expr::Between with NOT, over numeric and timestamp domains "
+    "(reference expr.rs:64-73).",
+    tags=("expr",),
+)
+
+# ---------------------------------------------------------------------------
+# Case — simple + searched (expr.rs:78-85)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "expr_case",
+    """
+    SELECT
+      o_orderkey,
+      CASE o_orderstatus
+        WHEN 'F' THEN 'finished'
+        WHEN 'O' THEN 'open'
+        ELSE 'other'
+      END AS status_word,
+      CASE
+        WHEN o_totalprice >= 300000 THEN 'large'
+        WHEN o_totalprice >= 100000 THEN 'medium'
+        ELSE 'small'
+      END AS size_band,
+      CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END AS urgent_or_null
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+    doc="Expr::Case — simple (with operand) and searched forms, incl. "
+    "missing ELSE → NULL (reference expr.rs:78-85).",
+    tags=("expr",),
+)
+
+# ---------------------------------------------------------------------------
+# Tuple / Array (expr.rs:87-98)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "expr_tuple",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE (l_returnflag, l_linestatus) = ('R', 'F')
+      AND (l_orderkey, l_linenumber) < (CAST(200 AS BIGINT), 3)
+    """,
+    doc="Expr::Tuple (reference expr.rs:87): row-value construction, "
+    "equality and lexicographic comparison.",
+    tags=("expr",),
+)
+
+sql_query(
+    "expr_tuple_field",
+    """
+    SELECT t.pair.lo AS lo, t.pair.hi AS hi
+    FROM (
+      SELECT named_struct('lo', MIN(c_acctbal), 'hi', MAX(c_acctbal)) AS pair
+      FROM customer
+    ) t
+    """,
+    oracle="""
+    SELECT t.pair.lo AS lo, t.pair.hi AS hi
+    FROM (
+      SELECT {'lo': MIN(c_acctbal), 'hi': MAX(c_acctbal)} AS pair
+      FROM customer
+    ) t
+    """,
+    doc="Tuple (struct) construction + field access — Spark named_struct "
+    "vs DuckDB struct literal (reference expr.rs:87, Tuple DataType "
+    "datatypes.rs:32).",
+    tags=("expr",),
+)
+
+sql_query(
+    "expr_array",
+    """
+    SELECT
+      n_nationkey,
+      array(n_nationkey, n_regionkey, 99)[0]        AS first_elem,
+      array(n_nationkey, n_regionkey, 99)[2]        AS last_elem,
+      slice(array(10, 20, 30, 40, 50), 2, 3)        AS mid_slice,
+      CAST(size(array(n_nationkey, n_regionkey)) AS BIGINT) AS arr_len
+    FROM nation
+    """,
+    oracle="""
+    SELECT
+      n_nationkey,
+      [n_nationkey, n_regionkey, 99][1]             AS first_elem,
+      [n_nationkey, n_regionkey, 99][3]             AS last_elem,
+      [10, 20, 30, 40, 50][2:4]                     AS mid_slice,
+      CAST(len([n_nationkey, n_regionkey]) AS BIGINT) AS arr_len
+    FROM nation
+    """,
+    doc="Expr::Array / ArrayIndex / ArraySlice (reference expr.rs:89-98). "
+    "Spark [] is 0-based, DuckDB 1-based (SURVEY §7 risk 4) — the builder "
+    "API follows Python 0-based, SQL follows each engine's native rule.",
+    tags=("expr",),
+)
+
+# ---------------------------------------------------------------------------
+# Like / ILike (expr.rs:102-113)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "expr_like",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE '%OMO%'
+      AND p_name NOT LIKE 'small%'
+      AND p_brand ILIKE 'brand#1%'
+    """,
+    doc="Expr::Like / ILIKE with NOT (reference expr.rs:102-113).",
+    tags=("expr",),
+)
+
+sql_query(
+    "expr_like_escape",
+    """
+    SELECT t.s AS s,
+           t.s LIKE '%100!%%' ESCAPE '!' AS pct_match,
+           t.s LIKE '%a!_b%' ESCAPE '!'  AS underscore_match
+    FROM (VALUES ('sale 100% off'), ('item a_b tag'), ('plain text'))
+         AS t(s)
+    """,
+    doc="LIKE with ESCAPE character (reference Like{escape_char} "
+    "expr.rs:102-113).",
+    tags=("expr",),
+)
+
+# ---------------------------------------------------------------------------
+# Aggregate modifiers: DISTINCT + FILTER (expr.rs:115-125)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "agg_distinct_filter",
+    """
+    SELECT
+      o_orderstatus,
+      COUNT(DISTINCT o_custkey)                                   AS uniq_cust,
+      COUNT(*) FILTER (WHERE o_totalprice > 200000)               AS n_big,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total,
+      CAST(SUM(DISTINCT CAST(o_custkey AS BIGINT)) AS BIGINT)     AS sum_uniq_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Aggregate{distinct, filter} — AGG(DISTINCT x) and AGG(x) FILTER "
+    "(WHERE p) (reference expr.rs:115-125, sql/mod.rs:1253-1257).",
+    tags=("expr", "aggregate"),
+)
+
+# ---------------------------------------------------------------------------
+# The 8 reference string functions (funcs.rs:9-18)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "fn_strings",
+    """
+    SELECT
+      c_custkey,
+      CAST(bit_length(c_name) AS BIGINT)   AS name_bits,
+      CAST(char_length(c_mktsegment) AS BIGINT) AS seg_chars,
+      concat(c_name, '-', c_mktsegment)    AS cat,
+      lower(c_name)                        AS lo,
+      upper(c_mktsegment)                  AS up,
+      CAST(position('#' IN c_name) AS BIGINT) AS hash_pos,
+      hex(c_custkey)                       AS key_hex,
+      replace(c_name, 'Customer', 'Cust')  AS short_name
+    FROM customer
+    WHERE c_custkey <= 250
+    """,
+    oracle="""
+    SELECT
+      c_custkey,
+      CAST(bit_length(c_name) AS BIGINT)   AS name_bits,
+      CAST(length(c_mktsegment) AS BIGINT) AS seg_chars,
+      concat(c_name, '-', c_mktsegment)    AS cat,
+      lower(c_name)                        AS lo,
+      upper(c_mktsegment)                  AS up,
+      CAST(position('#' IN c_name) AS BIGINT) AS hash_pos,
+      hex(c_custkey)                       AS key_hex,
+      replace(c_name, 'Customer', 'Cust')  AS short_name
+    FROM customer
+    WHERE c_custkey <= 250
+    """,
+    doc="The complete reference scalar function inventory: bit_length, "
+    "character_length, concat, lower, position, to_hex, replace, upper "
+    "(reference funcs.rs:9-18, signatures :38-47). concat args are all "
+    "non-null here (DuckDB concat skips NULLs, Spark propagates — "
+    "divergence documented; `||` used for nullable concat). 3-arg replace "
+    "per standard SQL (the reference declares a 2-arg quirk, funcs.rs:45 — "
+    "documented divergence per SURVEY §2c).",
+    tags=("expr", "functions"),
+)
+
+# ---------------------------------------------------------------------------
+# Interval literals (value.rs:45-51; expr_interval_tests.yaml)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "expr_interval",
+    """
+    SELECT
+      o_orderkey,
+      CAST(o_orderdate + INTERVAL 1 MONTH  AS STRING) AS plus_month,
+      CAST(o_orderdate - INTERVAL 90 DAY   AS STRING) AS minus_90d,
+      CAST(o_orderdate + INTERVAL 1 YEAR   AS STRING) AS plus_year,
+      CAST(o_orderdate + INTERVAL 12 HOUR  AS STRING) AS plus_12h,
+      o_orderdate + INTERVAL 30 DAY > TIMESTAMP '2001-08-01' AS near_end
+    FROM orders
+    WHERE o_orderkey < 600
+    """,
+    doc="INTERVAL literals — YearMonth and DaySecond families (reference "
+    "ScalarValue::Interval value.rs:45-51, 293 LoC of cases in "
+    "expr_interval_tests.yaml) in timestamp arithmetic and comparison.",
+    tags=("expr", "interval"),
+)
+
+# ---------------------------------------------------------------------------
+# Typed NULL literals + coalescing (value.rs:12-35 all-nullable model)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "expr_typed_null",
+    """
+    SELECT
+      CAST(NULL AS INT)        AS null_int,
+      CAST(NULL AS DOUBLE)     AS null_double,
+      CAST(NULL AS STRING)     AS null_str,
+      CAST(NULL AS BOOLEAN)    AS null_bool,
+      COALESCE(CAST(NULL AS INT), 42)  AS coalesced,
+      NULLIF(1, 1)             AS nullif_hit,
+      NULLIF(1, 2)             AS nullif_miss
+    """,
+    doc="Typed NULL literals (reference ScalarValue all-Option model "
+    "value.rs:12-35; typed-NULL casts expr.rs:28) + COALESCE/NULLIF.",
+    tags=("expr", "null"),
+)

@@ -40,9 +40,18 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, then rows by all columns — order-insensitive."""
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        if df[col].dtype == object:
+            # lists/arrays are unhashable & unsortable — tuple-ize
+            df[col] = df[col].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__")
+                and not isinstance(v, str) else v
+            )
     if len(df):
-        df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+        df = df.sort_values(
+            by=list(df.columns), na_position="first", key=lambda s: s.map(str)
+        ).reset_index(drop=True)
     return df
 
 
@@ -85,9 +94,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                 break  # one mismatch per column is enough to flag
     if n_bad:
         problems.append(f"{n_bad} mismatched column(s); first: {first_bad}")
-    # dtype diagnostics (informational — driver checks schema too)
+    # dtype diagnostics (informational — driver checks schema too).
+    # All-NULL columns are exempt: their pandas dtype is an artifact.
     for col in a.columns:
-        if str(a[col].dtype) != str(b[col].dtype):
+        if str(a[col].dtype) != str(b[col].dtype) and not (
+            a[col].isna().all() and b[col].isna().all()
+        ):
             problems.append(f"dtype {col}: spark={a[col].dtype} duck={b[col].dtype}")
     return problems
 
