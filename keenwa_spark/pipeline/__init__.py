@@ -1,0 +1,55 @@
+"""LLM-training-data pipeline operators — the beyond-reference surface.
+
+keenwa has no data-processing operators (it is an optimizer-only
+library); this package adds the operations a 100 TB training-data
+pipeline needs, each expressed as declarative DataFrame transformations
+so Catalyst/AQE handle physical planning:
+
+- ``dedup``      — exact (hash groupBy), MinHash+LSH banded near-dup,
+                   SimHash fingerprints, exact n-gram Jaccard pairs
+- ``similarity`` — brute-force cosine top-k (baseline), sign-LSH
+                   bucketed top-k (scale path), per-label centroids
+- ``text``       — quality stats, language-ID heuristic, token
+                   counting, positional fingerprints
+- ``multimodal`` — opaque binary columns + typed metadata; decode via
+                   Arrow-batched mapInPandas (deterministic fake here;
+                   real codecs plug into the same batch shape)
+
+Every hash is md5-derived (first 8 hex chars → int64) so results are
+engine-portable and oracle-checkable in DuckDB; no engine-specific
+hash functions in any data path.
+"""
+
+from keenwa_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from keenwa_spark.pipeline.similarity import (
+    cosine_topk,
+    label_centroids,
+    lsh_bucket_topk,
+)
+from keenwa_spark.pipeline.text import (
+    language_id,
+    text_fingerprint,
+    text_stats,
+    token_counts,
+)
+
+__all__ = [
+    "cosine_topk",
+    "exact_dedup",
+    "label_centroids",
+    "language_id",
+    "lsh_bucket_topk",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "text_fingerprint",
+    "text_stats",
+    "token_counts",
+]

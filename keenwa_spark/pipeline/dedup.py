@@ -1,0 +1,207 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All are pure DataFrame compositions of built-in functions — no Python
+UDFs anywhere (the md5/array/lambda expressions run inside whole-stage
+codegen on the JVM).
+
+Scale design (the part that matters at 100 TB):
+- exact dedup is one hash-partitioned groupBy on a 16-byte digest —
+  the minimum possible shuffle for the problem;
+- MinHash-LSH generates candidate pairs via BANDED BUCKET JOINS: docs
+  are shuffled once by (band, bucket-key) and only same-bucket pairs
+  are materialized. There is never an all-pairs crossJoin; the
+  candidate count is data-dependent (near-dups), not O(n^2);
+- the n-gram Jaccard operator is exact verification — at scale you run
+  it ONLY on LSH candidate pairs (compose: lsh_pairs -> jaccard on
+  pairs), never standalone on a full corpus. Standalone mode exists
+  for small-corpus oracle checking;
+- skewed buckets (a shingle shared by millions of docs — boilerplate
+  headers) are the classic LSH failure; ``max_bucket`` caps bucket
+  width, dropping degenerate buckets the way production dedup
+  pipelines do (documented, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keenwa_spark.pipeline.hashing import MINHASH_AB, MINHASH_P, spark_hash64
+
+#: normalize: lowercase, collapse whitespace runs, trim
+_NORM = "trim(regexp_replace(lower({col}), '\\\\s+', ' '))"
+
+
+def normalized_text(col: str) -> str:
+    """Shared normalization expression (Spark SQL dialect)."""
+    return _NORM.format(col=col)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (lowest id) per exact-normalized-content
+    group. Single shuffle on the md5 digest; at 100 TB the digest
+    groupBy is the smallest possible dedup shuffle (16 bytes/row vs
+    full text)."""
+    digest = F.expr(f"md5({normalized_text(text_col)})").alias("content_hash")
+    return (
+        df.select(F.col(id_col), digest, F.col(text_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _shingles(text_col: str, n: int = 3) -> str:
+    """Word n-gram shingles as a Spark SQL expression.
+
+    Guarded for short docs: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    so docs with < n words must short-circuit to an empty array."""
+    norm = normalized_text(text_col)
+    words = f"split({norm}, ' ')"
+    return (
+        f"IF(size({words}) >= {n}, "
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words}, i, {n}))), "
+        f"array())"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: k=12 columns mh0..mh11.
+
+    shingle -> md5-derived 32-bit hash -> k affine permutations -> MIN
+    per doc. One explode + one groupBy(id) with map-side partial MIN —
+    a single shuffle keyed on the doc id.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.expr(_shingles(text_col, n))).alias("shingle"),
+    ).select(id_col, F.expr(spark_hash64("shingle")).alias("h"))
+    aggs = [
+        F.expr(f"MIN(({a} * h + {b}) % {MINHASH_P})").alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH over the MinHash
+    signature (k=12 split into ``bands`` bands of 3 rows).
+
+    Docs agreeing on ALL rows of ANY band become a candidate pair.
+    Implementation is the at-scale pattern: signature -> band rows ->
+    shuffle by (band, bucket_key) -> within-bucket self-join ->
+    distinct pairs. Buckets wider than ``max_bucket`` are dropped
+    (degenerate-content guard; at 100 TB a single viral boilerplate
+    bucket would otherwise produce billions of pairs).
+    """
+    sig = minhash_signatures(df, id_col, text_col)
+    rows_per_band = len(MINHASH_AB) // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_frames.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws("-", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
+            )
+        )
+    buckets = band_frames[0]
+    for bf in band_frames[1:]:
+        buckets = buckets.unionAll(bf)
+    # degenerate-bucket guard
+    sized = buckets.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bkey"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    left = sized.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id_a"))
+    right = sized.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id_b"))
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """SimHash fingerprint per document: token-multiset bit voting.
+
+    Each word votes +1/-1 on each of ``bits`` bit positions according
+    to its md5-derived hash; the fingerprint sets bit j iff the vote
+    sum is positive. Near-dup docs differ in few bits (hamming).
+    Single explode + groupBy(id) — one shuffle.
+    """
+    norm = normalized_text(text_col)
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"split({norm}, ' ')")).alias("w"),
+    ).select(id_col, F.expr(spark_hash64("w")).alias("h"))
+    votes = [
+        F.expr(f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)").alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = words.groupBy(id_col).agg(*votes)
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)" for j in range(bits)
+    )
+    return per_doc.select(F.col(id_col), F.expr(fp).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs >= threshold, via an
+    inverted shingle index (shingle -> docs join), never all-pairs.
+
+    At 100 TB this runs on LSH candidate pairs only; standalone mode
+    (here) is for verification at small scale. The intersection join
+    shuffles on the shingle digest; pair counts then aggregate on
+    (id_a, id_b).
+    """
+    shingle_sets = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(_shingles(text_col, n))).alias("shingle"),
+        )
+        .select(id_col, F.expr(spark_hash64("shingle")).alias("sh"))
+        .distinct()
+    )
+    sizes = shingle_sets.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = shingle_sets.select(F.col(id_col).alias("id_a"), "sh")
+    b = shingle_sets.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,177 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Brute-force cosine top-k is the correctness baseline; sign-LSH
+bucketing is the scale path. Dot products run as higher-order SQL
+functions (zip_with + aggregate) inside whole-stage codegen — no
+Python in the loop. Element folds are sequential left-to-right, which
+both Spark and DuckDB honor, so scores are bit-deterministic and
+oracle-checkable.
+
+100 TB design notes:
+- brute force is query_count x corpus — fine when the QUERY side is
+  small (broadcast it); never materialize corpus x corpus;
+- sign-LSH buckets the corpus once (a cheap projection), then probes
+  only matching buckets: the shuffle is corpus-sized, the join is
+  bucket-local. Recall is tunable by probing adjacent buckets
+  (hamming-1 neighbors), orthogonal to the plumbing shown here;
+- for real workloads the bucketer would be random hyperplanes; sign
+  bits of leading dimensions keep the oracle exactly replicable
+  without shipping a projection matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: cosine similarity between two array<double> columns, sequential fold
+_COS = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    " / sqrt(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    " / sqrt(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+
+def _as_double(col: str) -> str:
+    return f"transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    The query side is broadcast (it is small by construction); the
+    corpus streams through codegen once. Output: (query_id,
+    neighbor_id, cos_sim) with a deterministic rank tie-break on
+    neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.expr(_as_double(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.expr(_as_double(vec_col)).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.expr(_COS.format(a="qv", b="cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def _sign_bucket(vec_col: str, bits: int = 8) -> str:
+    """Bucket id from the sign bits of the first ``bits`` dimensions."""
+    terms = " + ".join(
+        f"(CASE WHEN {vec_col}[{i}] > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's sign-LSH
+    bucket (2^bits buckets). One corpus-side bucket projection, then a
+    bucket-equi join — the shuffle is on the bucket key, never
+    all-pairs."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(_as_double(vec_col)).alias("qv"),
+        F.expr(_sign_bucket(vec_col, bits)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(_as_double(vec_col)).alias("cv"),
+        F.expr(_sign_bucket(vec_col, bits)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.expr(_COS.format(a="qv", b="cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid via posexplode -> mean per dimension.
+
+    The shuffle key is (label, dim) — the standard partial-aggregate
+    pattern. Determinism: float sums are made order-independent by
+    folding the per-group values in SORTED order (sort_array +
+    sequential aggregate fold) — bit-identical on any partitioning and
+    in any engine whose list fold is sequential. Decimal routes do NOT
+    work here: float->decimal casts round differently per engine
+    (repr-based vs binary-based), and per-element quantization ties
+    accumulate over thousands of elements."""
+    sorted_fold = (
+        "aggregate(sort_array(collect_list(CAST(v AS DOUBLE))), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        emb.select(F.col(label_col), F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy(label_col, "dim")
+        .agg(
+            (F.expr(sorted_fold) / F.count("v")).alias("centroid_v"),
+            F.count("v").cast("bigint").alias("n_vecs"),
+        )
+        .select(
+            label_col,
+            F.col("dim").cast("bigint").alias("dim"),
+            "centroid_v",
+            "n_vecs",
+        )
+    )
+
+
+def near_dup_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs: cosine >= threshold among
+    same-sign-bucket candidates (near-identical vectors share all
+    leading sign bits). Bucketed self-join — the candidate set is
+    bucket-local, never corpus^2."""
+    c = emb.select(
+        F.col(id_col),
+        F.expr(_as_double(vec_col)).alias("v"),
+        F.expr(_sign_bucket(vec_col, bits)).alias("bucket"),
+    )
+    a = c.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = c.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.expr(_COS.format(a="va", b="vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,125 @@
+"""Text analysis operators: quality stats, language-ID, token counts,
+content fingerprints.
+
+Everything is built-in/higher-order SQL functions — string ops, regex,
+array lambdas — running in whole-stage codegen. No Python UDFs: at
+100 TB a row-at-a-time Python UDF on a text column is the single worst
+thing a pipeline can do (serialize every string across the JVM/Python
+boundary); these expressions never leave the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from keenwa_spark.pipeline.dedup import normalized_text
+from keenwa_spark.pipeline.hashing import spark_hash64
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+#: stopword marker sets for the language-ID heuristic. Real deployments
+#: swap in per-language profiles; the mechanism (marker-hit scoring with
+#: deterministic argmax) is what the operator provides.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: char/word counts, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio."""
+    norm = normalized_text(text_col)
+    words = f"split({norm}, ' ')"
+    stop_list = "', '".join(LANG_MARKERS["en"])
+    return df.select(
+        F.col(id_col),
+        F.expr(f"CAST(char_length({text_col}) AS BIGINT)").alias("n_chars"),
+        F.expr(f"CAST(size({words}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"CAST(char_length(regexp_replace({norm}, ' ', '')) AS DOUBLE)"
+            f" / size({words})"
+        ).alias("mean_word_len"),
+        F.expr(
+            f"CAST(char_length(regexp_replace({text_col}, '[a-zA-Z0-9\\\\s]', '')) AS DOUBLE)"
+            f" / char_length({text_col})"
+        ).alias("punct_ratio"),
+        F.expr(
+            f"CAST(size(filter({words}, w -> w IN ('{stop_list}'))) AS DOUBLE)"
+            f" / size({words})"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"CAST(char_length(regexp_replace({text_col}, '[^A-Z]', '')) AS DOUBLE)"
+            f" / char_length({text_col})"
+        ).alias("upper_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language-ID heuristic with a deterministic argmax
+    (score desc, then language code asc). Accuracy is proportional to
+    marker-profile quality — on synthetic single-vocabulary corpora it
+    degenerates to a stable constant, which is the point of testing
+    the mechanism, not the profile."""
+    norm = normalized_text(text_col)
+    words = f"split({norm}, ' ')"
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = "', '".join(markers)
+        score_cols.append(
+            F.expr(f"CAST(size(filter({words}, w -> w IN ('{lst}'))) AS BIGINT)").alias(
+                f"score_{lang}"
+            )
+        )
+    scored = df.select(F.col(id_col), *score_cols)
+    langs = sorted(LANG_MARKERS)
+    # deterministic argmax: highest score wins; ties -> alphabetical
+    best = "CASE " + " ".join(
+        f"WHEN score_{l} >= GREATEST({', '.join('score_' + m for m in langs if m != l)}) THEN '{l}'"
+        for l in langs
+    ) + " END"
+    return scored.select(
+        id_col,
+        *[f"score_{l}" for l in langs],
+        F.expr(best).alias("pred_lang"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + unique
+    token count — the standard size features for training-data
+    budgeting."""
+    norm = normalized_text(text_col)
+    return df.select(
+        F.col(id_col),
+        F.expr(f"CAST(size(split({norm}, ' ')) AS BIGINT)").alias("ws_tokens"),
+        F.expr(
+            f"CAST(size(regexp_extract_all({norm}, '{TOKEN_RE}', 0)) AS BIGINT)"
+        ).alias("bpe_ish_tokens"),
+        F.expr(
+            f"CAST(size(array_distinct(split({norm}, ' '))) AS BIGINT)"
+        ).alias("uniq_words"),
+    )
+
+
+def text_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive positional content fingerprint: sum over word
+    positions of hash64(word) * position, mod P. Unlike a bag-of-words
+    digest, word REORDERING changes the fingerprint; unlike md5 of the
+    full text, it is incrementally computable per partition (the inner
+    transform+fold runs in codegen)."""
+    norm = normalized_text(text_col)
+    words = f"split({norm}, ' ')"
+    h = spark_hash64("x")
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"aggregate(transform({words}, (x, i) -> {h} * (i + 1)), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v) % 4294967311"
+        ).alias("fingerprint"),
+        F.expr("md5(" + normalized_text(text_col) + ")").alias("content_md5"),
+    )

@@ -1,1 +1,528 @@
-"""Placeholder — filled this round."""
+"""LLM-data-pipeline query registrations with DuckDB oracle replication.
+
+Every operator in ``keenwa_spark.pipeline`` registers here. The Spark
+side runs the package's DataFrame implementations; the oracle REPLAYS
+the same math in DuckDB SQL — possible because all hashing is
+md5-derived (portable) and all folds are sequential. Near-dup/LSH
+results are therefore *exactly* oracle-checked, not rows-only.
+
+DuckDB dialect notes: regexp_replace needs the 'g' flag, lists are
+1-based, string_split/len/list_filter replace split/size/filter,
+generate_subscripts+unnest zip for posexplode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from keenwa_spark.pipeline.hashing import MINHASH_AB, MINHASH_P, duck_hash64
+from keenwa_spark.queries import df_query
+
+# --- DuckDB-dialect building blocks ----------------------------------------
+
+_D_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_D_WORDS = f"string_split({_D_NORM}, ' ')"
+_D_SHINGLES = (
+    "CASE WHEN len(w) >= 3 "
+    "THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)] "
+    "ELSE [] END"
+)
+
+
+def _duck_docs_cte(text_col: str = "text") -> str:
+    words = _D_WORDS.format(c=text_col)
+    return f"""
+    docs AS (SELECT doc_id, {words} AS w FROM documents),
+    shingles AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS shingle FROM docs
+    ),
+    hashed AS (
+      SELECT doc_id, {duck_hash64('shingle')} AS h FROM shingles
+    )"""
+
+
+def _duck_minhash_sig() -> str:
+    mins = ",\n        ".join(
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_AB)
+    )
+    return f"""
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM hashed GROUP BY doc_id
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@df_query(
+    "pl_dedup_exact",
+    oracle=f"""
+    SELECT md5({_D_NORM.format(c='text')}) AS content_hash,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: md5 over normalized text, one groupBy shuffle on the "
+    "16-byte digest, lowest doc_id kept as representative "
+    "(pipeline/dedup.py exact_dedup).",
+    tags=("pipeline", "dedup"),
+)
+def pl_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(spark.table("documents"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@df_query(
+    "pl_minhash_signatures",
+    oracle=f"""
+    WITH {_duck_docs_cte()},
+    {_duck_minhash_sig()}
+    SELECT * FROM sig
+    """,
+    doc="MinHash signatures (k=12, md5-derived portable hashes, fixed "
+    "affine constants — pipeline/hashing.py): explode shingles -> "
+    "map-side partial MIN -> one doc_id shuffle. Oracle replays the "
+    "identical arithmetic in DuckDB.",
+    tags=("pipeline", "dedup", "minhash"),
+)
+def pl_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dedup import minhash_signatures
+
+    return minhash_signatures(spark.table("documents"))
+
+
+def _duck_lsh_pairs_sql() -> str:
+    rows_per_band = len(MINHASH_AB) // 4
+    band_selects = []
+    for b in range(4):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = " || '-' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig"
+        )
+    bands_union = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH {_duck_docs_cte()},
+    {_duck_minhash_sig()},
+    buckets AS (
+      {bands_union}
+    ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM buckets
+    ),
+    ok_buckets AS (SELECT * FROM sized WHERE bucket_n <= 1000)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ok_buckets a JOIN ok_buckets b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+
+@df_query(
+    "pl_minhash_lsh_pairs",
+    oracle=_duck_lsh_pairs_sql(),
+    doc="Banded LSH near-dup candidates (4 bands x 3 rows): shuffle by "
+    "(band, bucket-key), within-bucket self-join, distinct pairs — NEVER "
+    "an all-pairs crossJoin; candidate count is data-dependent. Degenerate "
+    "buckets (>1000 docs) dropped, the production skew guard "
+    "(pipeline/dedup.py minhash_lsh_pairs).",
+    tags=("pipeline", "dedup", "minhash", "lsh"),
+)
+def pl_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(spark.table("documents"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+
+def _duck_simhash_sql(bits: int = 32) -> str:
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    words = _D_WORDS.format(c="text")
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest({words}) AS word FROM documents
+    ),
+    hashed AS (SELECT doc_id, {duck_hash64('word')} AS h FROM words),
+    votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@df_query(
+    "pl_simhash",
+    oracle=_duck_simhash_sql(),
+    doc="SimHash fingerprints (32-bit, token-multiset bit voting): near-dup "
+    "docs land within small hamming distance. One explode + one doc_id "
+    "shuffle (pipeline/dedup.py simhash_fingerprints).",
+    tags=("pipeline", "dedup", "simhash"),
+)
+def pl_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(spark.table("documents"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+
+@df_query(
+    "pl_ngram_jaccard",
+    oracle=f"""
+    WITH {_duck_docs_cte()},
+    sets AS (SELECT DISTINCT doc_id, h AS sh FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sets a JOIN sets b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter) >= 0.5
+    """,
+    doc="EXACT word-3-gram Jaccard pairs >= 0.5 via inverted shingle index "
+    "(shuffle on shingle hash, then pair aggregate) — at 100 TB this runs "
+    "on LSH candidates only; standalone here for oracle verification "
+    "(pipeline/dedup.py ngram_jaccard_pairs).",
+    tags=("pipeline", "dedup", "jaccard"),
+)
+def pl_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(spark.table("documents"), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_D_VEC_D = "[CAST(x AS DOUBLE) for x in embedding]"
+_D_DOT = "list_sum([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)])"
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"{_D_DOT.format(a=a, b=b)}"
+        f" / sqrt({_D_DOT.format(a=a, b=a)})"
+        f" / sqrt({_D_DOT.format(a=b, b=b)})"
+    )
+
+
+@df_query(
+    "pl_ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {_D_VEC_D} AS qv FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id AS neighbor_id, {_D_VEC_D} AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_duck_cosine('qv', 'cv')} AS cos_sim
+      FROM c, q WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    doc="Brute-force cosine top-5 (the exactness baseline): query side "
+    "broadcast, corpus streamed once through codegen zip_with/aggregate "
+    "folds — sequential fold order makes scores bit-identical to the "
+    "DuckDB oracle (pipeline/similarity.py cosine_topk).",
+    tags=("pipeline", "similarity", "ann"),
+)
+def pl_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import cosine_topk
+
+    emb = spark.table("embeddings")
+    return cosine_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
+def _duck_sign_bucket(vec: str, bits: int = 8) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[{i + 1}] > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"({terms})"
+
+
+@df_query(
+    "pl_ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {_D_VEC_D} AS qv,
+             {_duck_sign_bucket('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, {_D_VEC_D} AS cv,
+             {_duck_sign_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_duck_cosine('qv', 'cv')} AS cos_sim
+      FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    doc="Sign-LSH bucketed approximate top-5 (the scale path): corpus "
+    "bucketed once by leading-dimension sign bits (256 buckets), "
+    "candidates bucket-local — the join shuffles on the bucket key, "
+    "never corpus^2 (pipeline/similarity.py lsh_bucket_topk).",
+    tags=("pipeline", "similarity", "ann", "lsh"),
+)
+def pl_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import lsh_bucket_topk
+
+    emb = spark.table("embeddings")
+    return lsh_bucket_topk(emb, emb.filter("vec_id < 10"), k=5)
+
+
+@df_query(
+    "pl_embedding_centroids",
+    oracle="""
+    WITH expl AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, dim,
+           list_sum(list_sort(list(CAST(v AS DOUBLE)))) / COUNT(v) AS centroid_v,
+           COUNT(v) AS n_vecs
+    FROM expl GROUP BY label, dim
+    """,
+    doc="Per-label centroids: posexplode -> (label, dim) partial-agg "
+    "shuffle; float sums folded in SORTED order for partition-order "
+    "independence (decimal routes diverge cross-engine on float casts — "
+    "pipeline/similarity.py label_centroids).",
+    tags=("pipeline", "similarity"),
+)
+def pl_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import label_centroids
+
+    return label_centroids(spark.table("embeddings"))
+
+
+@df_query(
+    "pl_near_dup_cosine",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, {_D_VEC_D} AS v, {_duck_sign_bucket('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_duck_cosine('a.v', 'b.v')} AS cos_sim
+    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_duck_cosine('a.v', 'b.v')} >= 0.9
+    """,
+    doc="Embedding-space near-duplicate pairs (cosine >= 0.9) within "
+    "sign-LSH buckets — bucketed self-join, candidates bucket-local "
+    "(pipeline/similarity.py near_dup_cosine_pairs).",
+    tags=("pipeline", "dedup", "similarity"),
+)
+def pl_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import near_dup_cosine_pairs
+
+    return near_dup_cosine_pairs(spark.table("embeddings"), threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@df_query(
+    "pl_text_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(norm, ' ', '', 'g')) AS DOUBLE)
+             / len(string_split(norm, ' ')) AS mean_word_len,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           CAST(len(list_filter(string_split(norm, ' '),
+                    x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+             / len(string_split(norm, ' ')) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+             / length(text) AS upper_ratio
+    FROM t
+    """,
+    doc="Quality-scoring features: char/word counts, mean word length, "
+    "punctuation/stopword/uppercase ratios — all codegen string ops, no "
+    "Python (pipeline/text.py text_stats).",
+    tags=("pipeline", "text"),
+)
+def pl_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.text import text_stats
+
+    return text_stats(spark.table("documents"))
+
+
+def _duck_lang_sql() -> str:
+    from keenwa_spark.pipeline.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n      ".join(
+        "CAST(len(list_filter(w, x -> x IN ('"
+        + "', '".join(LANG_MARKERS[lang])
+        + f"'))) AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    best = "CASE " + " ".join(
+        f"WHEN score_{l} >= GREATEST({', '.join('score_' + m for m in langs if m != l)}) THEN '{l}'"
+        for l in langs
+    ) + " END"
+    words = _D_WORDS.format(c="text")
+    return f"""
+    WITH w AS (SELECT doc_id, {words} AS w FROM documents),
+    scored AS (
+      SELECT doc_id,
+      {scores}
+      FROM w
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr, {best} AS pred_lang
+    FROM scored
+    """
+
+
+@df_query(
+    "pl_language_id",
+    oracle=_duck_lang_sql(),
+    doc="Marker-word language-ID with deterministic argmax (score desc, "
+    "code asc). The synthetic corpus shares one vocabulary across langs, "
+    "so predictions are a stable constant — the mechanism (not the "
+    "profile) is under test (pipeline/text.py language_id).",
+    tags=("pipeline", "text", "langid"),
+)
+def pl_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.text import language_id
+
+    return language_id(spark.table("documents"))
+
+
+@df_query(
+    "pl_token_counts",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(string_split(norm, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS bpe_ish_tokens,
+           CAST(len(list_distinct(string_split(norm, ' '))) AS BIGINT) AS uniq_words
+    FROM t
+    """,
+    doc="Token budgeting features: whitespace tokens, BPE-ish regex "
+    "pre-tokens, unique words (pipeline/text.py token_counts).",
+    tags=("pipeline", "text", "tokens"),
+)
+def pl_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.text import token_counts
+
+    return token_counts(spark.table("documents"))
+
+
+@df_query(
+    "pl_text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    w AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM t)
+    SELECT doc_id,
+           CAST(list_sum([{duck_hash64('w[i]')} * i
+                          for i in range(1, len(w) + 1)]) % {MINHASH_P} AS BIGINT)
+             AS fingerprint,
+           md5(norm) AS content_md5
+    FROM w
+    """,
+    doc="Order-sensitive positional fingerprint (hash64(word)*position "
+    "summed mod P) + md5 digest — reordering words changes the value, "
+    "unlike a bag-of-words digest (pipeline/text.py text_fingerprint).",
+    tags=("pipeline", "text", "fingerprint"),
+)
+def pl_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.text import text_fingerprint
+
+    return text_fingerprint(spark.table("documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (Arrow-batched mapInPandas decode)
+# ---------------------------------------------------------------------------
+
+
+@df_query(
+    "pl_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS width,
+           CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS height,
+           CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0
+                THEN 'fake-a' ELSE 'fake-b' END AS format
+    FROM documents
+    """,
+    doc="Multimodal decode plumbing: binary payload column + Arrow-batched "
+    "mapInPandas decoder (one Python roundtrip per batch, never per row). "
+    "The codec is a deterministic header-byte fake (real libs absent — "
+    "pipeline/multimodal.py); the batch shape, schema, and oracle are "
+    "real. Text is ASCII so the byte-arithmetic oracle replicates exactly.",
+    tags=("pipeline", "multimodal"),
+)
+def pl_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.multimodal import attach_binary_payload, decode_batch
+
+    docs = attach_binary_payload(spark.table("documents"))
+    return decode_batch(docs)
