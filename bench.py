@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Headline set: one representative of each heavy plan family — star-join
+agg (flagship), full-scan agg (TPC-H Q1 shape), multi-CTE join, window
+top-N, sessionization (two window passes + agg), correlated scalar
+subquery, MinHash-LSH dedup, brute-force ANN. Each query runs once
+after a warmup query primes the JVM/file listing; timing includes plan
++ execution (collect), which is what a user experiences.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_top_customers",
+    "agg_group_having",
+    "cte_reuse",
+    "win_topn_per_group",
+    "ev_sessionize",
+    "subq_scalar_correlated",
+    "pl_minhash_lsh_pairs",
+    "pl_ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from keenwa_spark.queries import load_all
+    from keenwa_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("keenwa_spark_bench")
+
+    # warmup: prime file listing + codegen paths (not timed)
+    registry["get_scan"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

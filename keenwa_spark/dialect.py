@@ -99,6 +99,20 @@ def validate(sql: str, strict: bool = False) -> None:
         raise NotSupportedError(f"statement type not supported: {head} (SELECT-only engine)")
     if head not in ("SELECT", "WITH", "VALUES", "TABLE", ""):
         raise NotSupportedError(f"statement type not supported: {head!r}")
+    # CTE-prefixed DML would bypass the first-token check ("WITH t AS
+    # (...) INSERT INTO ..." — ADVICE r01): scan the whole statement for
+    # top-level-ish DML keywords. 'SELECT ... INTO' style false positives
+    # are acceptable: the dialect has no INTO either.
+    dml = re.search(
+        r"\b(INSERT\s+INTO|INSERT\s+OVERWRITE|UPDATE\s+\w+\s+SET|DELETE\s+FROM|MERGE\s+INTO)\b",
+        stripped,
+        flags=re.I,
+    )
+    if dml:
+        raise NotSupportedError(
+            f"statement type not supported: {dml.group(1).split()[0].upper()} "
+            "(SELECT-only engine)"
+        )
 
     upper = stripped.upper()
     for pattern, label in _ALWAYS_REJECTS:

@@ -37,17 +37,24 @@ class Engine:
 
     def explain(self, query: str, mode: str = "formatted") -> str:
         """Text physical plan — the analog of keenwa's plan formatter
-        (reference src/operators/format.rs)."""
+        (reference src/operators/format.rs). Uses the documented
+        ExplainMode path, not the private PythonSQLUtils bridge."""
         df = self.sql(query)
-        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-            df._jdf.queryExecution(), mode
-        )
+        jvm = self.spark._jvm  # type: ignore[attr-defined]
+        explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        return df._jdf.queryExecution().explainString(explain_mode)  # type: ignore[attr-defined]
+
+    def explain_df(self, df: DataFrame, mode: str = "formatted") -> str:
+        """Plan text for an already-built DataFrame (builder output)."""
+        jvm = self.spark._jvm  # type: ignore[attr-defined]
+        explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        return df._jdf.queryExecution().explainString(explain_mode)  # type: ignore[attr-defined]
 
     # -- programmatic builder (reference src/operators/builder/mod.rs) --
     def builder(self):
         from keenwa_spark.builder import PlanBuilder
 
-        return PlanBuilder(self)
+        return PlanBuilder(self.spark)
 
     def table(self, name: str) -> DataFrame:
         return self.catalog.table(name)

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from keenwa_spark.pipeline.hashing import MINHASH_AB, MINHASH_P, spark_hash64
 
@@ -78,9 +77,24 @@ def minhash_signatures(
     per doc. One explode + one groupBy(id) with map-side partial MIN —
     a single shuffle keyed on the doc id.
     """
-    exploded = df.select(
+    # No repartition here: shingle hashing is cheap codegen work and a
+    # pre-shuffle of raw text costs more than it buys (A/B measured 2-3x
+    # slower with one). Scan parallelism comes from the source layout;
+    # the groupBy below does map-side partial MINs before its exchange.
+    # stage the word array once so normalize+split isn't re-evaluated
+    # inside both the guard and the transform
+    words = df.select(
         F.col(id_col),
-        F.explode(F.expr(_shingles(text_col, n))).alias("shingle"),
+        F.expr(f"split({normalized_text(text_col)}, ' ')").alias("w"),
+    )
+    shingle_expr = (
+        f"IF(size(w) >= {n}, "
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {n}))), array())"
+    )
+    exploded = words.select(
+        F.col(id_col),
+        F.explode(F.expr(shingle_expr)).alias("shingle"),
     ).select(id_col, F.expr(spark_hash64("shingle")).alias("h"))
     aggs = [
         F.expr(f"MIN(({a} * h + {b}) % {MINHASH_P})").alias(f"mh{j}")
@@ -100,37 +114,44 @@ def minhash_lsh_pairs(
     signature (k=12 split into ``bands`` bands of 3 rows).
 
     Docs agreeing on ALL rows of ANY band become a candidate pair.
-    Implementation is the at-scale pattern: signature -> band rows ->
-    shuffle by (band, bucket_key) -> within-bucket self-join ->
-    distinct pairs. Buckets wider than ``max_bucket`` are dropped
-    (degenerate-content guard; at 100 TB a single viral boilerplate
-    bucket would otherwise produce billions of pairs).
+    Implementation is the at-scale pattern: signature -> inline band
+    explosion -> ONE shuffle on (band, bucket-key) -> per-bucket pair
+    expansion with array lambdas -> distinct pairs. Buckets wider than
+    ``max_bucket`` are dropped (degenerate-content guard; at 100 TB a
+    single viral boilerplate bucket would otherwise produce billions
+    of pairs — and it also bounds the collected member lists).
     """
     sig = minhash_signatures(df, id_col, text_col)
     rows_per_band = len(MINHASH_AB) // bands
-    band_frames = []
+    # ONE pass over the signature: explode an inline (band, key) array.
+    # A union of per-band selects would re-execute the whole minhash
+    # subtree once per band (Spark does no cross-branch CSE) — measured
+    # 4x slower at sf0.1.
+    band_structs = []
     for b in range(bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_frames.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.concat_ws("-", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
-            )
-        )
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.unionAll(bf)
-    # degenerate-bucket guard
-    sized = buckets.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bkey"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    left = sized.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id_a"))
-    right = sized.select(F.col("band"), F.col("bkey"), F.col(id_col).alias("id_b"))
+        key = ", '-', ".join(f"CAST({c} AS STRING)" for c in cols)
+        band_structs.append(f"struct({b} AS band, concat({key}) AS bkey)")
+    buckets = sig.select(
+        F.col(id_col),
+        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    # ONE shuffle on (band, bkey): collect each bucket's members and
+    # expand pairs inline with array lambdas. A bucket self-join would
+    # re-execute the whole minhash pipeline for each side plus a window
+    # shuffle for the size guard — measured ~2x slower. The max_bucket
+    # guard bounds the collected list (that is exactly its job).
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        left.join(right, ["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -1,0 +1,136 @@
+"""PlanBuilder unit tests — mirrors the reference's builder e2e tests
+(reference src/tests/mod.rs:17-65, OperatorBuilder fluent chains) but
+asserts EXECUTED results, which the reference cannot (no executor).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from keenwa_spark.builder import PlanBuilder
+from keenwa_spark.errors import ArgumentError
+
+
+@pytest.fixture()
+def b(views):
+    return PlanBuilder(views)
+
+
+def test_scan_project_filter_limit(b):
+    rows = (
+        b.from_("nation")
+        .select("n_regionkey = 0")
+        .project(["n_nationkey", "n_name"])
+        .order_by("n_nationkey")
+        .limit(3)
+        .build()
+        .collect()
+    )
+    assert [r.n_nationkey for r in rows] == [0, 5, 10]
+
+
+def test_get_column_pruning(b, views):
+    df = b.get("customer", ["c_custkey", "c_name"]).build()
+    assert df.columns == ["c_custkey", "c_name"]
+
+
+def test_values_and_empty(b):
+    vals = b.values([(1, "x"), (2, "y")], "id INT, tag STRING").build().collect()
+    assert len(vals) == 2
+    assert b.new_query().empty(return_one_row=True).build().count() == 1
+    assert b.new_query().empty(return_one_row=False).build().count() == 0
+
+
+def test_all_join_types_execute(b):
+    left = b.from_("customer")
+    counts = {}
+    for how in ["inner", "left", "right", "full", "left_semi", "right_semi", "anti"]:
+        right = b.new_query().from_("orders")
+        counts[how] = (
+            left.join_on(right, how, "c_custkey = o_custkey").build().count()
+        )
+    assert counts["left"] >= counts["inner"]
+    assert counts["full"] >= counts["left"]
+    assert counts["left_semi"] + counts["anti"] == b.new_query().from_("customer").build().count()
+    # right_semi(customer, orders) == orders with a matching customer
+    assert counts["right_semi"] <= b.new_query().from_("orders").build().count()
+
+
+def test_join_using_dedups_key(b):
+    df = (
+        b.from_("nation")
+        .project(["n_regionkey AS r_regionkey", "n_name"])
+        .join_using(b.new_query().from_("region"), "inner", ["r_regionkey"])
+        .build()
+    )
+    assert df.columns.count("r_regionkey") == 1
+
+
+def test_natural_join_requires_shared_column(b):
+    with pytest.raises(ArgumentError):
+        b.from_("nation").natural_join(b.new_query().from_("region"))
+
+
+def test_set_ops(b):
+    cust = b.from_("customer").project(["c_nationkey AS k"])
+    supp = b.new_query().from_("supplier").project(["s_nationkey AS k"])
+    union_all = cust.union_all(supp).build().count()
+    assert union_all == cust.build().count() + supp.build().count()
+    assert cust.union(supp).build().count() <= 25
+    assert cust.intersect(supp).build().count() <= 25
+    assert cust.except_all(supp).build().count() <= union_all
+
+
+def test_aggregate_builder_having(b):
+    rows = (
+        b.from_("orders")
+        .aggregate_builder()
+        .add_column("o_orderstatus")
+        .add_func("count", "*", alias="n")
+        .having("n > 10")
+        .build()
+        .order_by("n", descending=True)
+        .build()
+        .collect()
+    )
+    assert all(r.n > 10 for r in rows)
+
+
+def test_aggregate_requires_exprs(b):
+    with pytest.raises(ArgumentError):
+        b.from_("orders").aggregate_builder().build()
+
+
+def test_distinct_on_deterministic(b):
+    df = (
+        b.from_("orders")
+        .distinct(on="o_custkey", order_by=["o_totalprice", "o_orderkey"],
+                  descending=[True, False])
+        .build()
+    )
+    pdf = df.toPandas()
+    assert pdf["o_custkey"].is_unique
+    with pytest.raises(ArgumentError):
+        b.new_query().from_("orders").distinct(on="o_custkey")
+
+
+def test_errors_without_input(b):
+    fresh = b.new_query()
+    with pytest.raises(ArgumentError):
+        fresh.select("1 = 1")
+    with pytest.raises(ArgumentError):
+        fresh.limit(5)
+    with pytest.raises(ArgumentError):
+        b.from_("nation").join_on(b.new_query(), "inner", "1=1")
+
+
+def test_unknown_join_type(b):
+    with pytest.raises(ArgumentError):
+        b.from_("nation").join_on(b.new_query().from_("region"), "sideways", "1=1")
+
+
+def test_builder_immutability(b):
+    base = b.from_("nation")
+    filtered = base.select("n_regionkey = 0")
+    assert base.build().count() == 25
+    assert filtered.build().count() == 5

@@ -1,0 +1,73 @@
+"""Catalog + Engine surface tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from keenwa_spark.catalog import Catalog
+from keenwa_spark.errors import ArgumentError, NotSupportedError
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_register_dir_rowcounts(spark):
+    cat = Catalog(spark)
+    cat.register_dir(SF_DIR)
+    assert cat.row_count("region") == 5
+    assert cat.row_count("nation") == 25
+    assert cat.table("nation").count() == 25
+
+
+def test_register_missing_path_raises(spark):
+    cat = Catalog(spark)
+    with pytest.raises(ArgumentError):
+        cat.register_parquet("nope", "/no/such/file.parquet")
+    with pytest.raises(ArgumentError):
+        cat.table("never_registered")
+
+
+def test_directory_parquet_dataset(spark, tmp_path):
+    # Spark-standard directory layout (the ADVICE r01 brittleness)
+    out = str(tmp_path / "t.parquet")
+    spark.range(100).repartition(4).write.mode("overwrite").parquet(out)
+    cat = Catalog(spark)
+    tdef = cat.register_parquet("dir_table", out)
+    assert tdef.row_count == 100
+    assert tdef.size_bytes > 0
+    assert cat.table("dir_table").count() == 100
+
+
+def test_broadcastable_classification(spark):
+    cat = Catalog(spark)
+    cat.register_dir(SF_DIR)
+    assert cat.is_broadcastable("region")
+    assert cat.is_broadcastable("nation")
+
+
+def test_events_nanos_timestamp_readable(spark):
+    cat = Catalog(spark)
+    cat.register_dir(SF_DIR)
+    row = spark.sql("SELECT min(ts) AS t FROM events").collect()[0]
+    assert row.t is not None
+    assert str(spark.table("events").schema["ts"].dataType) == "TimestampType()"
+
+
+def test_engine_sql_gate(engine):
+    assert engine.sql("SELECT 1 AS one").collect()[0].one == 1
+    with pytest.raises(NotSupportedError):
+        engine.sql("DROP TABLE customer")
+    with pytest.raises(NotSupportedError):
+        engine.sql("WITH t AS (SELECT 1) INSERT INTO x SELECT * FROM t")
+
+
+def test_engine_explain_formatted(engine):
+    plan = engine.explain("SELECT c_name FROM customer WHERE c_custkey = 7")
+    assert "Physical Plan" in plan
+    assert "PushedFilters" in plan
+
+
+def test_engine_builder_roundtrip(engine):
+    df = engine.builder().from_("region").project(["r_name"]).build()
+    assert df.count() == 5

@@ -1,0 +1,94 @@
+"""Dialect accept/reject matrix — mirrors the reference's error-case
+YAML corpus (reference src/sql/basic_tests.yaml:47-57 pattern and the
+rejection list in src/sql/mod.rs). Per SURVEY §7 risk 6 we assert the
+error CLASS, never exact message text.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from keenwa_spark import dialect
+from keenwa_spark.errors import NotSupportedError
+
+ACCEPT = [
+    "SELECT 1",
+    "SELECT a1 FROM a WHERE a1 > 1",
+    "WITH t AS (SELECT 1 AS x) SELECT x FROM t",
+    "SELECT * FROM (VALUES (1, 2)) AS t(a, b)",
+    "VALUES (1), (2)",
+    "SELECT a1 FROM a UNION ALL SELECT b1 FROM b",
+    "SELECT count(*) FROM a GROUP BY a1 HAVING count(*) > 1",
+    "SELECT row_number() OVER (PARTITION BY a1 ORDER BY a2) FROM a",
+    "-- leading comment\nSELECT 1",
+    "SELECT 'INSERT INTO literal is fine'",
+]
+
+REJECT_ALWAYS = [
+    # statement-level (reference build_statement, sql/mod.rs:102-144)
+    "INSERT INTO t VALUES (1)",
+    "UPDATE t SET x = 1",
+    "DELETE FROM t WHERE x = 1",
+    "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE",
+    "CREATE TABLE t (x INT)",
+    "DROP TABLE t",
+    "ALTER TABLE t ADD COLUMN y INT",
+    "TRUNCATE TABLE t",
+    "SET spark.sql.shuffle.partitions = 1",
+    "SHOW TABLES",
+    "DESCRIBE t",
+    "ANALYZE TABLE t COMPUTE STATISTICS",
+    "EXPLAIN SELECT 1",
+    "CALL proc()",
+    # recursive CTE (reference sql/mod.rs:210)
+    "WITH RECURSIVE r AS (SELECT 1) SELECT * FROM r",
+    # CTE-prefixed DML bypass (ADVICE r01)
+    "WITH t AS (SELECT 1) INSERT INTO tgt SELECT * FROM t",
+    "WITH t AS (SELECT 1) DELETE FROM tgt",
+    # garbage head
+    "FROB the database",
+    "",
+    "   ",
+]
+
+REJECT_STRICT = [
+    # reference rejections inside SELECT (SURVEY §2c notable rejections)
+    ("SELECT a1 FROM a GROUP BY GROUPING SETS ((a1))", "grouping sets"),
+    ("SELECT a1 FROM a GROUP BY CUBE (a1)", "cube"),
+    ("SELECT a1 FROM a GROUP BY ROLLUP (a1)", "rollup"),
+    ("SELECT * FROM a, LATERAL (SELECT a1) t", "lateral"),
+    ("SELECT * FROM UNNEST(ARRAY[1,2])", "unnest"),
+    ("SELECT a1 FROM a FETCH FIRST 5 ROWS ONLY", "fetch"),
+    ("SELECT a1 FROM a ORDER BY a1 NULLS FIRST", "nulls first"),
+    ("SELECT sum(a1) OVER w FROM a WINDOW w AS (PARTITION BY a2)", "named window"),
+    (
+        "SELECT sum(a1) OVER (ORDER BY a2 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM a",
+        "frame",
+    ),
+]
+
+
+@pytest.mark.parametrize("sql", ACCEPT)
+def test_accept(sql):
+    dialect.validate(sql)  # must not raise
+    dialect.validate(sql, strict=True) if "OVER (PARTITION" not in sql else None
+
+
+@pytest.mark.parametrize("sql", REJECT_ALWAYS)
+def test_reject_always(sql):
+    with pytest.raises(NotSupportedError):
+        dialect.validate(sql)
+
+
+@pytest.mark.parametrize("sql,label", REJECT_STRICT)
+def test_reject_strict_only(sql, label):
+    with pytest.raises(NotSupportedError):
+        dialect.validate(sql, strict=True)
+    # default (non-strict) mode ACCEPTS the Spark-native superset
+    dialect.validate(sql)
+
+
+def test_literals_do_not_false_trigger():
+    dialect.validate("SELECT 'WITH RECURSIVE inside a string' AS s")
+    dialect.validate("SELECT 'GROUPING SETS' AS s", strict=True)
+    dialect.validate("/* INSERT INTO comment */ SELECT 1")

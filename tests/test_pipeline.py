@@ -1,0 +1,118 @@
+"""Pipeline operator behavior tests (correctness vs oracle lives in the
+registry; these pin semantic properties the oracle can't express)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    from keenwa_spark.pipeline.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),       # same after normalization
+            (3, "  HELLO WORLD  "),   # same after normalization
+            (4, "different doc"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.n_copies for r in exact_dedup(df).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_minhash_lsh_catches_planted_near_dup(spark):
+    from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated content about query optimizers and shuffles here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id LONG, text STRING"
+    )
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_identical_docs_score_one(spark):
+    from keenwa_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id LONG, text STRING",
+    )
+    rows = ngram_jaccard_pairs(df, threshold=0.99).collect()
+    assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    from keenwa_spark.pipeline.dedup import simhash_fingerprints
+
+    base = " ".join(f"word{i}" for i in range(60))
+    near = base.replace("word59", "changed")
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id LONG, text STRING"
+    )
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(df).collect()}
+    ham_near = bin(fp[1] ^ fp[2]).count("1")
+    ham_far = bin(fp[1] ^ fp[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_self_similarity_excluded_and_ordered(views):
+    from keenwa_spark.pipeline.similarity import cosine_topk
+
+    emb = views.table("embeddings")
+    out = cosine_topk(emb, emb.filter("vec_id = 0"), k=5).collect()
+    assert len(out) == 5
+    assert all(r.neighbor_id != 0 for r in out)
+    sims = [r.cos_sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert [r.rnk for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_multimodal_decode_batch_schema(views):
+    from keenwa_spark.pipeline.multimodal import attach_binary_payload, decode_batch
+
+    docs = views.table("documents").limit(20)
+    out = decode_batch(attach_binary_payload(docs))
+    rows = out.collect()
+    assert out.columns == ["doc_id", "n_bytes", "width", "height", "format"]
+    assert all(r.n_bytes > 0 for r in rows)
+    assert all(r.format in ("fake-a", "fake-b") for r in rows)
+
+
+def test_multimodal_real_decode_stubbed(views):
+    from keenwa_spark.pipeline.multimodal import decode_real
+
+    with pytest.raises(NotImplementedError):
+        decode_real(views.table("documents"))
+
+
+def test_short_docs_produce_no_shingles(spark):
+    from keenwa_spark.pipeline.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, "one two three four")],
+        "doc_id LONG, text STRING",
+    )
+    sigs = minhash_signatures(df).collect()
+    assert {r.doc_id for r in sigs} == {3}  # only the >=3-word doc
+
+
+def test_registry_contract_complete(views):
+    """Every registry entry runs and matches its declared oracle key set
+    (the driver-contract invariant)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) >= 90
+    assert set(o) <= set(q)
+    # spot-run one query per module family
+    for name in ["get_scan", "expr_case", "win_rank", "subq_exists",
+                 "ev_funnel", "pl_dedup_exact", "bld_setops_semi"]:
+        assert q[name](views, __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR).count() >= 0

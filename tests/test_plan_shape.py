@@ -1,0 +1,101 @@
+"""Plan-shape golden tests — the Catalyst analog of the reference's
+golden physical-plan assertions (reference src/tests/mod.rs:25-33
+asserts e.g. HashJoin vs MergeSortJoin choice; here we assert the
+scale-critical choices: dimension joins broadcast, filters reach the
+parquet scan, projections prune columns, top-k fuses).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_dimension_join_broadcasts(views):
+    df = views.sql(
+        """
+        SELECT o.o_orderkey, c.c_name, n.n_name
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(views):
+    df = views.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity > 40 AND l_returnflag = 'R'"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:400]
+
+
+def test_projection_prunes_scan_schema(views):
+    df = views.sql("SELECT l_orderkey, l_quantity FROM lineitem")
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # pruned
+
+
+def test_topk_fuses_to_take_ordered(views):
+    df = views.sql(
+        "SELECT o_orderkey FROM orders ORDER BY o_totalprice DESC LIMIT 10"
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregate_is_partial_final(views):
+    df = views.sql(
+        "SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag"
+    )
+    plan = plan_of(df)
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_query(views):
+    df = views.sql(
+        "SELECT l_returnflag, sum(l_quantity) FROM lineitem "
+        "WHERE l_discount > 0.01 GROUP BY l_returnflag"
+    )
+    # AQE's pre-execution formatted plan hides codegen spans — run the
+    # query and inspect the executed plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages render as '*(n)' markers in executedPlan text
+    assert "*(1)" in executed, executed[:500]
+    assert "partial_sum" in executed  # map-side combine present
+
+
+def test_no_python_eval_in_pipeline_plans(views):
+    from keenwa_spark.pipeline.dedup import minhash_lsh_pairs, simhash_fingerprints
+    from keenwa_spark.pipeline.text import text_stats
+
+    for df in (
+        minhash_lsh_pairs(views.table("documents")),
+        simhash_fingerprints(views.table("documents")),
+        text_stats(views.table("documents")),
+    ):
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_lsh_join_is_on_bucket_key_not_cartesian(views):
+    from keenwa_spark.pipeline.similarity import lsh_bucket_topk
+
+    emb = views.table("embeddings")
+    df = lsh_bucket_topk(emb, emb.filter("vec_id < 5"), k=3)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
