@@ -113,6 +113,7 @@ def load_all() -> dict[str, QuerySpec]:
         expressions,
         pipeline,
         relational,
+        streaming_queries,
         subqueries,
         windows,
     )

@@ -549,6 +549,20 @@ sql_query(
     tags=("relational", "derived"),
 )
 
+sql_query(
+    "wildcard_qualified",
+    """
+    SELECT r.*, n.n_name
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    WHERE n.n_nationkey < 10
+    """,
+    doc="Wildcard expansion — bare and qualified `t.*` (reference "
+    "Expr::Wildcard expr.rs:154; scope-based expansion in "
+    "OperatorBuilder).",
+    tags=("relational", "wildcard"),
+)
+
 # ---------------------------------------------------------------------------
 # Flagship: multi-way star join → agg → sort → limit (SURVEY §7 Phase 0)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""Structured-Streaming queries in the driver contract.
+
+Each entry runs the streaming pipeline to completion with
+Trigger.AvailableNow (finite input -> finite result) and returns the
+drained memory-sink table; because event-time logic is deterministic,
+the result equals the batch twin and is fully DuckDB-oracle-checkable —
+a correctness statement most streaming code never gets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from keenwa_spark.queries import df_query
+
+
+def _stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream sources require a DIRECTORY; stage the single events
+    parquet into a per-sf temp dir via symlink (no data copy)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from keenwa_spark.streaming import read_event_stream
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"keenwa_events_stream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return read_event_stream(spark, stage)
+
+
+@df_query(
+    "st_window_counts",
+    oracle="""
+    SELECT
+      CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS STRING) AS win_start,
+      CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS STRING) AS win_end,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Streaming watermarked 1-day tumbling-window counts "
+    "(streaming/events.py windowed_type_counts), drained with "
+    "AvailableNow — result provably equals the batch aggregation "
+    "(oracle: plain GROUP BY date_trunc).",
+    tags=("streaming", "window"),
+)
+def st_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming import run_available_now, windowed_type_counts
+
+    out = run_available_now(
+        windowed_type_counts(_stream_source(spark, sf_dir), window="1 day")
+    )
+    return out.select(
+        F.col("win_start").cast("string").alias("win_start"),
+        F.col("win_end").cast("string").alias("win_end"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@df_query(
+    "st_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch(ts) - epoch(
+          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        ) > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessioned AS (
+      SELECT user_id, ts,
+        CAST(SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) AS BIGINT) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS STRING) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS STRING) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, session_seq
+    """,
+    doc="Streaming sessionization via native session_window (30-min gap, "
+    "streaming/events.py session_stats_stream) — boundaries provably "
+    "identical to the batch lag->cumsum sessionizer; session_end is "
+    "last-event + gap by session_window's definition, mirrored in the "
+    "oracle.",
+    tags=("streaming", "sessionize"),
+)
+def st_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming import run_available_now, session_stats_stream
+
+    out = run_available_now(
+        session_stats_stream(_stream_source(spark, sf_dir), gap="30 minutes")
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("string").alias("session_start"),
+        F.col("session_end").cast("string").alias("session_end"),
+        "n_events",
+    )

@@ -1,0 +1,74 @@
+"""Declarative readers. Every reader returns an un-materialized
+DataFrame so Catalyst retains predicate pushdown, column pruning, and
+partition pruning — the reader never does work the optimizer could
+skip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from keenwa_spark.errors import ArgumentError
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Parquet scan. ``columns`` prunes at the reader level (visible in
+    ReadSchema); ``merge_schema`` only when files genuinely disagree —
+    it costs a footer read per file at planning time."""
+    df = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV with an EXPLICIT schema by default. inferSchema is a full
+    extra pass over the data — at 100 TB that is a second job before
+    the first; callers must opt into it by passing schema=None."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: str | None = None, multiline: bool = False
+) -> DataFrame:
+    """JSON lines (or multiline documents). Same explicit-schema rule
+    as CSV: schema inference is a full pre-pass."""
+    reader = spark.read.option("multiLine", str(multiline).lower())
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def read_table_dir(
+    spark: SparkSession, sf_dir: str, table: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Convenience: one of the standard testdata tables."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.exists(path):
+        raise ArgumentError(f"no such table file: {path}")
+    return read_parquet(spark, path, columns)

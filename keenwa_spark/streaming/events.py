@@ -1,0 +1,127 @@
+"""Streaming event analytics: file-stream source, watermarked windows,
+session windows.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: events schema when ts is parquet TIMESTAMP(NANOS) (driver testdata):
+#: read as long under the session's nanosAsLong, converted below —
+#: same shim as the batch Catalog
+EVENTS_SCHEMA_NANOS = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+#: events schema for normal (micros/INT96) timestamp files, e.g. files
+#: this engine wrote itself
+EVENTS_SCHEMA_TS = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _ts_is_nanos(path: str) -> bool:
+    """Peek at one parquet footer to see whether ts needs the nanos
+    shim (file streams can't infer schema, so we must decide up front)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    candidates = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    for f in candidates:
+        schema = pq.ParquetFile(f).schema  # parquet schema, NOT arrow:
+        # Spark's INT96 timestamps also surface as arrow timestamp[ns],
+        # but only true TIMESTAMP(NANOS) annotation needs the long shim
+        for i in range(len(schema)):
+            col = schema.column(i)
+            if col.name == "ts":
+                return (
+                    col.physical_type == "INT64"
+                    and "nanos" in str(col.logical_type).lower()
+                )
+    return False
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Unbounded file-stream over the events layout: every new parquet
+    file under ``path`` becomes a micro-batch. Schema is declared (file
+    streams cannot infer); TIMESTAMP(NANOS) files (the driver testdata)
+    get the nanos->micros shim, normal timestamp files pass through."""
+    if _ts_is_nanos(path):
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .parquet(path)
+            .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        )
+    return spark.readStream.schema(EVENTS_SCHEMA_TS).parquet(path)
+
+
+def windowed_type_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-window, per-type event counts + value sums. The watermark
+    bounds aggregation state: windows older than (max event time -
+    watermark) finalize and are evicted — the knob that keeps state
+    finite on an unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_stats_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — the native
+    stateful twin of the batch lag->flag->cumsum chain in
+    queries/events.py (identical session boundaries for a 30-minute
+    gap). State is per (user, open session) and evicted past the
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink and
+    return the finite result — the bridge that makes streaming results
+    assertable against their batch twins in tests."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
