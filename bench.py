@@ -25,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "flagship_top_customers",
     "agg_group_having",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q18_large_volume_customer",
     "cte_reuse",
     "win_topn_per_group",
     "ev_sessionize",

@@ -108,6 +108,7 @@ def df_query(
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (idempotent) and return the registry."""
     from keenwa_spark.queries import (  # noqa: F401
+        analytics,
         builder_queries,
         events,
         expressions,

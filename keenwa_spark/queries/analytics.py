@@ -1,0 +1,114 @@
+"""Classic analytical query shapes (TPC-H Q3/Q5/Q10 style) over the
+testdata star schema.
+
+These are the bench workhorses: multi-way joins with selective filters,
+grouped aggregation over the fact table, top-k output. Plan audit
+targets: every dimension join broadcasts, filters reach the scans,
+exactly one shuffle (the aggregate) touches lineitem-scale data.
+"""
+
+from __future__ import annotations
+
+from keenwa_spark.queries import sql_query
+
+sql_query(
+    "q3_shipping_priority",
+    """
+    SELECT
+      l.l_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue,
+      CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): selective dim filter -> "
+    "two joins -> fact agg -> top-k. customer/orders broadcast against "
+    "lineitem; one shuffle for the group-by.",
+    tags=("analytics", "tpch"),
+)
+
+sql_query(
+    "q5_local_supplier_volume",
+    """
+    SELECT
+      n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): 6-table star join with "
+    "a compound join condition (supplier in customer's nation), region "
+    "filter pruning the dimension chain.",
+    tags=("analytics", "tpch"),
+)
+
+sql_query(
+    "q10_returned_items",
+    """
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue,
+      c.c_acctbal,
+      n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned items): high-cardinality group-by "
+    "(per customer) over a filtered fact join — the agg shuffle "
+    "dominates; dims broadcast.",
+    tags=("analytics", "tpch"),
+)
+
+sql_query(
+    "q18_large_volume_customer",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): IN over a grouped "
+    "HAVING subquery on the fact table -> semi join -> re-aggregate. "
+    "Two fact-table shuffles by necessity (subquery agg + outer agg).",
+    tags=("analytics", "tpch"),
+)
