@@ -117,6 +117,47 @@ class Catalog:
         tdef = self.tables.get(name)
         return tdef.row_count if tdef else None
 
+    def persist_and_analyze(
+        self, name: str, columns: list[str] | None = None
+    ) -> None:
+        """Promote a temp-view table to a managed table and run ANALYZE
+        (optionally with column-level stats) so Catalyst's CBO has the
+        same information keenwa's SimpleCatalogStatisticsBuilder gets
+        from TableStatistics (reference src/statistics/simple.rs:28-120,
+        src/catalog/mod.rs:95-115) — plus histograms/NDVs the reference
+        never models. Temp views cannot be ANALYZEd; this is the
+        explicit opt-in for CBO join reordering on hot tables."""
+        if name not in self.tables:
+            raise ArgumentError(f"table does not exist: {name}")
+        managed = f"{name}_stats"
+        self.spark.sql(f"DROP TABLE IF EXISTS {managed}")
+        # an in-memory catalog drop leaves the warehouse dir behind;
+        # clear it or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        warehouse = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        leftover = os.path.join(warehouse, managed)
+        if os.path.exists(leftover):
+            import shutil
+
+            shutil.rmtree(leftover)
+        self.spark.table(name).write.mode("overwrite").saveAsTable(managed)
+        self.spark.sql(f"ANALYZE TABLE {managed} COMPUTE STATISTICS")
+        if columns:
+            cols = ", ".join(columns)
+            self.spark.sql(
+                f"ANALYZE TABLE {managed} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+
+    def table_stats(self, name: str) -> dict:
+        """Catalyst's view of a managed table's statistics (DESCRIBE
+        EXTENDED Statistics line parsed)."""
+        rows = self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        for r in rows:
+            if r.col_name == "Statistics":
+                return {"statistics": r.data_type}
+        return {}
+
     def is_broadcastable(self, name: str, threshold_bytes: int = 64 << 20) -> bool:
         """Small enough to broadcast-join (keenwa lacks broadcast; this is
         the scale-aware upgrade its cost model would want)."""

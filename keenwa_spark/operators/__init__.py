@@ -1,0 +1,12 @@
+"""Physical-strategy helpers beyond what Catalyst picks automatically.
+
+Catalyst + AQE cover join selection, skew-join splitting, and partition
+coalescing; these helpers exist for the cases where a pipeline author
+knows something the optimizer can't see (extreme key skew beyond AQE
+thresholds, incremental state joins).
+"""
+
+from keenwa_spark.operators.skew import salted_join
+from keenwa_spark.operators.incremental import incremental_exact_dedup, incremental_minhash_dedup
+
+__all__ = ["incremental_exact_dedup", "incremental_minhash_dedup", "salted_join"]

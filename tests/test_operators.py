@@ -1,0 +1,119 @@
+"""Skew salting, incremental dedup, function registry, CBO stats."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_salted_join_matches_plain_join(views):
+    from keenwa_spark.operators import salted_join
+
+    big = views.table("orders")
+    small = views.table("customer").select("c_custkey", "c_name").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = big.join(small, "o_custkey").count()
+    salted = salted_join(big, small, on="o_custkey", salts=8)
+    assert salted.count() == plain
+    # salt scatters a hot key across partitions: distinct salts > 1
+    # for the most frequent custkey
+    assert "__salt" not in salted.columns
+
+
+def test_salted_join_validates_salts(views):
+    from keenwa_spark.operators import salted_join
+
+    with pytest.raises(ValueError):
+        salted_join(views.table("orders"), views.table("customer"), on="x", salts=1)
+
+
+def test_incremental_exact_dedup(spark):
+    from keenwa_spark.operators import incremental_exact_dedup
+    from keenwa_spark.pipeline.dedup import exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "known document one"), (2, "known document two")],
+        "doc_id LONG, text STRING",
+    )
+    state = exact_dedup(corpus).select("content_hash")
+    batch = spark.createDataFrame(
+        [
+            (10, "KNOWN   document one"),   # dup of 1 after normalization
+            (11, "a brand new document"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fresh = incremental_exact_dedup(batch, state)
+    assert [r.doc_id for r in fresh.collect()] == [11]
+
+
+def test_incremental_minhash_dedup(spark):
+    from keenwa_spark.operators import incremental_minhash_dedup
+    from keenwa_spark.pipeline.dedup import minhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame([(1, base)], "doc_id LONG, text STRING")
+    state = minhash_signatures(corpus)
+    batch = spark.createDataFrame(
+        [
+            (10, base.replace("today", "tomorrow")),  # near-dup of corpus
+            (11, "completely unrelated content about query optimizers and shuffles"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fresh = incremental_minhash_dedup(batch, state)
+    assert [r.doc_id for r in fresh.collect()] == [11]
+
+
+def test_function_registry_inventory_complete():
+    from keenwa_spark.functions import (
+        AGGREGATE_FUNCTIONS,
+        SCALAR_FUNCTIONS,
+        WINDOW_FUNCTIONS,
+    )
+
+    # the complete reference inventories (SURVEY §2c)
+    assert set(AGGREGATE_FUNCTIONS) == {"avg", "count", "max", "min", "sum"}
+    assert set(WINDOW_FUNCTIONS) == {"row_number", "rank", "first_value", "last_value"}
+    assert set(SCALAR_FUNCTIONS) == {
+        "bit_length", "character_length", "concat", "lower",
+        "position", "to_hex", "replace", "upper",
+    }
+
+
+def test_function_templates_execute(views):
+    from keenwa_spark.functions import spark_expr_for
+
+    exprs = [
+        spark_expr_for("lower", "c_name"),
+        spark_expr_for("position", "'#'", "c_name"),
+        spark_expr_for("to_hex", "c_custkey"),
+        spark_expr_for("replace", "c_name", "'Customer'", "'C'"),
+        spark_expr_for("concat", "c_name", "'!'"),
+    ]
+    row = views.table("customer").selectExpr(*exprs).limit(1).collect()[0]
+    assert len(row) == 5
+    with pytest.raises(KeyError):
+        spark_expr_for("no_such_fn", "x")
+
+
+def test_udf_registration(spark):
+    from keenwa_spark.functions import register_udf
+
+    register_udf(spark, "kw_shout", lambda s: s.upper() + "!", "string")
+    assert spark.sql("SELECT kw_shout('hi') AS s").collect()[0].s == "HI!"
+
+
+def test_persist_and_analyze_feeds_cbo(spark):
+    # writes to the session's default warehouse dir (spark-warehouse/,
+    # gitignored) — warehouse.dir is a static conf, unchangeable here
+    from keenwa_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    import os
+
+    cat.register_dir(os.environ.get("SF_DIR", "/root/testdata/sf0.001"))
+    cat.persist_and_analyze("nation", columns=["n_nationkey", "n_regionkey"])
+    stats = cat.table_stats("nation_stats")
+    assert "bytes" in stats.get("statistics", "")
+    assert "rows" in stats.get("statistics", "")
