@@ -380,6 +380,33 @@ sql_query(
 # ---------------------------------------------------------------------------
 
 sql_query(
+    "expr_time_shim",
+    """
+    SELECT
+      event_id,
+      CAST(hour(ts) * 3600 + minute(ts) * 60 + second(ts) AS INT)
+        AS secs_since_midnight,
+      CAST(hour(ts) AS INT) AS hr
+    FROM events
+    WHERE event_id < 500
+    """,
+    oracle="""
+    SELECT
+      event_id,
+      CAST(hour(ts) * 3600 + minute(ts) * 60 + FLOOR(second(ts)) AS INT)
+        AS secs_since_midnight,
+      CAST(hour(ts) AS INT) AS hr
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="The TIME-type shim (SURVEY §7 risk 4; reference DataType::Time "
+    "datatypes.rs:22 has no Spark equivalent): time-of-day as "
+    "seconds-since-midnight INT — ordering/arithmetic/grouping all "
+    "behave. DuckDB second() returns fractional seconds -> FLOOR.",
+    tags=("expr", "types", "time"),
+)
+
+sql_query(
     "expr_typed_null",
     """
     SELECT
