@@ -59,6 +59,11 @@ class Catalog:
     def register_parquet(self, name: str, path: str) -> TableDef:
         if not os.path.exists(path):
             raise ArgumentError(f"no parquet file at {path}")
+        # Defensive: the driver may hand us a session built WITHOUT
+        # session.py's configs. nanosAsLong is runtime-settable and
+        # required to read TIMESTAMP(NANOS) parquet (events table) —
+        # without it, registering the testdata dir throws.
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         if os.path.isdir(path):
             # Spark-standard directory layout: sum the part files
             dataset = pq.ParquetDataset(path)
