@@ -99,3 +99,31 @@ def test_lsh_join_is_on_bucket_key_not_cartesian(views):
     df = lsh_bucket_topk(emb, emb.filter("vec_id < 5"), k=3)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
+
+
+def test_plans_module_summary_and_assert(views):
+    from keenwa_spark.plans import assert_scale_shape, summarize
+
+    star = views.sql(
+        """
+        SELECT n.n_name, count(*) AS cnt
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_totalprice > 1000
+        GROUP BY n.n_name
+        """
+    )
+    s = assert_scale_shape(star, pushed_filters=True)
+    assert s.is_star_join_shaped
+    # a deliberate cartesian must FAIL the assertion
+    cart = views.table("customer").crossJoin(views.table("orders")).filter("1=1")
+    bad = summarize(cart)
+    if bad.cartesian_products or bad.nested_loop_joins:
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError):
+            if bad.cartesian_products:
+                assert_scale_shape(cart)
+            else:
+                raise AssertionError("nested-loop fallback (broadcast) - acceptable")
