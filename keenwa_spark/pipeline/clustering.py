@@ -1,0 +1,125 @@
+"""Near-duplicate clustering: candidate pairs -> dedup groups.
+
+The missing last step of every dedup pipeline: LSH/Jaccard emit PAIRS,
+but retention decisions need GROUPS ("keep one doc per connected
+component"). Connected components via iterative min-label propagation —
+each round every node adopts the smallest label among itself and its
+neighbors; rounds double the propagation radius, so convergence takes
+O(log(diameter)) rounds (near-dup components are tiny — 2-3 rounds).
+
+Scale design: each round is two shuffles (join on node, min-aggregate
+on node) over the EDGE list, which for dedup is far smaller than the
+corpus. The driver-side loop only checks a convergence count — no data
+ever collects. This is the standard large-graph CC pattern (GraphX /
+GraphFrames use the same alternating join-aggregate rounds).
+
+Determinism: labels are min(doc_id), so results are unique regardless
+of execution order — exactly oracle-checkable (DuckDB recursive CTE
+computes the same min-reachable-id closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Components of the undirected graph given by (id_a, id_b) pairs.
+
+    Returns (doc_id, component) where component = min doc_id reachable.
+    Only nodes appearing in pairs are returned (singletons are their own
+    component by definition — callers union them in if needed).
+
+    Each round does (a) a one-hop min-label adoption and (b) a pointer
+    jump l(v) := l(l(v)) — the shortcutting step that makes convergence
+    O(log diameter) instead of O(diameter) (a bare one-hop propagation
+    needs 30 rounds for a 31-node chain; hop+jump needs ~6).
+    Raises RuntimeError if not converged within ``max_rounds`` — never
+    silently returns partially-merged components.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        # cut lineage: labels derive from edges, and the in-loop
+        # edges⋈labels join otherwise shares attribute ids with its own
+        # ancestor (Catalyst AttributeMap 'key not found' in Union
+        # constraint rewriting)
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # (a) one hop: adopt min(own, neighbors') label. Join+least, not
+        # a self-union — unioning a frame with its own derivation trips
+        # Catalyst's Union constraint rewriting (AttributeMap key-not-
+        # found) on some lineages.
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("nnode"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        hopped = (
+            labels.join(nbr_min, labels.node == nbr_min.nnode, "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        )
+        # (b) pointer jump: follow the label's own label (labels only
+        # ever decrease, so the jump is monotone-safe)
+        jumped = (
+            hopped.alias("a")
+            .join(
+                hopped.select(
+                    F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                ),
+                F.col("a.label") == F.col("jnode"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(F.col("a.label"), F.coalesce("jlabel", "a.label")).alias("label"),
+            )
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        # checkpoint the frontier: lineage otherwise grows per round
+        labels = jumped.localCheckpoint(eager=True)
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(graph diameter too large — raise max_rounds)"
+    )
+
+
+def dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full dedup decision table: every doc with its component id and
+    a keep flag (representative = min doc_id of the component;
+    singletons keep themselves)."""
+    comp = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("keep", (F.col(id_col) == F.col("component")))
+    )

@@ -150,6 +150,77 @@ def label_centroids(
     )
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k with a VECTORIZED pandas_udf backend: one numpy
+    matmul per Arrow batch against the (small, broadcast-as-closure)
+    query matrix, instead of per-row SQL folds.
+
+    When to prefer over ``cosine_topk``: wide embeddings x many queries —
+    numpy's BLAS matmul amortizes where per-row expression folds don't.
+    Tradeoff: scores use BLAS accumulation order, so they match the
+    exact SQL fold only to ~1e-12 (fine for ranking; not for bit-exact
+    oracles — which is why the oracle-checked entry uses the SQL fold).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = StructType(
+        [
+            StructField("neighbor_id", LongType()),
+            StructField("query_ids", ArrayType(LongType())),
+            StructField("sims", ArrayType(DoubleType())),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T  # (batch, n_queries)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].astype("int64"),
+                    "query_ids": [q_ids.tolist()] * len(pdf),
+                    "sims": [row.tolist() for row in sims],
+                }
+            )
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(score, out_schema)
+        .select(
+            "neighbor_id",
+            F.explode(F.arrays_zip("query_ids", "sims")).alias("z"),
+        )
+        .select(
+            F.col("z.query_ids").alias("query_id"),
+            "neighbor_id",
+            F.col("z.sims").alias("cos_sim"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
 def near_dup_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.98,

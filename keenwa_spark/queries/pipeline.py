@@ -103,7 +103,9 @@ def pl_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(spark.table("documents"))
 
 
-def _duck_lsh_pairs_sql() -> str:
+def _duck_lsh_pair_ctes() -> str:
+    """The CTE chain ending in ``lsh_pairs`` (reused by the pair query
+    and the clustering oracle)."""
     rows_per_band = len(MINHASH_AB) // 4
     band_selects = []
     for b in range(4):
@@ -113,8 +115,7 @@ def _duck_lsh_pairs_sql() -> str:
             f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sig"
         )
     bands_union = "\n      UNION ALL\n      ".join(band_selects)
-    return f"""
-    WITH {_duck_docs_cte()},
+    return f"""{_duck_docs_cte()},
     {_duck_minhash_sig()},
     buckets AS (
       {bands_union}
@@ -122,10 +123,18 @@ def _duck_lsh_pairs_sql() -> str:
     sized AS (
       SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bucket_n FROM buckets
     ),
-    ok_buckets AS (SELECT * FROM sized WHERE bucket_n <= 1000)
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM ok_buckets a JOIN ok_buckets b
-      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ok_buckets AS (SELECT * FROM sized WHERE bucket_n <= 1000),
+    lsh_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ok_buckets a JOIN ok_buckets b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )"""
+
+
+def _duck_lsh_pairs_sql() -> str:
+    return f"""
+    WITH {_duck_lsh_pair_ctes()}
+    SELECT id_a, id_b FROM lsh_pairs
     """
 
 
@@ -143,6 +152,42 @@ def pl_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(spark.table("documents"))
+
+
+@df_query(
+    "pl_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_duck_lsh_pair_ctes()},
+    cc_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION SELECT id_b, id_a FROM lsh_pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM cc_edges
+      UNION
+      SELECT e.src, r.lab FROM cc_edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    doc="Near-dup CLUSTERING: LSH pairs -> connected components (iterative "
+    "min-label propagation, O(log diameter) join+agg rounds — the "
+    "GraphX-style large-graph CC pattern) -> per-doc keep/drop decision "
+    "(representative = min id). Oracle computes the same closure with a "
+    "DuckDB recursive CTE (pipeline/clustering.py). Note: WITH RECURSIVE "
+    "lives in the ORACLE only — the engine's own dialect rejects it, "
+    "matching the reference (sql/mod.rs:210).",
+    tags=("pipeline", "dedup", "clustering"),
+)
+def pl_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.clustering import dedup_groups
+    from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = spark.table("documents")
+    return dedup_groups(docs, minhash_lsh_pairs(docs))
 
 
 # ---------------------------------------------------------------------------

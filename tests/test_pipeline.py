@@ -116,3 +116,31 @@ def test_registry_contract_complete(views):
     for name in ["get_scan", "expr_case", "win_rank", "subq_exists",
                  "ev_funnel", "pl_dedup_exact", "bld_setops_semi"]:
         assert q[name](views, __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR).count() >= 0
+
+
+def test_vectorized_cosine_matches_exact_ranking(views):
+    """The numpy-matmul backend must produce the same top-k RANKING as
+    the exact SQL-fold version (scores agree to ~1e-12, ranks exactly)."""
+    from keenwa_spark.pipeline.similarity import cosine_topk, cosine_topk_vectorized
+
+    emb = views.table("embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = {(r.query_id, r.rnk): r.neighbor_id for r in cosine_topk(emb, queries, k=5).collect()}
+    vect = {(r.query_id, r.rnk): r.neighbor_id for r in cosine_topk_vectorized(emb, queries, k=5).collect()}
+    assert exact == vect
+
+
+def test_dedup_clusters_consistency(views):
+    """Every LSH pair must land in the same component; representatives
+    are component minima."""
+    from keenwa_spark.pipeline.clustering import dedup_groups
+    from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = views.table("documents")
+    pairs = minhash_lsh_pairs(docs)
+    groups = dedup_groups(docs, pairs)
+    comp = {r.doc_id: r.component for r in groups.collect()}
+    for p in pairs.collect():
+        assert comp[p.id_a] == comp[p.id_b]
+    keeps = {r.doc_id for r in groups.filter("keep").collect()}
+    assert keeps == {c for c in comp.values()}
