@@ -90,6 +90,53 @@ sql_query(
 )
 
 sql_query(
+    "ev_value_percentiles",
+    """
+    SELECT event_type,
+           percentile(value, 0.5) AS p50,
+           percentile(value, 0.9) AS p90,
+           percentile(value, 0.99) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="EXACT linear-interpolated percentiles per group (Spark "
+    "percentile == DuckDB quantile_cont, verified bit-equal). Beyond "
+    "the reference's 5-aggregate surface; at 100 TB the approximate "
+    "twin (approx_percentile, t-digest) replaces this with bounded "
+    "memory — exact percentile requires a per-group sort.",
+    tags=("analytics", "percentile"),
+)
+
+sql_query(
+    "agg_grouping_sets",
+    """
+    SELECT
+      COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    """,
+    doc="GROUPING SETS — deliberately BEYOND the reference (its frontend "
+    "rejects all GROUP BY modifiers, reference sql/mod.rs:341-343, and "
+    "our strict dialect mode mirrors that rejection — "
+    "tests/test_dialect.py); the default mode exposes Spark's native "
+    "superset, oracle-checked. Spark expands to a single multi-way "
+    "aggregate, not N scans.",
+    tags=("analytics", "groupingsets", "superset"),
+)
+
+sql_query(
     "q18_large_volume_customer",
     """
     SELECT c.c_name, c.c_custkey, o.o_orderkey,

@@ -362,6 +362,88 @@ def pl_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, emb.filter("vec_id < 10"), k=5)
 
 
+def _duck_ivf_sql(k_cells: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5) -> str:
+    """Replay IVF training + search: one (assign, means, centroids) CTE
+    triple per Lloyd iteration."""
+    sqdist = "list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)])"
+    cos = (
+        "list_sum([v[i] * qv[i] for i in range(1, len(v) + 1)])"
+        " / sqrt(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]))"
+        " / sqrt(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)]))"
+    )
+    parts = [
+        f"""vecs AS (SELECT vec_id AS vid, {_D_VEC_D} AS v FROM embeddings),
+    c0 AS (
+      SELECT CAST(vid AS INT) AS cid, v AS cv FROM vecs WHERE vid < {k_cells}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f"""a{it} AS (
+      SELECT vid, cid FROM (
+        SELECT vecs.vid, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vid ORDER BY {sqdist}, cid) AS rn
+        FROM vecs, {prev}
+      ) WHERE rn = 1
+    ),
+    m{it} AS (
+      SELECT cid, dim, list_sum(list_sort(list(val))) / COUNT(val) AS mval
+      FROM (
+        SELECT a{it}.cid, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+        FROM a{it} JOIN vecs USING (vid)
+      ) GROUP BY cid, dim
+    ),
+    c{it} AS (SELECT cid, list(mval ORDER BY dim) AS cv FROM m{it} GROUP BY cid)""")
+        prev = f"c{it}"
+    parts.append(f"""inverted AS (
+      SELECT vid, cid FROM (
+        SELECT vecs.vid, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vid ORDER BY {sqdist}, cid) AS rn
+        FROM vecs, {prev}
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT vid AS query_id, v AS qv, cid FROM (
+        SELECT vecs.vid, vecs.v, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vid ORDER BY {sqdist}, cid) AS rn
+        FROM vecs, {prev} WHERE vecs.vid < 10
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, i.vid AS neighbor_id, {cos} AS cos_sim
+      FROM inverted i JOIN vecs ON vecs.vid = i.vid JOIN probed p ON p.cid = i.cid
+      WHERE i.vid <> p.query_id
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rnk FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+@df_query(
+    "pl_ann_ivf_topk",
+    oracle=_duck_ivf_sql(),
+    doc="IVF approximate top-5 (pipeline/ivf.py): deterministic coarse "
+    "k-means (fixed init, sorted-fold means, 2 Lloyd iterations) -> "
+    "inverted cell lists -> nprobe=2 probed search. The ENTIRE pipeline "
+    "incl. training is oracle-replayed in DuckDB (chained CTEs per "
+    "iteration) — bit-exact centroids, assignments, and scores.",
+    tags=("pipeline", "similarity", "ann", "ivf"),
+)
+def pl_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.ivf import ivf_search
+
+    emb = spark.table("embeddings")
+    return ivf_search(emb, emb.filter("vec_id < 10"), k=5)
+
+
 @df_query(
     "pl_embedding_centroids",
     oracle="""
@@ -541,6 +623,61 @@ def pl_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.text import text_fingerprint
 
     return text_fingerprint(spark.table("documents"))
+
+
+@df_query(
+    "pl_corpus_curation",
+    oracle=f"""
+    WITH RECURSIVE {_duck_lsh_pair_ctes()},
+    cc_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION SELECT id_b, id_a FROM lsh_pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM cc_edges
+      UNION
+      SELECT e.src, r.lab FROM cc_edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    stats AS (
+      SELECT doc_id,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_words
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(s.n_words AS BIGINT) AS n_words,
+           COALESCE(c.component, d.doc_id) AS component
+    FROM documents d
+    JOIN stats s ON s.doc_id = d.doc_id
+    LEFT JOIN comp c ON c.node = d.doc_id
+    WHERE s.n_words >= 30
+      AND d.doc_id = COALESCE(c.component, d.doc_id)
+    """,
+    doc="END-TO-END training-data curation: quality gate (word-count "
+    "threshold from text_stats) AND near-dup representative selection "
+    "(LSH -> connected components -> keep component minimum) in one "
+    "declarative plan — the actual composition a 100 TB corpus build "
+    "runs. Oracle replays the full chain incl. the recursive closure.",
+    tags=("pipeline", "curation", "composition"),
+)
+def pl_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.pipeline.clustering import dedup_groups
+    from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+    from keenwa_spark.pipeline.text import text_stats
+
+    docs = spark.table("documents")
+    stats = text_stats(docs).select("doc_id", "n_words")
+    groups = dedup_groups(docs, minhash_lsh_pairs(docs))
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id")
+        .join(groups.select("doc_id", "component", "keep"), "doc_id")
+        .filter((F.col("n_words") >= 30) & F.col("keep"))
+        .select("doc_id", "n_words", "component")
+    )
 
 
 # ---------------------------------------------------------------------------

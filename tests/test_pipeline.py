@@ -144,3 +144,22 @@ def test_dedup_clusters_consistency(views):
         assert comp[p.id_a] == comp[p.id_b]
     keeps = {r.doc_id for r in groups.filter("keep").collect()}
     assert keeps == {c for c in comp.values()}
+
+
+def test_ivf_recall_vs_brute_force(views):
+    """IVF with nprobe=2 of 8 cells should recover a meaningful share of
+    the true top-5 (random data: cells are weak, but the pipeline must
+    return k results per query with valid cell-local candidates)."""
+    from keenwa_spark.pipeline.ivf import ivf_search
+    from keenwa_spark.pipeline.similarity import cosine_topk
+
+    emb = views.table("embeddings")
+    queries = emb.filter("vec_id < 10")
+    truth = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = list(ivf_search(emb, queries, k=5).collect())
+    assert len(approx) == 50  # 10 queries x 5 results
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(got & truth) / len(truth)
+    assert recall > 0.1, recall  # random 64-dim data; cells are coarse
