@@ -35,6 +35,8 @@ HEADLINE = [
     "subq_scalar_correlated",
     "pl_minhash_lsh_pairs",
     "pl_ann_cosine_topk",
+    "pl_ann_ivf_topk",
+    "pl_corpus_curation",
 ]
 
 

@@ -1,0 +1,46 @@
+"""Bucketed tables: co-located joins without a shuffle.
+
+The at-scale recipe for repeated joins on the same key (fact-to-fact,
+incremental merge): write both sides bucketed (+ sorted) by the join
+key; Spark then plans a SortMergeJoin with NO Exchange on either side
+— the shuffle happened once at write time and is amortized over every
+subsequent join.
+
+When to use: keys joined repeatedly (entity ids), both sides too big
+to broadcast. When not to: one-off joins (the bucketed write IS a
+shuffle), or keys with extreme skew (buckets inherit it — salt first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed table."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
+def is_shuffle_free_join(spark: SparkSession, left: str, right: str, on: str) -> bool:
+    """True when joining two bucketed tables on their bucket key plans
+    without any Exchange — the bucketing payoff, checkable in tests and
+    before committing to a bucketed layout.
+
+    Uses a MERGE hint: bucketing pays off in the both-sides-too-big-to-
+    broadcast regime, which is what the hint simulates on small test
+    data (otherwise Catalyst broadcasts and the check is vacuous)."""
+    df = spark.table(left).hint("merge").join(spark.table(right), on)
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)  # type: ignore[attr-defined]
+    return "Exchange" not in plan

@@ -59,3 +59,60 @@ def test_write_sizing_produces_multiple_files(spark, tmp_path):
     write_parquet(src, out, est_bytes=4 * (256 << 20), mode="overwrite")
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) == 4
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """The bucketing payoff: same-bucketed tables join with ZERO
+    shuffles (the Exchange happened once, at write time)."""
+    from keenwa_spark.sources.bucketing import is_shuffle_free_join, write_bucketed
+    from keenwa_spark.sources.readers import read_table_dir
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    orders = read_table_dir(spark, SF_DIR, "orders")
+    lineitem = read_table_dir(
+        spark, SF_DIR, "lineitem"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    import shutil as _sh, os as _os
+    for t in ("b_orders", "b_lineitem"):
+        p = _os.path.join("spark-warehouse", t)
+        if _os.path.exists(p):
+            _sh.rmtree(p)
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(lineitem, "b_lineitem", "o_orderkey", n_buckets=8)
+    assert is_shuffle_free_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+    # and the unbucketed twin DOES shuffle (sanity of the assertion)
+    plain = orders.join(lineitem, "o_orderkey")
+    plan = plain._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" in plan
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """A 95%-hot-key join must trigger AQE's skew-join splitting."""
+    import pyspark.sql.functions as F
+
+    big = spark.range(0, 300_000).withColumn(
+        "key", F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id"))
+    ).withColumn("payload", F.sha2(F.col("id").cast("string"), 256))
+    small = spark.range(0, 50_000).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("val")
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = big.join(small, "key")
+        # collect() executes joined's OWN queryExecution (count() builds
+        # a separate aggregate QE and the join plan would stay unrun)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew" in plan.lower(), plan[:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
