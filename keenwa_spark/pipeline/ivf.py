@@ -116,7 +116,9 @@ def ivf_search(
         .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cid")
     )
     scored = (
-        inverted.join(probed, "cid")
+        # probe side = queries x nprobe rows — tiny by construction;
+        # broadcast so the corpus-side inverted list never shuffles on cid
+        inverted.join(F.broadcast(probed), "cid")
         .filter(F.col("vid") != F.col("query_id"))
         .withColumn("cos_sim", F.expr(_COS))
     )

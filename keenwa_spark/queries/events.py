@@ -177,6 +177,51 @@ sql_query(
 )
 
 sql_query(
+    "ev_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS act_day
+      FROM events
+    )
+    SELECT
+      CAST(f.cohort_day AS STRING) AS cohort,
+      CAST(datediff(a.act_day, f.cohort_day) AS BIGINT) AS day_offset,
+      COUNT(DISTINCT a.user_id) AS active_users
+    FROM firsts f
+    JOIN activity a ON a.user_id = f.user_id
+    WHERE datediff(a.act_day, f.cohort_day) IN (0, 1, 7, 14)
+    GROUP BY f.cohort_day, datediff(a.act_day, f.cohort_day)
+    """,
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS act_day
+      FROM events
+    )
+    SELECT
+      CAST(f.cohort_day AS STRING) AS cohort,
+      CAST(date_diff('day', f.cohort_day, a.act_day) AS BIGINT) AS day_offset,
+      COUNT(DISTINCT a.user_id) AS active_users
+    FROM firsts f
+    JOIN activity a ON a.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, a.act_day) IN (0, 1, 7, 14)
+    GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.act_day)
+    """,
+    doc="Cohort retention matrix (day-0 cohort = first-seen day; "
+    "retention at offsets 0/1/7/14): two aggregations over one "
+    "user_id-partitioned scan — the standard growth-analytics shape. "
+    "Spark datediff(end, start) vs DuckDB date_diff('day', start, end).",
+    tags=("events", "retention"),
+)
+
+sql_query(
     "ev_props_json",
     """
     SELECT

