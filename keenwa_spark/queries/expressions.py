@@ -380,6 +380,26 @@ sql_query(
 # ---------------------------------------------------------------------------
 
 sql_query(
+    "expr_array_explode",
+    """
+    SELECT n_nationkey, elem
+    FROM nation
+    LATERAL VIEW explode(array(n_nationkey, n_regionkey, n_nationkey * 10)) t AS elem
+    WHERE n_nationkey < 5
+    """,
+    oracle="""
+    SELECT n_nationkey, unnest([n_nationkey, n_regionkey, n_nationkey * 10]) AS elem
+    FROM nation
+    WHERE n_nationkey < 5
+    """,
+    doc="Table-generating array expansion — Spark LATERAL VIEW explode vs "
+    "DuckDB unnest. Deliberately BEYOND the reference (its frontend "
+    "rejects UNNEST, sql/mod.rs:561; strict dialect mode mirrors the "
+    "rejection) — the Spark-native superset, oracle-checked.",
+    tags=("expr", "explode", "superset"),
+)
+
+sql_query(
     "expr_time_shim",
     """
     SELECT
