@@ -18,6 +18,7 @@ Cascades search (reference src/optimizer.rs); this package provides:
                      (dedup, similarity search, text analysis, multimodal)
 """
 
+from keenwa_spark.builder import PlanBuilder
 from keenwa_spark.catalog import Catalog, TableDef
 from keenwa_spark.engine import Engine
 from keenwa_spark.errors import (
@@ -26,6 +27,7 @@ from keenwa_spark.errors import (
     NotSupportedError,
     TypeCheckError,
 )
+from keenwa_spark.plans import assert_scale_shape, explain_text, summarize
 from keenwa_spark.session import get_spark
 
 __all__ = [
@@ -34,9 +36,13 @@ __all__ = [
     "Engine",
     "KeenwaSparkError",
     "NotSupportedError",
+    "PlanBuilder",
     "TableDef",
     "TypeCheckError",
+    "assert_scale_shape",
+    "explain_text",
     "get_spark",
+    "summarize",
 ]
 
 __version__ = "0.1.0"

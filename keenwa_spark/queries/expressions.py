@@ -427,6 +427,53 @@ sql_query(
 )
 
 sql_query(
+    "expr_interval_ops",
+    """
+    SELECT
+      o_orderkey,
+      CAST(o_orderdate + (INTERVAL 1 MONTH + INTERVAL 2 MONTH) AS STRING)
+        AS plus_3mo,
+      CAST(o_orderdate - (INTERVAL 10 DAY + INTERVAL 5 DAY) AS STRING)
+        AS minus_15d,
+      INTERVAL 2 MONTH > INTERVAL 1 MONTH AS ym_cmp,
+      CAST(o_orderdate + 3 * INTERVAL 10 DAY AS STRING) AS plus_30d
+    FROM orders
+    WHERE o_orderkey < 300
+    """,
+    doc="Interval-on-interval arithmetic and comparison (reference "
+    "expr_interval_tests.yaml, 293 LoC of cases; Interval value model "
+    "value.rs:45-51): interval addition, scalar multiplication, "
+    "year-month comparison — applied to timestamps, emitted as strings.",
+    tags=("expr", "interval"),
+)
+
+sql_query(
+    "fn_math_datetime",
+    """
+    SELECT
+      o_orderkey,
+      abs(-o_totalprice)                    AS abs_v,
+      round(o_totalprice, 1)                AS round_v,
+      CAST(floor(o_totalprice) AS BIGINT)   AS floor_v,
+      CAST(ceil(o_totalprice) AS BIGINT)    AS ceil_v,
+      sqrt(o_totalprice)                    AS sqrt_v,
+      CAST(year(o_orderdate) AS BIGINT)     AS yr,
+      CAST(month(o_orderdate) AS BIGINT)    AS mo,
+      CAST(day(o_orderdate) AS BIGINT)      AS dy,
+      greatest(o_totalprice, 100000.0)      AS hi,
+      least(o_totalprice, 100000.0)         AS lo
+    FROM orders
+    WHERE o_orderkey < 400
+    """,
+    doc="Math + datetime scalar functions — ALL beyond the reference "
+    "(README.md:139-145 lists every math/date function as TODO there); "
+    "the Spark-native superset, shared dialect with DuckDB. round() on "
+    "one decimal of a 2-decimal-ish value; both engines round the same "
+    "doubles here (verified by the oracle gate).",
+    tags=("expr", "functions", "superset"),
+)
+
+sql_query(
     "expr_typed_null",
     """
     SELECT

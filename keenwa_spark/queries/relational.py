@@ -549,6 +549,36 @@ sql_query(
     tags=("relational", "derived"),
 )
 
+@df_query(
+    "distinct_on_expr",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey % 10)
+      o_custkey % 10 AS bucket, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_custkey % 10, o_totalprice DESC, o_orderkey
+    """,
+    doc="DISTINCT ON over an EXPRESSION (not a bare column) — the "
+    "reference allows exactly one arbitrary expr (sql/mod.rs:255-266); "
+    "highest-price order per custkey-mod-10 bucket via the same "
+    "deterministic window emulation.",
+    tags=("relational", "distinct", "window"),
+)
+def distinct_on_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.expr("o_custkey % 10")).orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        spark.table("orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.expr("o_custkey % 10").alias("bucket"), "o_orderkey", "o_totalprice"
+        )
+    )
+
+
 sql_query(
     "wildcard_qualified",
     """

@@ -1,8 +1,8 @@
 """Driver-contract invariants — run against the SHARED session.
 
 The strongest invariant (engine works on a session it didn't build,
-i.e. without session.py's configs) is verified by tools/driver_sim.py
-in a separate process; here we pin the contract shape and the
+i.e. without session.py's configs) runs as a subprocess below with a
+bare SparkSession; we also pin the contract shape and the
 conf-independence of the catalog chokepoint.
 """
 
