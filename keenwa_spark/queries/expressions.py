@@ -427,6 +427,48 @@ sql_query(
 )
 
 sql_query(
+    "fn_strings_superset",
+    """
+    SELECT
+      c_custkey,
+      trim('  ' || c_name || '  ')            AS trimmed,
+      ltrim('x', 'xx' || c_name)              AS ltrimmed,
+      rtrim('y', c_name || 'yy')              AS rtrimmed,
+      substring(c_name, 1, 8)                 AS sub8,
+      lpad(CAST(c_custkey AS STRING), 8, '0') AS padded,
+      reverse(c_mktsegment)                   AS rev,
+      repeat('-', 3) || c_mktsegment          AS dashed,
+      split_part(c_name, '#', 2)              AS after_hash,
+      left(c_name, 4)                         AS l4,
+      right(c_name, 4)                        AS r4
+    FROM customer
+    WHERE c_custkey <= 150
+    """,
+    oracle="""
+    SELECT
+      c_custkey,
+      trim('  ' || c_name || '  ')            AS trimmed,
+      ltrim('xx' || c_name, 'x')              AS ltrimmed,
+      rtrim(c_name || 'yy', 'y')              AS rtrimmed,
+      substring(c_name, 1, 8)                 AS sub8,
+      lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+      reverse(c_mktsegment)                   AS rev,
+      repeat('-', 3) || c_mktsegment          AS dashed,
+      split_part(c_name, '#', 2)              AS after_hash,
+      left(c_name, 4)                         AS l4,
+      right(c_name, 4)                        AS r4
+    FROM customer
+    WHERE c_custkey <= 150
+    """,
+    doc="String-function superset beyond the reference's 8 (funcs.rs:9-18): "
+    "trim family with custom chars, substring, lpad, reverse, repeat, "
+    "split_part, left/right. NB Spark's 2-arg ltrim/rtrim take the TRIM "
+    "set FIRST (ltrim(trimStr, str)); DuckDB takes it second — separate "
+    "oracle text.",
+    tags=("expr", "functions", "superset"),
+)
+
+sql_query(
     "expr_interval_ops",
     """
     SELECT

@@ -160,6 +160,28 @@ sql_query(
 )
 
 sql_query(
+    "win_lag_lead_ntile",
+    """
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_totalprice,
+      LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        AS prev_price,
+      LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        AS next_price,
+      CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        AS BIGINT) AS price_quartile
+    FROM orders
+    WHERE o_custkey <= 60
+    """,
+    doc="lag / lead / ntile — beyond the reference's 4-function window "
+    "inventory (aggregates.rs:75-96); the Spark-native superset under "
+    "the same deterministic unique-key orderings.",
+    tags=("window", "superset"),
+)
+
+sql_query(
     "win_topn_per_group",
     """
     SELECT c_nationkey, c_custkey, c_acctbal

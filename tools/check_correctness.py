@@ -107,10 +107,23 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     only = set(sys.argv[1:])
     from keenwa_spark.queries import load_all
-    from keenwa_spark.session import get_spark
 
     registry = load_all()
-    spark = get_spark("check_correctness")
+    if os.environ.get("VANILLA"):
+        # driver-condition mode: a bare session with none of session.py's
+        # configs — results must STILL be oracle-exact
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from keenwa_spark.session import get_spark
+
+        spark = get_spark("check_correctness")
     con = duck_con(SF_DIR)
 
     n_pass = n_fail = n_rows_only = 0
