@@ -117,3 +117,22 @@ def test_persist_and_analyze_feeds_cbo(spark):
     stats = cat.table_stats("nation_stats")
     assert "bytes" in stats.get("statistics", "")
     assert "rows" in stats.get("statistics", "")
+
+
+def test_approx_aggregates_within_tolerance(views):
+    """The at-scale twins of exact aggregates: approx_count_distinct
+    (HLL) and approx_percentile must land within documented error of
+    the exact values. Sketches are engine-specific so these are
+    test-verified rather than oracle-hashed."""
+    row = views.sql(
+        """
+        SELECT
+          approx_count_distinct(o_custkey) AS acd,
+          count(DISTINCT o_custkey) AS cd,
+          approx_percentile(o_totalprice, 0.5, 1000) AS ap50,
+          percentile(o_totalprice, 0.5) AS p50
+        FROM orders
+        """
+    ).collect()[0]
+    assert abs(row.acd - row.cd) / row.cd < 0.05          # HLL ~2% typical
+    assert abs(row.ap50 - row.p50) / row.p50 < 0.05
