@@ -218,6 +218,51 @@ class PlanBuilder:
     def cross_join(self, right: "PlanBuilder") -> "PlanBuilder":
         return self._next(self._require().crossJoin(right._require()))
 
+    # -- subquery predicates (reference builder/mod.rs:696-737
+    #    sub_query_builder/new_relation_builder; decorrelation entry
+    #    points builder/subqueries.rs:186-367) ----------------------------
+
+    def exists(self, sub: "PlanBuilder", condition: ColumnLike) -> "PlanBuilder":
+        """Keep rows with a correlated match in ``sub`` — the reference
+        decorrelates EXISTS into a left-semi join at build time
+        (reference builder/subqueries.rs:186-232); we emit the semi join
+        directly. ``condition`` is the correlation predicate."""
+        return self._next(
+            self._require().join(sub._require(), _expr(condition), "left_semi")
+        )
+
+    def not_exists(self, sub: "PlanBuilder", condition: ColumnLike) -> "PlanBuilder":
+        """NOT EXISTS → anti join (the reference rewrites to left join +
+        IS NULL, builder/subqueries.rs:233-277; left_anti is the same
+        result in fewer nodes)."""
+        return self._next(
+            self._require().join(sub._require(), _expr(condition), "left_anti")
+        )
+
+    def in_subquery(self, col: ColumnLike, sub: "PlanBuilder", sub_col: str) -> "PlanBuilder":
+        """``col IN (SELECT sub_col FROM sub)`` → left-semi join on
+        equality (reference builder/subqueries.rs:281-335)."""
+        sub_df = sub._require().select(sub_col)
+        return self._next(
+            self._require().join(
+                sub_df, _col(col) == sub_df[sub_col], "left_semi"
+            )
+        )
+
+    def not_in_subquery(self, col: ColumnLike, sub: "PlanBuilder", sub_col: str) -> "PlanBuilder":
+        """``col NOT IN (SELECT sub_col FROM sub)`` → anti join on
+        equality — mirroring the reference's left-join + IS NULL rewrite
+        (builder/subqueries.rs:336-366), which assumes a NULL-free
+        subquery column. For standard three-valued NOT IN over nullable
+        data, use the SQL surface (Spark plans a null-aware anti join
+        there; SURVEY §7 risk 2)."""
+        sub_df = sub._require().select(sub_col)
+        return self._next(
+            self._require().join(
+                sub_df, _col(col) == sub_df[sub_col], "left_anti"
+            )
+        )
+
     # -- set operators (reference :591-621, set_ops.rs) ---------------------
 
     def union(self, other: "PlanBuilder") -> "PlanBuilder":

@@ -49,12 +49,32 @@ class TableDef:
     columns: list[tuple[str, str]] = field(default_factory=list)
 
 
+@dataclass
+class IndexDef:
+    """Index metadata (reference Index: src/catalog/mod.rs:182-214 —
+    name, table, covered columns, optional ordering).
+
+    Spark has no secondary indexes; the physical analog of the
+    reference's IndexOnlyScanRule (reference
+    rules/implementation/index.rs:10-77 — serve an ordered scan from
+    the index, skipping the sort) is a bucketed+sorted table layout:
+    joins and aggregations on the leading index column then plan with
+    NO Exchange, the write-time shuffle playing the role of the index
+    build. ``Catalog.materialize_index`` performs that mapping."""
+
+    name: str
+    table: str
+    columns: list[str]
+    descending: list[bool] | None = None  # reference Ordering; None = unordered
+
+
 class Catalog:
     """Register parquet tables as temp views + keep statistics."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, TableDef] = {}
+        self.indexes: dict[str, IndexDef] = {}
 
     def register_parquet(self, name: str, path: str) -> TableDef:
         if not os.path.exists(path):
@@ -162,6 +182,69 @@ class Catalog:
             if r.col_name == "Statistics":
                 return {"statistics": r.data_type}
         return {}
+
+    def add_index(
+        self,
+        name: str,
+        table: str,
+        columns: list[str],
+        descending: list[bool] | None = None,
+    ) -> IndexDef:
+        """Declare index metadata (reference IndexBuilder,
+        src/catalog/mod.rs:214-260): validated against the table's
+        schema, stored for API parity and as layout advice. Declaring
+        an index moves no data — ``materialize_index`` does."""
+        if table not in self.tables:
+            raise ArgumentError(f"table does not exist: {table}")
+        known = {c for c, _ in self.tables[table].columns}
+        missing = [c for c in columns if c not in known]
+        if not columns or missing:
+            raise ArgumentError(
+                f"index columns must be non-empty and exist in {table}; missing: {missing}"
+            )
+        if descending is not None and len(descending) != len(columns):
+            raise ArgumentError("descending flags must match columns")
+        if name in self.indexes:
+            raise ArgumentError(f"index already exists: {name}")
+        idx = IndexDef(name=name, table=table, columns=list(columns), descending=descending)
+        self.indexes[name] = idx
+        return idx
+
+    def table_indexes(self, table: str) -> list[IndexDef]:
+        """Indexes declared for a table (reference get_indexes,
+        src/catalog/mod.rs:30-34)."""
+        return [i for i in self.indexes.values() if i.table == table]
+
+    def materialize_index(self, name: str, n_buckets: int = 32) -> str:
+        """Realize declared index metadata as the Spark-native layout it
+        advises: a managed table bucketed by the leading index column
+        and sorted by all index columns — the IndexOnlyScanRule analog
+        (reference rules/implementation/index.rs:10-77). Returns the
+        managed table name; joins/aggregations on the leading column
+        against it plan with no Exchange (asserted in tests)."""
+        if name not in self.indexes:
+            raise ArgumentError(f"index does not exist: {name}")
+        idx = self.indexes[name]
+        from keenwa_spark.sources.bucketing import write_bucketed
+
+        managed = f"{idx.table}_idx_{idx.name}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {managed}")
+        warehouse = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        leftover = os.path.join(warehouse, managed)
+        if os.path.exists(leftover):
+            import shutil
+
+            shutil.rmtree(leftover)
+        write_bucketed(
+            self.spark.table(idx.table),
+            managed,
+            idx.columns[0],
+            n_buckets=n_buckets,
+            sort=idx.columns,
+        )
+        return managed
 
     def is_broadcastable(self, name: str, threshold_bytes: int = 64 << 20) -> bool:
         """Small enough to broadcast-join (keenwa lacks broadcast; this is

@@ -12,6 +12,8 @@ Mirrors keenwa's SELECT-only frontend accept/reject matrix
 - NULLS FIRST/LAST rejected (:594)
 - named windows rejected (:1235-1237)
 - window ORDER BY / frames rejected (:1339-1340)
+- 3+-part compound identifiers rejected (:610)
+- WITHIN GROUP ordered-set aggregates rejected (:1230)
 
 We keep the *statement-level* rejections as hard errors (parity with
 keenwa's surface) but — unlike keenwa — ACCEPT the richer intra-SELECT
@@ -66,6 +68,15 @@ _STRICT_REJECTS: list[tuple[str, str]] = [
     (r"\bWINDOW\s+\w+\s+AS\s*\(", "named WINDOW definitions"),
     (r"\bROWS\s+BETWEEN\b", "window frames"),
     (r"\bRANGE\s+BETWEEN\b", "window frames"),
+    # window ORDER BY (reference build_window_spec, sql/mod.rs:1339 —
+    # only OVER (PARTITION BY ...) is accepted)
+    (r"\bOVER\s*\([^)]*\bORDER\s+BY\b", "window ORDER BY"),
+    # 3+-part compound identifiers (reference build_scalar_expr,
+    # sql/mod.rs:610: CompoundIdentifier with len > 2 → not_implemented)
+    (r"\b[A-Z_][A-Z_0-9]*\.[A-Z_][A-Z_0-9]*\.[A-Z_][A-Z_0-9]*\b",
+     "compound identifier expression (3+ parts)"),
+    # WITHIN GROUP ordered-set aggregates (reference sql/mod.rs:1230)
+    (r"\bWITHIN\s+GROUP\b", "aggregate WITHIN GROUP ordering"),
 ]
 
 # Constructs keenwa rejects at statement level in ALL modes.
@@ -75,11 +86,16 @@ _ALWAYS_REJECTS: list[tuple[str, str]] = [
 
 
 def _strip_literals(sql: str) -> str:
-    """Remove string literals and comments so they can't false-match."""
+    """Remove string literals and comments so they can't false-match.
+
+    Handles BOTH quote-escape conventions Spark accepts: doubled quotes
+    ('don''t') and backslash escapes ('don\\'t') — a literal like
+    'don\\'t INSERT INTO t' must not terminate early and leak its tail
+    into the keyword scan (ADVICE r02)."""
     sql = re.sub(r"--[^\n]*", " ", sql)
     sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.S)
-    sql = re.sub(r"'(?:[^']|'')*'", "''", sql)
-    sql = re.sub(r'"(?:[^"]|"")*"', '""', sql)
+    sql = re.sub(r"'(?:[^'\\]|\\.|'')*'", "''", sql)
+    sql = re.sub(r'"(?:[^"\\]|\\.|"")*"', '""', sql)
     return sql
 
 

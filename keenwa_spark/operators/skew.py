@@ -37,6 +37,18 @@ def salted_join(
     """
     if salts < 2:
         raise ValueError("salts must be >= 2 (use a plain join otherwise)")
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        # The small side is replicated once per salt value, so for
+        # right/full outer joins every small-side row whose (key, salt)
+        # finds no big-side partner would be null-extended once PER SALT
+        # — silently diverging from a plain join (ADVICE r02). Those
+        # variants need a post-join dedup of the replicated side; until
+        # someone needs them, reject loudly rather than corrupt.
+        raise ValueError(
+            f"salted_join supports how in ('inner','left','left_semi','left_anti'); "
+            f"got {how!r} — right/full would duplicate unmatched small-side rows "
+            f"once per salt"
+        )
     big_salted = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salts))
     )

@@ -115,11 +115,18 @@ def text_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     norm = normalized_text(text_col)
     words = f"split({norm}, ' ')"
     h = spark_hash64("x")
+    # Modular fold (ADVICE r02): terms are hash(<2^32) * position, so an
+    # un-modded running sum overflows BIGINT beyond ~65k words — Spark
+    # would wrap silently while DuckDB raises, breaking the cross-engine
+    # claim exactly at scale. Reducing each term AND the accumulator
+    # mod P keeps every intermediate < 2^33; the result is identical
+    # (modular arithmetic commutes with the fold).
+    p = 4294967311
     return df.select(
         F.col(id_col),
         F.expr(
-            f"aggregate(transform({words}, (x, i) -> {h} * (i + 1)), "
-            f"CAST(0 AS BIGINT), (acc, v) -> acc + v) % 4294967311"
+            f"aggregate(transform({words}, (x, i) -> ({h} * (i + 1)) % {p}), "
+            f"CAST(0 AS BIGINT), (acc, v) -> (acc + v) % {p})"
         ).alias("fingerprint"),
         F.expr("md5(" + normalized_text(text_col) + ")").alias("content_md5"),
     )

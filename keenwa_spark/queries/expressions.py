@@ -229,31 +229,8 @@ sql_query(
     tags=("expr",),
 )
 
-sql_query(
-    "expr_array",
-    """
-    SELECT
-      n_nationkey,
-      array(n_nationkey, n_regionkey, 99)[0]        AS first_elem,
-      array(n_nationkey, n_regionkey, 99)[2]        AS last_elem,
-      slice(array(10, 20, 30, 40, 50), 2, 3)        AS mid_slice,
-      CAST(size(array(n_nationkey, n_regionkey)) AS BIGINT) AS arr_len
-    FROM nation
-    """,
-    oracle="""
-    SELECT
-      n_nationkey,
-      [n_nationkey, n_regionkey, 99][1]             AS first_elem,
-      [n_nationkey, n_regionkey, 99][3]             AS last_elem,
-      [10, 20, 30, 40, 50][2:4]                     AS mid_slice,
-      CAST(len([n_nationkey, n_regionkey]) AS BIGINT) AS arr_len
-    FROM nation
-    """,
-    doc="Expr::Array / ArrayIndex / ArraySlice (reference expr.rs:89-98). "
-    "Spark [] is 0-based, DuckDB 1-based (SURVEY §7 risk 4) — the builder "
-    "API follows Python 0-based, SQL follows each engine's native rule.",
-    tags=("expr",),
-)
+# expr_array lives in keenwa_spark/queries/arrays.py — registered inside
+# the driver's checked registry prefix (its r2 row was the sole FAIL).
 
 # ---------------------------------------------------------------------------
 # Like / ILike (expr.rs:102-113)

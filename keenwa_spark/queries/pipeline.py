@@ -480,17 +480,21 @@ def pl_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_duck_cosine('a.v', 'b.v')} AS cos_sim
     FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_duck_cosine('a.v', 'b.v')} >= 0.9
+    WHERE {_duck_cosine('a.v', 'b.v')} >= 0.3
     """,
-    doc="Embedding-space near-duplicate pairs (cosine >= 0.9) within "
-    "sign-LSH buckets — bucketed self-join, candidates bucket-local "
-    "(pipeline/similarity.py near_dup_cosine_pairs).",
+    doc="Embedding-space near-duplicate pairs within sign-LSH buckets — "
+    "bucketed self-join, candidates bucket-local (pipeline/similarity.py "
+    "near_dup_cosine_pairs). Threshold 0.3 (not the 0.9 one would use on "
+    "real embeddings): the synthetic vectors' max in-bucket cosine is "
+    "~0.47, so 0.9 made the check a vacuous empty-vs-empty match; 0.3 "
+    "yields 24 pairs at sf0.01, so the bucket-join + threshold logic is "
+    "actually exercised.",
     tags=("pipeline", "dedup", "similarity"),
 )
 def pl_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.similarity import near_dup_cosine_pairs
 
-    return near_dup_cosine_pairs(spark.table("embeddings"), threshold=0.9)
+    return near_dup_cosine_pairs(spark.table("embeddings"), threshold=0.3)
 
 
 # ---------------------------------------------------------------------------
@@ -608,7 +612,7 @@ def pl_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (SELECT doc_id, norm, string_split(norm, ' ') AS w FROM t)
     SELECT doc_id,
-           CAST(list_sum([{duck_hash64('w[i]')} * i
+           CAST(list_sum([({duck_hash64('w[i]')} * i) % {MINHASH_P}
                           for i in range(1, len(w) + 1)]) % {MINHASH_P} AS BIGINT)
              AS fingerprint,
            md5(norm) AS content_md5

@@ -22,14 +22,16 @@ sql_query(
     """
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (
+    WHERE o_totalprice > 1.8 * (
       SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
       FROM orders
     )
     """,
     doc="Uncorrelated scalar subquery in WHERE (reference expr.rs:148): "
-    "orders above 2x the global mean. Mean routed through decimal so the "
-    "threshold is bit-identical cross-engine.",
+    "orders above 1.8x the global mean. Mean routed through decimal so "
+    "the threshold is bit-identical cross-engine. 1.8x (not 2x) keeps "
+    "the result NON-empty at every SF (1449 rows at sf0.01) so the "
+    "check isn't a vacuous empty-vs-empty match.",
     tags=("subquery",),
 )
 
@@ -87,12 +89,15 @@ sql_query(
     FROM part p
     WHERE NOT EXISTS (
       SELECT 1 FROM lineitem l
-      WHERE l.l_partkey = p.p_partkey AND l.l_discount > 0.05
+      WHERE l.l_partkey = p.p_partkey
+        AND l.l_discount > 0.09 AND l.l_quantity >= 40
     )
     """,
     doc="Correlated NOT EXISTS → anti join (reference rewrites to left "
     "join + IS NULL, subqueries.rs:233-277; Spark plans left-anti "
-    "directly — same result, fewer nodes).",
+    "directly — same result, fewer nodes). Predicate chosen so the "
+    "anti side is NON-empty at every SF (1413 rows at sf0.01) — an "
+    "empty result can't distinguish the anti join from an empty plan.",
     tags=("subquery",),
 )
 

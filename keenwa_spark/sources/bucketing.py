@@ -21,13 +21,19 @@ def write_bucketed(
     table: str,
     bucket_col: str,
     n_buckets: int = 32,
-    sort: bool = True,
+    sort: bool | list[str] = True,
     mode: str = "overwrite",
 ) -> None:
-    """Persist as a bucketed (and bucket-sorted) managed table."""
+    """Persist as a bucketed (and bucket-sorted) managed table.
+
+    ``sort=True`` sorts within buckets by the bucket column; a list
+    sorts by those columns (leading column first — the multi-column
+    index layout used by Catalog.materialize_index)."""
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
-    if sort:
+    if sort is True:
         writer = writer.sortBy(bucket_col)
+    elif sort:
+        writer = writer.sortBy(*sort)
     writer.saveAsTable(table)
 
 

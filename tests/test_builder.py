@@ -56,6 +56,54 @@ def test_all_join_types_execute(b):
     assert counts["right_semi"] <= b.new_query().from_("orders").build().count()
 
 
+def test_subquery_predicates_match_sql(b, views):
+    """exists/not_exists/in_subquery/not_in_subquery compile to
+    semi/anti joins matching the equivalent SQL subqueries (reference
+    decorrelation entry points, builder/subqueries.rs:186-367)."""
+    urgent = b.new_query().from_("orders").select("o_orderpriority = '1-URGENT'")
+    got = (
+        b.from_("customer")
+        .exists(urgent, "c_custkey = o_custkey")
+        .build()
+        .count()
+    )
+    want = views.sql(
+        "SELECT count(*) FROM customer c WHERE EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"
+    ).collect()[0][0]
+    assert got == want > 0
+
+    n01 = b.new_query().from_("nation").select("n_regionkey IN (0, 1)")
+    got_in = (
+        b.from_("customer")
+        .in_subquery("c_nationkey", n01, "n_nationkey")
+        .build()
+        .count()
+    )
+    want_in = views.sql(
+        "SELECT count(*) FROM customer WHERE c_nationkey IN "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))"
+    ).collect()[0][0]
+    assert got_in == want_in > 0
+
+    total = b.new_query().from_("customer").build().count()
+    n01b = b.new_query().from_("nation").select("n_regionkey IN (0, 1)")
+    got_not_in = (
+        b.from_("customer")
+        .not_in_subquery("c_nationkey", n01b, "n_nationkey")
+        .build()
+        .count()
+    )
+    # complement partition: IN + NOT IN == all (null-free key)
+    assert got_in + got_not_in == total
+
+    urgent2 = b.new_query().from_("orders").select("o_orderpriority = '1-URGENT'")
+    got_ne = (
+        b.from_("customer").not_exists(urgent2, "c_custkey = o_custkey").build().count()
+    )
+    assert got + got_ne == total
+
+
 def test_join_using_dedups_key(b):
     df = (
         b.from_("nation")

@@ -71,3 +71,49 @@ def test_engine_explain_formatted(engine):
 def test_engine_builder_roundtrip(engine):
     df = engine.builder().from_("region").project(["r_name"]).build()
     assert df.count() == 5
+
+
+def test_index_metadata_validated(spark):
+    """Index metadata parity (reference Index/IndexBuilder,
+    src/catalog/mod.rs:182-260): declared indexes are validated against
+    the table schema and retrievable per table."""
+    cat = Catalog(spark)
+    cat.register_dir(os.environ.get("SF_DIR", "/root/testdata/sf0.001"))
+    idx = cat.add_index(
+        "cust_by_key", "customer", ["c_custkey", "c_acctbal"], descending=[False, True]
+    )
+    assert cat.table_indexes("customer") == [idx]
+    with pytest.raises(ArgumentError):
+        cat.add_index("bad_table", "no_such", ["x"])
+    with pytest.raises(ArgumentError):
+        cat.add_index("bad_cols", "customer", ["no_such_col"])
+    with pytest.raises(ArgumentError):
+        cat.add_index("bad_flags", "customer", ["c_custkey"], descending=[True, False])
+    with pytest.raises(ArgumentError):
+        cat.add_index("cust_by_key", "customer", ["c_custkey"])  # duplicate
+
+
+def test_materialize_index_eliminates_exchange(spark):
+    """The IndexOnlyScanRule analog (reference
+    rules/implementation/index.rs:10-77): materializing an index as a
+    bucketed+sorted layout makes joins on the leading index column plan
+    with NO Exchange on that side."""
+    from keenwa_spark.sources.bucketing import is_shuffle_free_join
+
+    cat = Catalog(spark)
+    cat.register_dir(os.environ.get("SF_DIR", "/root/testdata/sf0.001"))
+    cat.add_index("ord_by_cust", "orders", ["o_custkey", "o_orderdate"])
+    cat.add_index("cust_by_key2", "customer", ["c_custkey"])
+    t_orders = cat.materialize_index("ord_by_cust", n_buckets=8)
+    t_cust = cat.materialize_index("cust_by_key2", n_buckets=8)
+    joined = (
+        spark.table(t_orders)
+        .hint("merge")
+        .join(spark.table(t_cust), spark.table(t_orders).o_custkey == spark.table(t_cust).c_custkey)
+    )
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = joined._jdf.queryExecution().explainString(mode)
+    assert "Exchange" not in plan
+    with pytest.raises(ArgumentError):
+        cat.materialize_index("no_such_index")

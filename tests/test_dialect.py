@@ -65,6 +65,16 @@ REJECT_STRICT = [
         "SELECT sum(a1) OVER (ORDER BY a2 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM a",
         "frame",
     ),
+    # window ORDER BY without a frame (reference sql/mod.rs:1339 — only
+    # OVER (PARTITION BY ...) is accepted)
+    ("SELECT sum(a1) OVER (PARTITION BY a2 ORDER BY a3) FROM a", "window order by"),
+    # 3+-part compound identifier expression (reference sql/mod.rs:610)
+    ("SELECT cat.schema1.a1 FROM a", "compound identifier"),
+    # WITHIN GROUP ordered-set aggregate (reference sql/mod.rs:1230)
+    (
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY a1) FROM a",
+        "within group",
+    ),
 ]
 
 
@@ -92,3 +102,18 @@ def test_literals_do_not_false_trigger():
     dialect.validate("SELECT 'WITH RECURSIVE inside a string' AS s")
     dialect.validate("SELECT 'GROUPING SETS' AS s", strict=True)
     dialect.validate("/* INSERT INTO comment */ SELECT 1")
+
+
+def test_backslash_escaped_literals_do_not_leak(views):
+    """Spark accepts backslash-escaped quotes by default; a literal like
+    'don\\'t INSERT INTO t' must not terminate the literal early and
+    leak its tail into the keyword scan (ADVICE r02) — and the doubled
+    form must keep working too."""
+    dialect.validate("SELECT 'don\\'t INSERT INTO t' AS s")
+    dialect.validate("SELECT 'don''t INSERT INTO t' AS s")
+    dialect.validate("SELECT 'a\\\\' AS s, 'INSERT literal' AS t")
+    # the two escape conventions agree with Spark's own parser
+    assert views.sql("SELECT 'don\\'t' AS s").collect()[0].s == "don't"
+    # real DML after a backslash-escaped literal is still caught
+    with pytest.raises(NotSupportedError):
+        dialect.validate("WITH t AS (SELECT 'don\\'t' AS s) INSERT INTO tgt SELECT * FROM t")

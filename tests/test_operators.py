@@ -27,6 +27,35 @@ def test_salted_join_validates_salts(views):
         salted_join(views.table("orders"), views.table("customer"), on="x", salts=1)
 
 
+def test_salted_join_left_matches_plain_and_rejects_outer(views):
+    """ADVICE r02: the small side is replicated once per salt, so
+    right/full outer would null-extend unmatched small-side rows once
+    PER SALT — those variants must be rejected, and the supported
+    'left' variant must match a plain left join exactly."""
+    from keenwa_spark.operators import salted_join
+
+    big = views.table("orders")
+    # restrict the small side so some big-side rows have NO match —
+    # the left-join null-extension path is load-bearing
+    small = (
+        views.table("customer")
+        .filter("c_custkey % 3 = 0")
+        .select("c_custkey", "c_name")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    plain = big.join(small, "o_custkey", "left")
+    salted = salted_join(big, small, on="o_custkey", how="left", salts=8)
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter("c_name IS NULL").count()
+        == plain.filter("c_name IS NULL").count()
+        > 0
+    )
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, on="o_custkey", how=bad)
+
+
 def test_incremental_exact_dedup(spark):
     from keenwa_spark.operators import incremental_exact_dedup
     from keenwa_spark.pipeline.dedup import exact_dedup
