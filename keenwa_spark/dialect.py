@@ -99,6 +99,26 @@ def _strip_literals(sql: str) -> str:
     return sql
 
 
+def _has_nested_over(upper: str) -> bool:
+    """True if a window (OVER) clause itself contains another OVER —
+    keenwa rejects nested window functions anywhere, including in
+    PARTITION BY expressions (reference builder/mod.rs:1250-1308).
+    Balanced-paren walk on the literal-stripped text."""
+    for m in re.finditer(r"\bOVER\s*\(", upper):
+        depth = 1
+        i = m.end()
+        while i < len(upper) and depth:
+            ch = upper[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if re.search(r"\bOVER\b", upper[m.end() : i - 1]):
+            return True
+    return False
+
+
 def validate(sql: str, strict: bool = False) -> None:
     """Raise NotSupportedError for constructs outside the dialect.
 
@@ -138,3 +158,5 @@ def validate(sql: str, strict: bool = False) -> None:
         for pattern, label in _STRICT_REJECTS:
             if re.search(pattern, upper):
                 raise NotSupportedError(f"not supported: {label}")
+        if _has_nested_over(upper):
+            raise NotSupportedError("not supported: nested window functions")
