@@ -1,0 +1,109 @@
+"""Deterministic sampling for training-data pipelines.
+
+Random sampling (``df.sample``) is useless for a 100 TB corpus build:
+re-runs must select the SAME rows (caches, incremental re-builds,
+train/test splits that never leak across runs), and an oracle engine
+must be able to reproduce the selection exactly. Every operator here
+is therefore HASH-based — a pure, per-row, shuffle-free map using the
+engine-portable md5 hash (pipeline/hashing.py), so a 1000-executor
+run, a laptop run, and a DuckDB oracle all pick identical rows.
+
+Scale notes:
+- ``hash_sample`` / ``hash_split`` are narrow maps: they pipeline into
+  whatever scan feeds them, add zero shuffles, and their selectivity
+  is visible to AQE at runtime.
+- ``stratified_sample`` ranks by hash WITHIN each stratum — one
+  window shuffle keyed on the stratum column. Strata in corpus work
+  (language, source domain) are few and fat; the per-stratum sort is
+  bounded by ``n_per_stratum`` via rank filter, and skew is handled by
+  AQE the same way any grouped top-k is.
+
+The reference has no sampling surface (keenwa plans queries only);
+this module is part of the beyond-reference LLM-pipeline layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keenwa_spark.pipeline.hashing import spark_hash64
+
+#: hash buckets for rate arithmetic — 1e6 gives ppm-resolution rates
+_BUCKETS = 1_000_000
+
+
+def _bucket_expr(key_col: str, salt: str) -> str:
+    """Engine-portable uniform bucket in [0, _BUCKETS) from key+salt.
+
+    Salting lets independent samples over the same keys be independent
+    draws (rate-0.1 samples with salts 'a' and 'b' overlap ~1%, not
+    100%)."""
+    h = spark_hash64(f"concat(CAST({key_col} AS STRING), '{salt}')")
+    return f"{h} % {_BUCKETS}"
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "s0"
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keeps a row iff
+    hash(key, salt) falls in the first ``rate`` fraction of buckets.
+    Pure map — no shuffle, no RNG, reproducible on any engine/cluster
+    layout."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    threshold = int(rate * _BUCKETS)
+    return df.filter(F.expr(f"{_bucket_expr(key_col, salt)} < {threshold}"))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "split0",
+) -> DataFrame:
+    """Disjoint named splits (e.g. train/val/test) by hash range:
+    adds a ``split`` column; every key lands in exactly one split,
+    stable across runs and engines. Fractions must sum to <= 1; keys
+    hashing past the total are dropped (rows where split IS NULL are
+    filtered), which doubles as held-out mass."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    edges = []
+    acc = 0.0
+    for name, frac in splits.items():
+        lo = int(acc * _BUCKETS)
+        acc += frac
+        hi = int(acc * _BUCKETS)
+        edges.append((name, lo, hi))
+    bucket = _bucket_expr(key_col, salt)
+    case = "CASE " + " ".join(
+        f"WHEN {bucket} >= {lo} AND {bucket} < {hi} THEN '{name}'"
+        for name, lo, hi in edges
+    ) + " END"
+    return df.withColumn("split", F.expr(case)).filter(F.col("split").isNotNull())
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "strat0",
+) -> DataFrame:
+    """Exactly-n-per-stratum sample: rank rows inside each stratum by
+    (hash, key) and keep the first n. The hash gives a uniform draw;
+    the key tie-break makes the ranking total, so the result is unique
+    — exactly what an oracle can replay. One shuffle (window on the
+    stratum key)."""
+    bucket = _bucket_expr(key_col, salt)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.expr(bucket).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

