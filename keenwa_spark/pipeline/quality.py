@@ -1,0 +1,119 @@
+"""Document quality gates — the filter bank a corpus build runs
+before dedup (Gopher/C4-style heuristics).
+
+Signals beyond text_stats' basics: URL/email density, digit ratio,
+word-repetition (distinct-word fraction), alpha-word fraction, and
+longest-word length. Each is a regex/array expression in whole-stage
+codegen — the same no-Python rule as pipeline/text.py, because these
+run over EVERY document of the corpus exactly once.
+
+``quality_gates`` combines the signals into named boolean gates with
+explicit thresholds and a single ``keep`` conjunction. Thresholds are
+arguments, not magic: real deployments tune per-source; the defaults
+are the published Gopher-ish ranges. The gate table (not just the
+filtered corpus) is the output — audits need to know WHY a document
+was dropped, and the per-gate booleans aggregate into drop-reason
+stats for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from keenwa_spark.pipeline.dedup import normalized_text
+
+#: simplified URL/email detectors. Anchored to token shape, not RFC
+#: grammar — quality signals need density, not validation.
+URL_RE = "https?://[^ ]+"
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}"
+
+
+def quality_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality signal columns (all DOUBLE/BIGINT):
+
+    n_words, distinct_word_ratio, url_hits, email_hits, digit_ratio,
+    alpha_word_ratio, max_word_len. Single projection over the scan.
+    """
+    norm = normalized_text(text_col)
+    words = f"split({norm}, ' ')"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"CAST(size({words}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"CAST(size(array_distinct({words})) AS DOUBLE) / size({words})"
+        ).alias("distinct_word_ratio"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower({text_col}), '{URL_RE}', 0)) AS BIGINT)"
+        ).alias("url_hits"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(lower({text_col}), '{EMAIL_RE}', 0)) AS BIGINT)"
+        ).alias("email_hits"),
+        F.expr(
+            f"CAST(char_length(regexp_replace({norm}, '[^0-9]', '')) AS DOUBLE)"
+            f" / char_length(replace({norm}, ' ', ''))"
+        ).alias("digit_ratio"),
+        F.expr(
+            f"CAST(size(filter({words}, w -> w rlike '[a-z]')) AS DOUBLE)"
+            f" / size({words})"
+        ).alias("alpha_word_ratio"),
+        F.expr(
+            f"CAST(array_max(transform({words}, w -> char_length(w))) AS BIGINT)"
+        ).alias("max_word_len"),
+    )
+
+
+def quality_gates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_distinct_ratio: float = 0.2,
+    max_digit_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.7,
+    max_word_len: int = 40,
+    max_url_hits: int = 5,
+) -> DataFrame:
+    """Signals + named boolean gates + the ``keep`` conjunction.
+
+    Gates: g_len (word-count window), g_repetition (distinct-word
+    floor — boilerplate/spam repeats itself), g_digits (tables/logs),
+    g_alpha (code/markup), g_word_len (unbroken junk tokens),
+    g_urls (link farms)."""
+    s = quality_signals(df, text_col, id_col)
+    return (
+        s.withColumn(
+            "g_len", (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        )
+        .withColumn("g_repetition", F.col("distinct_word_ratio") >= min_distinct_ratio)
+        .withColumn("g_digits", F.col("digit_ratio") <= max_digit_ratio)
+        .withColumn("g_alpha", F.col("alpha_word_ratio") >= min_alpha_ratio)
+        .withColumn("g_word_len", F.col("max_word_len") <= max_word_len)
+        .withColumn("g_urls", F.col("url_hits") <= max_url_hits)
+        .withColumn(
+            "keep",
+            F.col("g_len")
+            & F.col("g_repetition")
+            & F.col("g_digits")
+            & F.col("g_alpha")
+            & F.col("g_word_len")
+            & F.col("g_urls"),
+        )
+    )
+
+
+def drop_reason_stats(gates: DataFrame) -> DataFrame:
+    """Corpus-level audit: per-gate failure counts + total kept.
+    One partial-aggregated global aggregation (a handful of longs per
+    partition — no data movement beyond the final combine)."""
+    g_cols = [c for c in gates.columns if c.startswith("g_")]
+    aggs = [
+        F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("bigint").alias(f"fail_{c}")
+        for c in g_cols
+    ]
+    aggs.append(F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("kept"))
+    aggs.append(F.count("*").alias("total"))
+    return gates.agg(*aggs)

@@ -922,3 +922,90 @@ def pl_embed_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.quantization import reconstruction_error
 
     return reconstruction_error(spark.table("embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Quality gates (pipeline/quality.py)
+# ---------------------------------------------------------------------------
+
+_D_QSIG = f"""
+    sig AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS DOUBLE) / nullif(len(w), 0)
+               AS distinct_word_ratio,
+             CAST(len(regexp_extract_all(lower(text), 'https?://[^ ]+', 0)) AS BIGINT)
+               AS url_hits,
+             CAST(len(regexp_extract_all(lower(text),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', 0)) AS BIGINT)
+               AS email_hits,
+             CAST(len(regexp_replace(norm, '[^0-9]', '', 'g')) AS DOUBLE)
+               / nullif(len(replace(norm, ' ', '')), 0) AS digit_ratio,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / nullif(len(w), 0) AS alpha_word_ratio,
+             CAST(list_max(list_transform(w, x -> length(x))) AS BIGINT)
+               AS max_word_len
+      FROM (SELECT doc_id, text, {_D_NORM.format(c='text')} AS norm,
+                   {_D_WORDS.format(c='text')} AS w
+            FROM documents)
+    ),
+    gates AS (
+      SELECT *,
+             (n_words >= 30 AND n_words <= 100000) AS g_len,
+             (distinct_word_ratio >= 0.2) AS g_repetition,
+             (digit_ratio <= 0.3) AS g_digits,
+             (alpha_word_ratio >= 0.7) AS g_alpha,
+             (max_word_len <= 40) AS g_word_len,
+             (url_hits <= 5) AS g_urls
+      FROM sig
+    )"""
+
+
+@df_query(
+    "pl_quality_gates",
+    oracle=f"""
+    WITH {_D_QSIG}
+    SELECT doc_id, n_words, distinct_word_ratio, url_hits, email_hits,
+           digit_ratio, alpha_word_ratio, max_word_len,
+           g_len, g_repetition, g_digits, g_alpha, g_word_len, g_urls,
+           (g_len AND g_repetition AND g_digits AND g_alpha
+            AND g_word_len AND g_urls) AS keep
+    FROM gates
+    """,
+    doc="Gopher/C4-style quality filter bank: repetition, digit/alpha "
+    "ratios, URL/email density, junk-token length — per-doc signals plus "
+    "named boolean gates and the keep conjunction, one codegen projection "
+    "over the scan (pipeline/quality.py quality_gates). The gate TABLE is "
+    "the output: audits need why a doc dropped, not just the survivors.",
+    tags=("pipeline", "text", "quality"),
+)
+def pl_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.quality import quality_gates
+
+    return quality_gates(spark.table("documents"))
+
+
+@df_query(
+    "pl_quality_drop_stats",
+    oracle=f"""
+    WITH {_D_QSIG}
+    SELECT CAST(sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_g_len,
+           CAST(sum(CASE WHEN NOT g_repetition THEN 1 ELSE 0 END) AS BIGINT) AS fail_g_repetition,
+           CAST(sum(CASE WHEN NOT g_digits THEN 1 ELSE 0 END) AS BIGINT) AS fail_g_digits,
+           CAST(sum(CASE WHEN NOT g_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_g_alpha,
+           CAST(sum(CASE WHEN NOT g_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_g_word_len,
+           CAST(sum(CASE WHEN NOT g_urls THEN 1 ELSE 0 END) AS BIGINT) AS fail_g_urls,
+           CAST(sum(CASE WHEN g_len AND g_repetition AND g_digits AND g_alpha
+                          AND g_word_len AND g_urls THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           COUNT(*) AS total
+    FROM gates
+    """,
+    doc="Corpus-level drop-reason audit: per-gate failure counts + kept "
+    "total in ONE partial-aggregated global agg — a handful of longs per "
+    "partition (pipeline/quality.py drop_reason_stats).",
+    tags=("pipeline", "text", "quality"),
+)
+def pl_quality_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.quality import drop_reason_stats, quality_gates
+
+    return drop_reason_stats(quality_gates(spark.table("documents")))

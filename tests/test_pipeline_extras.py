@@ -75,3 +75,32 @@ def test_quantize_roundtrip_error_bound(spark):
     err = {r.vid: r for r in reconstruction_error(emb).collect()}
     for vid, r in err.items():
         assert r.mse <= (r.scale / 2) ** 2 + 1e-12
+
+
+def test_quality_gates_flag_junk(spark):
+    from keenwa_spark.pipeline.quality import drop_reason_stats, quality_gates
+
+    # 40 distinct letter-only words: passes every gate (a repeated
+    # sentence would fail g_repetition — that's the gate working)
+    import itertools
+
+    good = " ".join(
+        "".join(p) for p in itertools.product("abcdefgh", repeat=2)
+    )[: 40 * 3 - 1]
+    rows = [
+        (1, good),
+        (2, "spam " * 60),  # repetition: distinct ratio 1/60
+        (3, ("1234 " * 35) + "x"),  # digit-heavy
+        (4, " ".join(f"http://x{i}.com" for i in range(31))),  # link farm / no alpha words ok but urls>5
+        (5, good + " " + "a" * 50),  # 50-char junk token
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    g = {r.doc_id: r for r in quality_gates(df).collect()}
+    assert g[1].keep
+    assert not g[2].g_repetition and not g[2].keep
+    assert not g[3].g_digits
+    assert not g[4].g_urls
+    assert not g[5].g_word_len
+    stats = drop_reason_stats(quality_gates(df)).collect()[0]
+    assert stats.kept == 1 and stats.total == 5
+    assert stats.fail_g_repetition >= 1 and stats.fail_g_urls >= 1
