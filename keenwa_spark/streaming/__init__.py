@@ -15,6 +15,8 @@ and comparable to the batch twin.
 """
 
 from keenwa_spark.streaming.events import (
+    dedup_stream,
+    enrich_stream,
     read_event_stream,
     run_available_now,
     session_stats_stream,
@@ -22,6 +24,8 @@ from keenwa_spark.streaming.events import (
 )
 
 __all__ = [
+    "dedup_stream",
+    "enrich_stream",
     "read_event_stream",
     "run_available_now",
     "session_stats_stream",

@@ -125,3 +125,29 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> Da
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within
+    the watermark horizon (at-least-once sources re-send; downstream
+    wants effectively-once). ``dropDuplicatesWithinWatermark`` keeps
+    one state entry per key and EVICTS it once the watermark passes —
+    bounded state, unlike a plain dropDuplicates on a stream, whose
+    key set grows forever. The streaming twin of the batch
+    pipeline/dedup.py exact path."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch against
+    a (small) static dimension. The dim side is broadcast — the stream
+    NEVER shuffles, which is the only join shape that scales on a hot
+    event stream (a stream-side shuffle would re-partition every
+    micro-batch). The static side is re-read per batch, so slowly-
+    changing dims pick up updates for free."""
+    return events.join(F.broadcast(dim), on, "left")

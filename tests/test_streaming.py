@@ -72,3 +72,46 @@ def test_streaming_plan_is_stateful(views, event_dir):
     df = windowed_type_counts(read_event_stream(views, event_dir))
     assert df.isStreaming
     assert "window" in df.schema.simpleString() or "win_start" in df.columns
+
+
+def test_stream_dedup_drops_redeliveries(views, tmp_path_factory):
+    from keenwa_spark.streaming import dedup_stream, read_event_stream, run_available_now
+
+    # two arrival files with overlapping event_ids = re-delivery
+    # (file streams only list FILES under the source path, so stage
+    # the Spark-written part files flat into the watch dir)
+    import glob
+
+    d = tmp_path_factory.mktemp("dedup_stream")
+    stage = tmp_path_factory.mktemp("dedup_stage")
+    ev = views.table("events").limit(200).cache()
+    ev.coalesce(1).write.mode("overwrite").parquet(str(stage / "a"))
+    ev.limit(50).coalesce(1).write.mode("overwrite").parquet(str(stage / "b"))
+    for i, f in enumerate(sorted(glob.glob(str(stage / "*" / "part-*.parquet")))):
+        shutil.copy(f, d / f"arrival-{i}.parquet")
+    n_unique = ev.select("event_id").distinct().count()
+
+    stream = read_event_stream(views, str(d))
+    out = run_available_now(dedup_stream(stream), output_mode="append")
+    assert out.select("event_id").distinct().count() == n_unique
+    assert out.count() == n_unique  # duplicates actually dropped
+
+
+def test_stream_static_join_broadcasts(views, event_dir):
+    from keenwa_spark.streaming import enrich_stream, read_event_stream, run_available_now
+
+    dim = views.table("events").select("user_id").distinct().withColumn(
+        "tier", (views.table("events").user_id % 3).cast("int")
+    )
+    stream = read_event_stream(views, event_dir)
+    enriched = enrich_stream(stream, dim)
+    assert enriched.isStreaming
+    out = run_available_now(
+        enriched.groupBy("tier").count(), output_mode="complete"
+    )
+    batch = (
+        views.table("events").join(dim, "user_id", "left").groupBy("tier").count()
+    )
+    assert sorted((r.tier, r["count"]) for r in out.collect()) == sorted(
+        (r.tier, r["count"]) for r in batch.collect()
+    )
