@@ -50,12 +50,23 @@ def connected_components(
         # constraint rewriting)
         .localCheckpoint(eager=True)
     )
+    # init = node list AND the first hop in one shuffle: label starts at
+    # min(node, min neighbor) instead of node — identical to running one
+    # hop round on identity labels, one round (and its jobs) cheaper
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.col("node"), F.min("dst")).alias("label"))
         .localCheckpoint(eager=True)
     )
+    # convergence: labels only ever DECREASE, so the label sum is
+    # stable iff no label changed — one decimal aggregate per round
+    # (exact at any scale) instead of a join+filter+count
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_rounds):
         # (a) one hop: adopt min(own, neighbors') label. Join+least, not
         # a self-union — unioning a frame with its own derivation trips
@@ -89,19 +100,14 @@ def connected_components(
                 F.least(F.col("a.label"), F.coalesce("jlabel", "a.label")).alias("label"),
             )
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         # checkpoint the frontier: lineage otherwise grows per round
         labels = jumped.localCheckpoint(eager=True)
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("component")
             )
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(graph diameter too large — raise max_rounds)"

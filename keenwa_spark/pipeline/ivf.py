@@ -15,9 +15,14 @@ is exactly oracle-checkable in DuckDB:
   aggregation rule from similarity.label_centroids);
 - a fixed iteration count (no data-dependent stopping).
 
-No driver-side data movement: centroids stay a K-row DataFrame,
-broadcast into the assignment cross join; per-iteration
-localCheckpoint bounds lineage (iterative-plan rule).
+Centroids are MODEL STATE, not data: K x dim doubles, a constant
+independent of corpus size. They live on the driver between passes
+(the documented bounded-metadata exception to the no-collect rule,
+like similarity.py's query matrix) and are inlined into assignment as
+literal expressions — so every corpus pass is a single-stage pure
+projection: no join, no broadcast exchange, no shuffle, no row
+multiplication. Values round-trip exactly via repr -> CAST(string AS
+DOUBLE) (correctly-rounded parse), keeping bit-exact oracle parity.
 """
 
 from __future__ import annotations
@@ -26,24 +31,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_SQDIST = (
-    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
-    "CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
-)
 _COS = (
     "aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
     " / sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (acc, d) -> acc + d))"
     " / sqrt(aggregate(transform(qv, x -> x * x), CAST(0 AS DOUBLE), (acc, d) -> acc + d))"
 )
 
-# Per-cell (dist, cid) structs, computed inline over the broadcast
-# centroid array `cs` — struct ordering is lexicographic, so
-# array_min/array_sort give argmin with deterministic cid tie-break.
-_CELL_DISTS = (
-    "transform(cs, c -> struct("
-    "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), "
-    "CAST(0 AS DOUBLE), (acc, d) -> acc + d) AS dist, c.cid AS cid))"
-)
+#: centroid model: list of (cid, vector) held driver-side during train
+Cents = list[tuple[int, list[float]]]
 
 
 def _as_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -53,27 +48,69 @@ def _as_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _cents_row(cents: DataFrame) -> DataFrame:
-    """Collapse the K-row centroid frame into ONE row holding
-    array<struct<cid, cv>> — broadcast-joined below so centroid
-    assignment is a pure per-row map (no row multiplication, no
-    shuffle). K is small by construction (coarse quantizer)."""
-    return cents.agg(F.collect_list(F.struct("cid", "cv")).alias("cs"))
+def _dlit(x: float) -> str:
+    """Exact double literal: repr round-trips the IEEE value, string
+    cast parses correctly-rounded — identical bits on both engines."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per vector (squared L2, tie-break on cid).
-
-    Pure map: earlier versions exploded corpus x K rows and ranked with
-    a row_number window — a corpus x K shuffle per Lloyd iteration. The
-    argmin-over-broadcast-array form keeps assignment inside
-    whole-stage codegen with ZERO shuffle and ZERO row multiplication —
-    what a 100 TB assignment pass needs. (At sf0.1 wall-clock is
-    unchanged — 2k vectors are overhead-dominated — but the corpus x K
-    exchange it removes grows linearly with data; the map doesn't.)"""
-    return vecs.crossJoin(F.broadcast(_cents_row(cents))).select(
-        "vid", F.expr(f"array_min({_CELL_DISTS}).cid").alias("cid")
+def _cell_structs(cents: Cents) -> str:
+    """SQL: array of (dist-to-v, cid) structs, one per centroid, with
+    the same sequential-fold squared-L2 as the oracle. Struct ordering
+    is lexicographic, so array_min/array_sort give argmin with the
+    deterministic cid tie-break."""
+    cells = ", ".join(
+        "struct("
+        f"aggregate(zip_with(v, array({', '.join(_dlit(x) for x in cv)}), "
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+        f" AS dist, {cid} AS cid)"
+        for cid, cv in cents
     )
+    return f"array({cells})"
+
+
+def _assign(vecs: DataFrame, cents: Cents) -> DataFrame:
+    """Nearest centroid per vector — a single-stage projection (module
+    docstring). Earlier versions exploded corpus x K rows and ranked
+    with a window (a corpus-sized shuffle per Lloyd iteration)."""
+    return vecs.select(
+        "vid", F.expr(f"array_min({_cell_structs(cents)}).cid").alias("cid")
+    )
+
+
+def _train(
+    emb: DataFrame, k_cells: int, iters: int, id_col: str, vec_col: str
+) -> Cents:
+    """Lloyd iterations; centroids come back to the driver after each
+    update (K x dim doubles — bounded model state)."""
+    vecs = _as_vecs(emb, id_col, vec_col)
+    cents: Cents = sorted(
+        (int(r.vid), list(r.v))
+        for r in vecs.filter(F.col("vid") < k_cells).collect()
+    )
+    sorted_mean = (
+        "aggregate(sort_array(collect_list(val)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x) / count(val)"
+    )
+    for _ in range(iters):
+        # cid computed INLINE on the vector's own row (assignment is a
+        # projection) — no assign-back join, so the only shuffle per
+        # iteration is the (cid, dim) mean aggregation
+        dims = vecs.withColumn(
+            "cid", F.expr(f"array_min({_cell_structs(cents)}).cid")
+        ).select("cid", F.posexplode("v").alias("dim", "val"))
+        means = dims.groupBy("cid", "dim").agg(F.expr(sorted_mean).alias("mval"))
+        new = (
+            means.groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(dim, mval))), s -> s.mval)"
+                ).alias("cv")
+            )
+            .collect()
+        )
+        cents = sorted((int(r.cid), list(r.cv)) for r in new)
+    return cents
 
 
 def ivf_train(
@@ -83,31 +120,12 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Train the coarse quantizer; returns (cid, cv) centroids."""
-    vecs = _as_vecs(emb, id_col, vec_col)
-    cents = vecs.filter(F.col("vid") < k_cells).select(
-        F.col("vid").cast("int").alias("cid"), F.col("v").alias("cv")
+    """Train the coarse quantizer; returns (cid, cv) centroids as a
+    DataFrame (API mirror of the other pipeline trainers)."""
+    cents = _train(emb, k_cells, iters, id_col, vec_col)
+    return emb.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid INT, cv ARRAY<DOUBLE>"
     )
-    sorted_mean = (
-        "aggregate(sort_array(collect_list(val)), CAST(0 AS DOUBLE), "
-        "(acc, x) -> acc + x) / count(val)"
-    )
-    for _ in range(iters):
-        assign = _assign(vecs, cents)
-        dims = assign.join(vecs, "vid").select(
-            "cid", F.posexplode("v").alias("dim", "val")
-        )
-        means = dims.groupBy("cid", "dim").agg(F.expr(sorted_mean).alias("mval"))
-        cents = (
-            means.groupBy("cid")
-            .agg(
-                F.expr(
-                    "transform(sort_array(collect_list(struct(dim, mval))), s -> s.mval)"
-                ).alias("cv")
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cents
 
 
 def ivf_search(
@@ -122,25 +140,24 @@ def ivf_search(
 ) -> DataFrame:
     """Train + probe: top-k cosine neighbors from the query's nprobe
     nearest cells. Output (query_id, neighbor_id, cos_sim, rnk)."""
-    cents = ivf_train(emb, k_cells, iters, id_col, vec_col)
-    corpus = _as_vecs(emb, id_col, vec_col)
-    inverted = _assign(corpus, cents).join(corpus, "vid")
+    cents = _train(emb, k_cells, iters, id_col, vec_col)
+    # inverted file: cell id projected onto the corpus row itself — the
+    # corpus is scanned once, mapped, and never joined back to itself
+    inverted = _as_vecs(emb, id_col, vec_col).withColumn(
+        "cid", F.expr(f"array_min({_cell_structs(cents)}).cid")
+    )
 
-    qvecs = _as_vecs(queries, id_col, vec_col)
     # nprobe nearest cells per query: sort the per-cell (dist, cid)
-    # array and take the prefix — same zero-shuffle map as _assign
-    probed = (
-        qvecs.crossJoin(F.broadcast(_cents_row(cents)))
-        .select(
-            F.col("vid").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.explode(
-                F.expr(
-                    f"transform(slice(array_sort({_CELL_DISTS}), 1, {int(nprobe)}), "
-                    "s -> s.cid)"
-                )
-            ).alias("cid"),
-        )
+    # array and explode the prefix — same single-stage map as _assign
+    probed = _as_vecs(queries, id_col, vec_col).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.expr(
+                f"transform(slice(array_sort({_cell_structs(cents)}), 1, "
+                f"{int(nprobe)}), s -> s.cid)"
+            )
+        ).alias("cid"),
     )
     scored = (
         # probe side = queries x nprobe rows — tiny by construction;
