@@ -8,5 +8,15 @@ thresholds, incremental state joins).
 
 from keenwa_spark.operators.skew import salted_join
 from keenwa_spark.operators.incremental import incremental_exact_dedup, incremental_minhash_dedup
+from keenwa_spark.operators.asof import asof_join
+from keenwa_spark.operators.range_join import range_join
+from keenwa_spark.operators.rollup import time_rollup
 
-__all__ = ["incremental_exact_dedup", "incremental_minhash_dedup", "salted_join"]
+__all__ = [
+    "asof_join",
+    "incremental_exact_dedup",
+    "incremental_minhash_dedup",
+    "range_join",
+    "salted_join",
+    "time_rollup",
+]

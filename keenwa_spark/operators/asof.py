@@ -1,0 +1,103 @@
+"""As-of (temporal) join: for each left row, the single most recent
+right row at-or-before the left row's timestamp, per key.
+
+Beyond-reference surface: keenwa has no temporal-join operator (its
+join enum is equi/theta — reference ``operators/relational/join.rs:10-40``);
+this is the classic time-series/attribution primitive (pandas
+``merge_asof``, DuckDB ``ASOF JOIN``, kdb ``aj``).
+
+Scale design — why NOT an inequality join: the naive plan
+``l JOIN r ON l.k = r.k AND l.ts >= r.ts`` explodes to all
+qualifying pairs (O(|l|x|r|) within a key) before the per-row argmax
+prunes them, and Spark plans non-equi conditions as BroadcastNestedLoop
+when the key is absent. Instead we UNION the two sides (tagged), sort
+once within each key partition, and carry the latest right payload
+forward with ``last(..., ignorenulls=True)``:
+
+    cost = ONE shuffle on the key, one in-partition sort — the same
+    cost as a windowed aggregate over the union, independent of match
+    fan-out. At 100 TB both sides partition by key; no pair blow-up,
+    no nested loop, no driver state.
+
+Determinism: ordering is (ts, side, seq) where right rows sort before
+left rows at equal timestamps — the join is inclusive (left.ts >=
+right.ts), matching DuckDB ASOF JOIN semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, annotated with the columns
+    of the most recent ``right`` row with ``right.ts <= left.ts`` on
+    the same key (NULLs when no such row, or when it is older than
+    ``tolerance_seconds``).
+
+    ``right_cols`` are the right-side payload columns to carry (default:
+    all non-key, non-ts columns), each emitted as ``<col><suffix>``;
+    ``<right_ts><suffix>`` is always included.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l_tagged = left.select(
+        "*",
+        F.col(left_ts).alias("__ats"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__payload"].dataType).alias("__payload"),
+    )
+    # unionByName(allowMissingColumns): left's own columns are NULL on
+    # right-side rows; they are discarded by the final side filter.
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ats").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+        .where(F.col("__side") == 1)
+        .drop("__ats", "__side", "__payload")
+    )
+
+    if tolerance_seconds is not None:
+        within: Column = (
+            F.col(f"{left_ts}").cast("double")
+            - F.col("__m.__ts").cast("double")
+        ) <= float(tolerance_seconds)
+        matched = matched.withColumn(
+            "__m", F.when(within, F.col("__m"))
+        )
+
+    out = matched.withColumn(
+        f"{right_ts}{suffix}", F.col("__m.__ts")
+    )
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"__m.{c}"))
+    return out.drop("__m")

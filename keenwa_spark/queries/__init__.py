@@ -134,6 +134,7 @@ def load_all() -> dict[str, QuerySpec]:
         expressions,
         pipeline,
         streaming_queries,
+        temporal,
     )
 
     return REGISTRY

@@ -1,0 +1,161 @@
+"""Temporal-operator queries: as-of join, range join, hypertable
+rollup — the custom time-series operators Spark lacks as builtins,
+each verified against a native DuckDB implementation (ASOF JOIN /
+inequality join / grouped UNION) at sf0.01.
+
+Beyond-reference surface (keenwa's join enum is equi/theta only,
+reference ``operators/relational/join.rs:10-40``; no time-series
+operators). Scale notes live on the operator modules
+(``operators/asof.py``, ``operators/range_join.py``,
+``operators/rollup.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keenwa_spark.operators.asof import asof_join
+from keenwa_spark.operators.range_join import range_join
+from keenwa_spark.operators.rollup import time_rollup
+from keenwa_spark.queries import df_query
+
+
+@df_query(
+    "op_asof_attribution",
+    oracle="""
+    SELECT
+      p.event_id AS purchase_id,
+      p.user_id AS user_id,
+      epoch_us(p.ts) AS purchase_epoch_us,
+      v.event_id AS view_id,
+      epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY purchase_id
+    """,
+    doc="Last-touch attribution: each purchase as-of-joined to the "
+    "user's most recent prior view. Spark side is the union-sort-"
+    "carry-forward plan (one shuffle on user_id); oracle is DuckDB's "
+    "native ASOF LEFT JOIN.",
+    tags=("temporal", "asof"),
+)
+def op_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.table("events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    joined = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts"
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("purchase_epoch_us"),
+        F.col("view_id_right").alias("view_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).alias("lag_us"),
+    ).orderBy("purchase_id")
+
+
+@df_query(
+    "op_range_join_error_windows",
+    oracle="""
+    SELECT
+      w.event_id AS error_id,
+      w.user_id AS user_id,
+      COUNT(*) AS n_clicks,
+      CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
+    FROM (SELECT event_id, user_id, ts AS lo, ts + INTERVAL 4 HOUR AS hi
+          FROM events WHERE event_type = 'error') w
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = w.user_id AND w.lo <= c.ts AND c.ts < w.hi
+    GROUP BY w.event_id, w.user_id
+    ORDER BY error_id
+    """,
+    doc="Clicks inside each user's 4-hour post-error window via the "
+    "binned range join (equi-join on (user_id, bin), ~5 bins per "
+    "interval, never a nested loop); oracle is DuckDB's inequality "
+    "join.",
+    tags=("temporal", "range_join"),
+)
+def op_range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.table("events")
+    windows = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOUR")).alias("hi"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    matched = range_join(
+        clicks, windows, point_ts="ts", lo="lo", hi="hi",
+        on=["user_id"], bin_width_seconds=3600,
+    )
+    return (
+        matched.groupBy("error_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("click_value"),
+        )
+        .orderBy("error_id")
+    )
+
+
+@df_query(
+    "op_hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT
+        'hour' AS grain,
+        event_type,
+        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        COUNT(value) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        MIN(value) AS vmin,
+        MAX(value) AS vmax,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS vavg
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    daily AS (
+      SELECT
+        'day' AS grain,
+        event_type,
+        strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS bucket,
+        COUNT(value) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        MIN(value) AS vmin,
+        MAX(value) AS vmax,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS vavg
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT * FROM hourly UNION ALL SELECT * FROM daily
+    ORDER BY grain, event_type, bucket
+    """,
+    doc="Continuous-aggregate rollup: hour partials from ONE raw scan, "
+    "day re-aggregated from the hour partials (sum/count/min/max are "
+    "decomposable; avg finalized per grain). Oracle recomputes each "
+    "grain from raw — equality proves partial re-aggregation correct.",
+    tags=("temporal", "rollup"),
+)
+def op_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.table("events")
+    rolled = time_rollup(
+        events, ts_col="ts", key_cols=["event_type"], value_col="value",
+        grains=["hour", "day"],
+    )
+    return rolled.select(
+        "grain",
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        "total",
+        "vmin",
+        "vmax",
+        "vavg",
+    ).orderBy("grain", "event_type", "bucket")

@@ -1,0 +1,214 @@
+"""Temporal operators: as-of join, range join, hypertable rollup.
+
+Semantics are pinned against tiny hand-computable frames; plan shape
+is pinned against the sf0.001 event data (no nested-loop join in the
+range join, carry-forward window in the as-of join).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from keenwa_spark.operators.asof import asof_join
+from keenwa_spark.operators.range_join import range_join
+from keenwa_spark.operators.rollup import time_rollup
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0),
+            ("A", _ts("2024-01-01 10:05:00"), 101.0),
+            ("A", _ts("2024-01-01 10:30:00"), 105.0),
+            ("B", _ts("2024-01-01 10:02:00"), 50.0),
+        ],
+        "sym string, ts timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:04:59"), 10),   # -> 10:00 quote
+            ("A", _ts("2024-01-01 10:05:00"), 20),   # -> 10:05 (inclusive)
+            ("A", _ts("2024-01-01 11:00:00"), 30),   # -> 10:30
+            ("B", _ts("2024-01-01 10:01:00"), 40),   # no quote yet -> NULL
+            ("C", _ts("2024-01-01 10:00:00"), 50),   # key absent -> NULL
+        ],
+        "sym string, ts timestamp, qty int",
+    )
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_match(self, quotes, trades):
+        out = {
+            (r.sym, r.qty): r.px_right
+            for r in asof_join(trades, quotes, on="sym").collect()
+        }
+        assert out[("A", 10)] == 100.0
+        assert out[("A", 20)] == 101.0  # equal ts matches (inclusive)
+        assert out[("A", 30)] == 105.0
+        assert out[("B", 40)] is None  # quote after trade: no match
+        assert out[("C", 50)] is None  # unseen key keeps left row (left join)
+
+    def test_row_count_preserved(self, quotes, trades):
+        assert asof_join(trades, quotes, on="sym").count() == trades.count()
+
+    def test_tolerance_nulls_stale_matches(self, quotes, trades):
+        out = {
+            (r.sym, r.qty): r.px_right
+            for r in asof_join(
+                trades, quotes, on="sym", tolerance_seconds=600
+            ).collect()
+        }
+        assert out[("A", 10)] == 100.0  # 299s old: fresh
+        assert out[("A", 30)] is None   # 1800s old: stale -> NULL
+        assert out[("B", 40)] is None
+
+    def test_single_shuffle_no_join_in_plan(self, quotes, trades):
+        plan = asof_join(trades, quotes, on="sym")._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # union+window, not a join operator
+        assert plan.count("Exchange") <= 2  # one per input branch of the union
+
+
+class TestRangeJoin:
+    def test_half_open_membership(self, spark):
+        points = spark.createDataFrame(
+            [("u", _ts("2024-01-01 10:00:00")),   # == lo: in
+             ("u", _ts("2024-01-01 10:09:59")),   # in
+             ("u", _ts("2024-01-01 10:10:00")),   # == hi: out (half-open)
+             ("u", _ts("2024-01-01 09:59:59")),   # before: out
+             ("v", _ts("2024-01-01 10:05:00"))],  # wrong key: out
+            "k string, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [("u", "w1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:10:00"))],
+            "k string, wid string, lo timestamp, hi timestamp",
+        )
+        got = range_join(
+            points, intervals, point_ts="ts", lo="lo", hi="hi",
+            on=["k"], bin_width_seconds=60,
+        )
+        assert sorted(r.ts.isoformat() for r in got.collect()) == [
+            "2024-01-01T10:00:00", "2024-01-01T10:09:59",
+        ]
+
+    def test_no_duplicate_pairs_across_bins(self, spark):
+        # interval spans many bins; each matching point must appear once
+        points = spark.createDataFrame(
+            [("u", i, _ts("2024-01-01 10:00:00") + dt.timedelta(minutes=i))
+             for i in range(30)],
+            "k string, pid int, ts timestamp",
+        )
+        intervals = spark.createDataFrame(
+            [("u", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:30:00"))],
+            "k string, lo timestamp, hi timestamp",
+        )
+        got = range_join(
+            points, intervals, point_ts="ts", lo="lo", hi="hi",
+            on=["k"], bin_width_seconds=120,  # 15 bins
+        )
+        assert got.count() == 30
+        assert got.select("pid").distinct().count() == 30
+
+    def test_empty_interval_matches_nothing(self, spark):
+        points = spark.createDataFrame(
+            [("u", _ts("2024-01-01 10:00:00"))], "k string, ts timestamp"
+        )
+        intervals = spark.createDataFrame(
+            [("u", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:00:00"))],
+            "k string, lo timestamp, hi timestamp",
+        )
+        got = range_join(points, intervals, point_ts="ts", lo="lo", hi="hi", on=["k"])
+        assert got.count() == 0
+
+    def test_plan_is_equi_join_not_nested_loop(self, views):
+        events = views.table("events")
+        windows = events.where("event_type = 'error'").select(
+            "user_id", F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 4 HOUR")).alias("hi"),
+        )
+        clicks = events.where("event_type = 'click'").select("user_id", "ts")
+        plan = range_join(
+            clicks, windows, point_ts="ts", lo="lo", hi="hi",
+            on=["user_id"], bin_width_seconds=3600,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    def test_invalid_bin_width(self, spark):
+        df = spark.range(1)
+        with pytest.raises(ValueError, match="positive"):
+            range_join(df, df, point_ts="id", lo="id", hi="id", bin_width_seconds=0)
+
+
+class TestTimeRollup:
+    @pytest.fixture(scope="class")
+    def rolled(self, views):
+        return time_rollup(
+            views.table("events"), ts_col="ts", key_cols=["event_type"],
+            value_col="value", grains=["hour", "day"],
+        ).cache()
+
+    def test_day_equals_direct_aggregation(self, views, rolled):
+        """Cascaded day partials == day aggregated directly from raw."""
+        direct = {
+            (r.event_type, r.b.isoformat()): (r.n, round(r.total, 4))
+            for r in views.table("events")
+            .groupBy("event_type", F.date_trunc("day", "ts").alias("b"))
+            .agg(
+                F.count("value").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+            )
+            .collect()
+        }
+        cascaded = {
+            (r.event_type, r.bucket_ts.isoformat()): (r.n, round(r.total, 4))
+            for r in rolled.where("grain = 'day'").collect()
+        }
+        assert cascaded == direct
+
+    def test_grain_counts_are_consistent(self, rolled):
+        tot = {
+            r.grain: r.s for r in
+            rolled.groupBy("grain").agg(F.sum("n").alias("s")).collect()
+        }
+        assert tot["hour"] == tot["day"]
+
+    def test_avg_finalized_per_grain(self, rolled):
+        row = rolled.where("grain = 'day'").first()
+        assert row.vavg == pytest.approx(row.total / row.n)
+
+    def test_week_cannot_be_cascade_base(self, views):
+        with pytest.raises(ValueError, match="week"):
+            time_rollup(
+                views.table("events"), ts_col="ts", key_cols=[],
+                value_col="value", grains=["week", "month"],
+            )
+
+    def test_bad_grain_order_rejected(self, views):
+        with pytest.raises(ValueError, match="fine-to-coarse"):
+            time_rollup(
+                views.table("events"), ts_col="ts", key_cols=[],
+                value_col="value", grains=["day", "hour"],
+            )
+
+    def test_single_raw_scan(self, views):
+        """The cascade reads the fact table once: every grain branch
+        consumes the materialized fine partial (InMemoryTableScan),
+        never the raw parquet directly — raw is scanned only when the
+        cache populates, i.e. exactly once."""
+        df = time_rollup(
+            views.table("events"), ts_col="ts", key_cols=["event_type"],
+            value_col="value", grains=["hour", "day", "month"],
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") == 3
