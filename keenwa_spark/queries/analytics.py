@@ -12,6 +12,57 @@ from __future__ import annotations
 from keenwa_spark.queries import sql_query
 
 sql_query(
+    "q1_pricing_summary",
+    """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+           AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        / COUNT(l_extendedprice) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape (pricing summary): the canonical full-scan "
+    "aggregate — ~97% of the fact table through a 4-way decimal-exact "
+    "partial agg into a handful of groups. Map-side combine does "
+    "virtually all the work; shuffle is a few rows per partition. "
+    "Averages finalized from sum/count (order-independent).",
+    tags=("analytics", "tpch"),
+)
+
+sql_query(
+    "q6_forecast_revenue",
+    """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue): pure filter+sum with every "
+    "predicate pushed to the parquet scan (PushedFilters on shipdate/"
+    "discount/quantity) — the pushdown/pruning acid test; a global "
+    "agg, zero-row shuffle.",
+    tags=("analytics", "tpch"),
+)
+
+sql_query(
     "q3_shipping_priority",
     """
     SELECT

@@ -1009,3 +1009,57 @@ def pl_quality_drop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.quality import drop_reason_stats, quality_gates
 
     return drop_reason_stats(quality_gates(spark.table("documents")))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_D_4GRAMS = (
+    "CASE WHEN len(w) >= 4 "
+    "THEN [array_to_string(w[i:i+3], ' ') for i in range(1, len(w)-2)] "
+    "ELSE [] END"
+)
+
+
+@df_query(
+    "pl_decontaminate",
+    oracle=f"""
+    WITH splitd AS (
+      SELECT doc_id, {_D_WORDS.format(c='text')} AS w FROM documents
+    ),
+    dsh AS (
+      SELECT doc_id, unnest({_D_4GRAMS}) AS s
+      FROM splitd WHERE doc_id % 97 <> 0
+    ),
+    bsh AS (
+      SELECT DISTINCT unnest({_D_4GRAMS}) AS s
+      FROM splitd WHERE doc_id % 97 = 0
+    )
+    SELECT d.doc_id AS doc_id,
+           COUNT(DISTINCT d.s) AS n_ngrams,
+           COUNT(DISTINCT b.s) AS n_hits,
+           COUNT(DISTINCT b.s) >= 1 AS contaminated
+    FROM dsh d LEFT JOIN bsh b ON d.s = b.s
+    GROUP BY d.doc_id
+    """,
+    doc="Benchmark decontamination (GPT-3-appendix-C-style): training docs "
+    "(doc_id % 97 != 0) flagged by distinct word-4-gram overlap with the "
+    "held-out benchmark slice (doc_id % 97 = 0). Spark side broadcasts the "
+    "benchmark's DISTINCT 64-bit n-gram hashes — the corpus is scanned "
+    "once, text never shuffles (pipeline/decontaminate.py). Oracle joins "
+    "raw n-gram STRINGS, so a hash-collision divergence would surface as "
+    "a mismatch.",
+    tags=("pipeline", "text", "decontamination"),
+)
+def pl_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.pipeline.decontaminate import decontaminate
+
+    docs = spark.table("documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=4,
+    )
