@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "flagship_top_customers",
     "agg_group_having",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
@@ -33,6 +35,8 @@ HEADLINE = [
     "win_topn_per_group",
     "ev_sessionize",
     "subq_scalar_correlated",
+    "op_asof_attribution",
+    "op_hypertable_rollup",
     "pl_minhash_lsh_pairs",
     "pl_ann_cosine_topk",
     "pl_ann_ivf_topk",
