@@ -107,3 +107,32 @@ def stratified_sample(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    salt: str = "mix0",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Domain-mixture sampling: an independent deterministic Bernoulli
+    draw per row with a PER-DOMAIN rate — the "data recipe" operator
+    (upsample wiki-like sources, downsample crawl) used to hit a target
+    training mixture.
+
+    Pure map, zero shuffle: the per-domain threshold is a CASE
+    expression in codegen, so at 100 TB this is a filter fused into
+    the scan — no join against a rates table, no RNG, and the same
+    rows survive on any cluster layout or re-run. Domains absent from
+    ``rates`` get ``default_rate`` (0.0 = drop unknown domains)."""
+    for d, r in {**rates, "<default>": default_rate}.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {d!r} must be in [0, 1], got {r}")
+    whens = " ".join(
+        f"WHEN {domain_col} = '{d}' THEN {int(r * _BUCKETS)}"
+        for d, r in sorted(rates.items())
+    )
+    threshold = f"CASE {whens} ELSE {int(default_rate * _BUCKETS)} END"
+    return df.filter(F.expr(f"{_bucket_expr(key_col, salt)} < ({threshold})"))

@@ -1063,3 +1063,34 @@ def pl_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 97 == 0),
         n=4,
     )
+
+
+@df_query(
+    "pl_domain_mixture",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source, {_duck_bucket('doc_id', 'mix0')} AS bk
+      FROM documents
+    )
+    SELECT doc_id, source FROM b
+    WHERE bk < (CASE WHEN source = 'src0' THEN 1000000
+                     WHEN source = 'src1' THEN 600000
+                     WHEN source = 'src2' THEN 200000
+                     ELSE 50000 END)
+    """,
+    doc="Domain-mixture sampling (training-data recipe): per-source "
+    "deterministic Bernoulli rates (src0 1.0 / src1 0.6 / src2 0.2 / "
+    "others 0.05) as ONE codegen CASE filter fused into the scan — no "
+    "join, no shuffle, no RNG (pipeline/sampling.py mixture_sample).",
+    tags=("pipeline", "sampling"),
+)
+def pl_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sampling import mixture_sample
+
+    return mixture_sample(
+        spark.table("documents"),
+        "source",
+        {"src0": 1.0, "src1": 0.6, "src2": 0.2},
+        key_col="doc_id",
+        default_rate=0.05,
+    ).select("doc_id", "source")

@@ -104,3 +104,45 @@ def test_quality_gates_flag_junk(spark):
     stats = drop_reason_stats(quality_gates(df)).collect()[0]
     assert stats.kept == 1 and stats.total == 5
     assert stats.fail_g_repetition >= 1 and stats.fail_g_urls >= 1
+
+
+def test_mixture_sample_rates_and_determinism(docs):
+    from keenwa_spark.pipeline.sampling import mixture_sample
+
+    d = docs.withColumn("domain", F.col("lang"))
+    rates = {"en": 1.0, "de": 0.0}
+    out = {r.doc_id for r in mixture_sample(d, "domain", rates, "doc_id").collect()}
+    # rate-1.0 domain keeps everything, rate-0.0 domain drops everything
+    assert out == {i for i in range(40) if i % 2 == 0}
+    # reproducible
+    out2 = {r.doc_id for r in mixture_sample(d, "domain", rates, "doc_id").collect()}
+    assert out == out2
+
+
+def test_mixture_sample_default_rate_and_subset(docs):
+    from keenwa_spark.pipeline.sampling import hash_sample, mixture_sample
+
+    d = docs.withColumn("domain", F.col("lang"))
+    # unknown domains fall back to default_rate
+    none_kept = mixture_sample(d, "domain", {"fr": 1.0}, "doc_id").count()
+    assert none_kept == 0
+    # a domain at rate r is exactly hash_sample(r) restricted to it:
+    # same salt => same buckets => identical row set
+    mixed = {
+        r.doc_id
+        for r in mixture_sample(d, "domain", {"en": 0.5}, "doc_id", salt="s0").collect()
+    }
+    plain = {
+        r.doc_id
+        for r in hash_sample(d.where("domain = 'en'"), "doc_id", 0.5, salt="s0").collect()
+    }
+    assert mixed == plain
+
+
+def test_mixture_sample_rate_validation(docs):
+    from keenwa_spark.pipeline.sampling import mixture_sample
+
+    with pytest.raises(ValueError, match="rate"):
+        mixture_sample(docs, "lang", {"en": 1.5}, "doc_id")
+    with pytest.raises(ValueError, match="rate"):
+        mixture_sample(docs, "lang", {"en": 0.5}, "doc_id", default_rate=-0.1)
