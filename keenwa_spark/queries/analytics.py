@@ -210,3 +210,25 @@ sql_query(
     "Two fact-table shuffles by necessity (subquery agg + outer agg).",
     tags=("analytics", "tpch"),
 )
+
+sql_query(
+    "agg_rollup_hierarchy",
+    """
+    SELECT
+      COALESCE(r_name, '<all>') AS region,
+      COALESCE(n_name, '<all>') AS nation,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY region, nation
+    """,
+    doc="GROUP BY ROLLUP (Spark superset; keenwa rejects CUBE/ROLLUP, "
+    "reference sql/mod.rs:341-343): region>nation>grand-total hierarchy "
+    "in one Expand+aggregate pass — at scale this is one shuffle, not "
+    "three UNIONed scans. Dimension names are non-null so COALESCE "
+    "labels the rollup rows unambiguously.",
+    tags=("analytics", "aggregate", "superset"),
+)

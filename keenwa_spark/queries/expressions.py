@@ -508,3 +508,32 @@ sql_query(
     "value.rs:12-35; typed-NULL casts expr.rs:28) + COALESCE/NULLIF.",
     tags=("expr", "null"),
 )
+
+sql_query(
+    "win_frames_rows_range",
+    """
+    SELECT
+      o_orderkey,
+      o_custkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_total,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS moving3_total,
+      COUNT(*) OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice
+        RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+        AS near_price_cnt
+    FROM orders
+    """,
+    doc="Window FRAMES (Spark superset; keenwa rejects frames, reference "
+    "sql/mod.rs:1339-1340): ROWS running + moving-3 totals ordered by "
+    "the unique o_orderkey (ROWS frames need total order for "
+    "determinism), and a RANGE value-window over o_totalprice (peers "
+    "grouped, so ties are deterministic). One shuffle on o_custkey "
+    "serves all three frames.",
+    tags=("expressions", "window", "superset"),
+)
