@@ -668,18 +668,22 @@ def pl_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pl_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from keenwa_spark.pipeline.clustering import dedup_groups
+    from keenwa_spark.pipeline.clustering import connected_components
     from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
     from keenwa_spark.pipeline.text import text_stats
 
     docs = spark.table("documents")
+    # stats already carries doc_id: no docs⋈stats self-join needed. The
+    # ONE remaining doc_id join (stats ⋈ components) is algorithmically
+    # required — and its right side is only the docs that appear in
+    # near-dup pairs, not the corpus (singletons coalesce to
+    # themselves).
     stats = text_stats(docs).select("doc_id", "n_words")
-    groups = dedup_groups(docs, minhash_lsh_pairs(docs))
+    comp = connected_components(minhash_lsh_pairs(docs))
     return (
-        docs.select("doc_id")
-        .join(stats, "doc_id")
-        .join(groups.select("doc_id", "component", "keep"), "doc_id")
-        .filter((F.col("n_words") >= 30) & F.col("keep"))
+        stats.join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        .filter((F.col("n_words") >= 30) & (F.col("doc_id") == F.col("component")))
         .select("doc_id", "n_words", "component")
     )
 
