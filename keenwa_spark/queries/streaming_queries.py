@@ -113,3 +113,68 @@ def st_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("string").alias("session_end"),
         "n_events",
     )
+
+
+@df_query(
+    "st_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           epoch_us(ts) AS ts_us,
+           value
+    FROM events
+    """,
+    doc="Streaming exact dedup under at-least-once delivery: the event "
+    "stream UNIONed with itself (every event delivered twice) through "
+    "dropDuplicatesWithinWatermark(event_id) — half the input rows are "
+    "dropped, state is one entry per key EVICTED at the watermark "
+    "(streaming/events.py dedup_stream). Deterministic because "
+    "re-deliveries are byte-identical; oracle is the distinct batch "
+    "relation.",
+    tags=("streaming", "dedup"),
+)
+def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming import dedup_stream, run_available_now
+
+    stream = _stream_source(spark, sf_dir)
+    redelivered = stream.union(_stream_source(spark, sf_dir))
+    out = run_available_now(dedup_stream(redelivered), output_mode="append")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+
+@df_query(
+    "st_enrich",
+    oracle="""
+    SELECT e.event_id AS event_id,
+           e.user_id AS user_id,
+           e.event_type AS event_type,
+           c.c_name AS c_name,
+           c.c_mktsegment AS c_mktsegment
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Stream-static dimension enrichment: each micro-batch left-joins "
+    "the BROADCAST customer dim — the stream never shuffles, the only "
+    "join shape that scales on a hot stream (streaming/events.py "
+    "enrich_stream). Oracle is the batch left join.",
+    tags=("streaming", "enrich"),
+)
+def st_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.queries import ensure_views
+    from keenwa_spark.streaming import enrich_stream, run_available_now
+
+    ensure_views(spark, sf_dir)
+    dim = spark.table("customer").select("c_custkey", "c_name", "c_mktsegment")
+    enriched = enrich_stream(
+        _stream_source(spark, sf_dir),
+        dim.withColumnRenamed("c_custkey", "user_id"),
+    )
+    out = run_available_now(enriched, output_mode="append")
+    return out.select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
