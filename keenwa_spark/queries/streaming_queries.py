@@ -178,3 +178,46 @@ def st_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(enriched, output_mode="append")
     return out.select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+
+
+@df_query(
+    "st_rollup_day",
+    oracle="""
+    SELECT
+      strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        AS day,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Streaming continuous aggregate (the Lambda handoff): hourly "
+    "partials stream in under a watermark (windowed_type_counts), the "
+    "day grain re-aggregates the DRAINED partials in batch — raw events "
+    "are only ever aggregated by the stream; the oracle recomputes the "
+    "day grain from raw, so equality proves partial re-aggregation "
+    "through the streaming boundary. Each hourly total is an exact "
+    "DECIMAL(18,6) value, so the decimal re-sum is exact.",
+    tags=("streaming", "rollup"),
+)
+def st_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming import run_available_now, windowed_type_counts
+
+    hourly = run_available_now(
+        windowed_type_counts(_stream_source(spark, sf_dir), window="1 hour")
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "win_start"), "yyyy-MM-dd HH:mm:ss").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("total_value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
