@@ -136,3 +136,29 @@ def mixture_sample(
     )
     threshold = f"CASE {whens} ELSE {int(default_rate * _BUCKETS)} END"
     return df.filter(F.expr(f"{_bucket_expr(key_col, salt)} < ({threshold})"))
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    weight_col: str,
+    scale: float,
+    key_col: str,
+    salt: str = "wb0",
+) -> DataFrame:
+    """Importance sampling: an independent deterministic Bernoulli draw
+    per row with keep-probability ``min(1, scale * weight)`` — sample
+    training docs proportional to a quality/length score instead of
+    uniformly.
+
+    Pure map, zero shuffle, and EXACTLY cross-engine reproducible: the
+    per-row threshold uses only IEEE ops (multiply, min, floor), never
+    transcendentals (a u^(1/w) Efraimidis–Spirakis key would hit
+    libm pow() divergence between engines), so the same rows survive
+    on any engine, layout, or re-run."""
+    if scale < 0:
+        raise ValueError(f"scale must be >= 0, got {scale}")
+    thr = (
+        f"CAST(floor(least(CAST({weight_col} AS DOUBLE) * {scale!r}, 1.0D)"
+        f" * {_BUCKETS}) AS BIGINT)"
+    )
+    return df.filter(F.expr(f"{_bucket_expr(key_col, salt)} < {thr}"))

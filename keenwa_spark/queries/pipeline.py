@@ -1098,3 +1098,25 @@ def pl_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         default_rate=0.05,
     ).select("doc_id", "source")
+
+
+@df_query(
+    "pl_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE {_duck_bucket('doc_id', 'wb0')} <
+          CAST(floor(least(CAST(n_chars AS DOUBLE) * 0.0005, 1.0) * 1000000) AS BIGINT)
+    """,
+    doc="Weighted (importance) sampling: keep-probability proportional "
+    "to document length, min(1, 5e-4 * n_chars), as a deterministic "
+    "hash-Bernoulli draw — zero shuffle, no RNG, and only IEEE ops "
+    "(no libm pow/ln) so the draw is bit-identical across engines "
+    "(pipeline/sampling.py weighted_bernoulli_sample).",
+    tags=("pipeline", "sampling"),
+)
+def pl_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sampling import weighted_bernoulli_sample
+
+    return weighted_bernoulli_sample(
+        spark.table("documents"), "n_chars", 0.0005, key_col="doc_id"
+    ).select("doc_id", "n_chars")

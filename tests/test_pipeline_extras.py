@@ -146,3 +146,29 @@ def test_mixture_sample_rate_validation(docs):
         mixture_sample(docs, "lang", {"en": 1.5}, "doc_id")
     with pytest.raises(ValueError, match="rate"):
         mixture_sample(docs, "lang", {"en": 0.5}, "doc_id", default_rate=-0.1)
+
+
+def test_weighted_sample_probability_scales_with_weight(spark):
+    from keenwa_spark.pipeline.sampling import weighted_bernoulli_sample
+
+    rows = [(i, w) for i in range(2000) for w in [(i % 2) * 2000.0]]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, wt DOUBLE")
+    kept = weighted_bernoulli_sample(df, "wt", 0.00025, "doc_id").collect()
+    # weight 0 rows can never be kept; weight 2000 rows keep at p=0.5
+    assert all(r.wt > 0 for r in kept)
+    assert 350 <= len(kept) <= 650  # ~500 expected of 1000 eligible
+    # deterministic
+    again = weighted_bernoulli_sample(df, "wt", 0.00025, "doc_id").collect()
+    assert {r.doc_id for r in kept} == {r.doc_id for r in again}
+
+
+def test_weighted_sample_probability_caps_at_one(spark):
+    from keenwa_spark.pipeline.sampling import weighted_bernoulli_sample
+
+    df = spark.createDataFrame(
+        [(i, 1e9) for i in range(50)], "doc_id BIGINT, wt DOUBLE"
+    )
+    # min(1, scale*w) == 1 -> everything kept
+    assert weighted_bernoulli_sample(df, "wt", 1.0, "doc_id").count() == 50
+    with pytest.raises(ValueError, match="scale"):
+        weighted_bernoulli_sample(df, "wt", -1.0, "doc_id")
