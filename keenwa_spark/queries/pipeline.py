@@ -362,9 +362,17 @@ def pl_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, emb.filter("vec_id < 10"), k=5)
 
 
-def _duck_ivf_sql(k_cells: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5) -> str:
+def _duck_ivf_sql(
+    k_cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    k: int = 5,
+    train_rows: int = 100_000,
+) -> str:
     """Replay IVF training + search: one (assign, means, centroids) CTE
-    triple per Lloyd iteration."""
+    triple per Lloyd iteration. Training reads only the bounded sample
+    (``tvecs``, vid < train_rows — the driver-side model-fit set);
+    search reads the full corpus."""
     sqdist = "list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)])"
     cos = (
         "list_sum([v[i] * qv[i] for i in range(1, len(v) + 1)])"
@@ -373,24 +381,25 @@ def _duck_ivf_sql(k_cells: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5)
     )
     parts = [
         f"""vecs AS (SELECT vec_id AS vid, {_D_VEC_D} AS v FROM embeddings),
+    tvecs AS (SELECT * FROM vecs WHERE vid < {train_rows}),
     c0 AS (
-      SELECT CAST(vid AS INT) AS cid, v AS cv FROM vecs WHERE vid < {k_cells}
+      SELECT CAST(vid AS INT) AS cid, v AS cv FROM tvecs WHERE vid < {k_cells}
     )"""
     ]
     prev = "c0"
     for it in range(1, iters + 1):
         parts.append(f"""a{it} AS (
       SELECT vid, cid FROM (
-        SELECT vecs.vid, {prev}.cid,
-               ROW_NUMBER() OVER (PARTITION BY vecs.vid ORDER BY {sqdist}, cid) AS rn
-        FROM vecs, {prev}
+        SELECT tvecs.vid, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY tvecs.vid ORDER BY {sqdist}, cid) AS rn
+        FROM tvecs, {prev}
       ) WHERE rn = 1
     ),
     m{it} AS (
       SELECT cid, dim, list_sum(list_sort(list(val))) / COUNT(val) AS mval
       FROM (
         SELECT a{it}.cid, generate_subscripts(v, 1) AS dim, unnest(v) AS val
-        FROM a{it} JOIN vecs USING (vid)
+        FROM a{it} JOIN tvecs USING (vid)
       ) GROUP BY cid, dim
     ),
     c{it} AS (SELECT cid, list(mval ORDER BY dim) AS cv FROM m{it} GROUP BY cid)""")
@@ -431,10 +440,13 @@ def _duck_ivf_sql(k_cells: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5)
     "pl_ann_ivf_topk",
     oracle=_duck_ivf_sql(),
     doc="IVF approximate top-5 (pipeline/ivf.py): deterministic coarse "
-    "k-means (fixed init, sorted-fold means, 2 Lloyd iterations) -> "
-    "inverted cell lists -> nprobe=2 probed search. The ENTIRE pipeline "
-    "incl. training is oracle-replayed in DuckDB (chained CTEs per "
-    "iteration) — bit-exact centroids, assignments, and scores.",
+    "k-means fit in-driver on a bounded sample (fixed init, sorted-fold "
+    "means, 2 Lloyd iterations — the faiss train-on-sample recipe) -> "
+    "one shuffle-free corpus assignment pass (centroids broadcast as a "
+    "1-row array<struct> model column) -> nprobe=2 probed search. The "
+    "ENTIRE pipeline incl. training is oracle-replayed in DuckDB "
+    "(chained CTEs per iteration) — bit-exact centroids, assignments, "
+    "and scores.",
     tags=("pipeline", "similarity", "ann", "ivf"),
 )
 def pl_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -163,3 +163,27 @@ def test_ivf_recall_vs_brute_force(views):
     got = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(got & truth) / len(truth)
     assert recall > 0.1, recall  # random 64-dim data; cells are coarse
+
+
+def test_ivf_assign_backends_bit_identical(views):
+    """The JVM HOF map and the Arrow/numpy kernel must agree BIT-EXACTLY
+    (same IEEE fold order, same lowest-cid tie-break) — the backend is a
+    pure physical-plan choice."""
+    from keenwa_spark.pipeline.ivf import ivf_search
+
+    emb = views.table("embeddings")
+    queries = emb.filter("vec_id < 10")
+    a = sorted(map(tuple, ivf_search(emb, queries, k=5, assign_backend="sql").collect()))
+    b = sorted(map(tuple, ivf_search(emb, queries, k=5, assign_backend="numpy").collect()))
+    assert a == b
+
+
+def test_ivf_train_empty_cell_drop(views):
+    """Cells that lose all members during Lloyd drop out of the model
+    (matching the SQL oracle's group-by-present-cids behavior)."""
+    from keenwa_spark.pipeline.ivf import ivf_train
+
+    emb = views.table("embeddings")
+    cents = ivf_train(emb, k_cells=8, iters=2).collect()
+    assert 0 < len(cents) <= 8
+    assert [r.cid for r in cents] == sorted(r.cid for r in cents)
