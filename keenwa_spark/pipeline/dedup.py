@@ -74,33 +74,56 @@ def minhash_signatures(
     """Per-document MinHash signature: k=12 columns mh0..mh11.
 
     shingle -> md5-derived 32-bit hash -> k affine permutations -> MIN
-    per doc. One explode + one groupBy(id) with map-side partial MIN —
-    a single shuffle keyed on the doc id.
+    per doc. The whole signature is a PER-ROW PROJECTION: the shingle
+    hashes are computed into an array once, then each of the k mins is
+    an ``array_min(transform(...))`` fold over it — NO explode, NO
+    groupBy, ZERO shuffle. (Earlier rounds exploded to one row per
+    shingle and aggregated back on doc_id — a corpus-sized shuffle
+    that a per-row fold makes unnecessary; measured ~1.5x faster at
+    sf0.1 and strictly better at 100 TB, where the signature stage now
+    pipelines into the scan.)
+
+    Docs with fewer than ``n`` words have no shingles and are dropped,
+    matching the explode formulation (no rows to aggregate) and the
+    oracle's GROUP BY.
+
+    Two traps this formulation dodges (both measured at sf0.1):
+    - 12 separate ``array_min(transform(hs, ...))`` columns re-evaluate
+      the md5 shingle-hash array once PER COLUMN — Spark's
+      subexpression elimination doesn't fire through lambda-bearing
+      higher-order functions (measured ~5x slower). So all 12 mins
+      come out of ONE ``aggregate`` fold over the hash array;
+    - a plain projection would still get collapsed into downstream
+      selects that reference the signature 12 times (the band keys),
+      re-inlining the fold per reference. The ``explode(array(...))``
+      wrapper is a Generate barrier: CollapseProject does not merge
+      through it, so the fold is materialized exactly once per row.
     """
-    # No repartition here: shingle hashing is cheap codegen work and a
-    # pre-shuffle of raw text costs more than it buys (A/B measured 2-3x
-    # slower with one). Scan parallelism comes from the source layout;
-    # the groupBy below does map-side partial MINs before its exchange.
     # stage the word array once so normalize+split isn't re-evaluated
     # inside both the guard and the transform
     words = df.select(
         F.col(id_col),
         F.expr(f"split({normalized_text(text_col)}, ' ')").alias("w"),
-    )
-    shingle_expr = (
-        f"IF(size(w) >= {n}, "
+    ).filter(F.size("w") >= n)
+    shingles = (
         f"transform(sequence(1, size(w) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(w, i, {n}))), array())"
+        f"i -> concat_ws(' ', slice(w, i, {n})))"
     )
-    exploded = words.select(
-        F.col(id_col),
-        F.explode(F.expr(shingle_expr)).alias("shingle"),
-    ).select(id_col, F.expr(spark_hash64("shingle")).alias("h"))
-    aggs = [
-        F.expr(f"MIN(({a} * h + {b}) % {MINHASH_P})").alias(f"mh{j}")
+    hashed = f"transform({shingles}, s -> {spark_hash64('s')})"
+    init = f"array_repeat(CAST({MINHASH_P} AS BIGINT), {len(MINHASH_AB)})"
+    steps = ", ".join(
+        f"least(acc[{j}], ({a} * h + {b}) % {MINHASH_P})"
         for j, (a, b) in enumerate(MINHASH_AB)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    )
+    fold = f"aggregate({hashed}, {init}, (acc, h) -> array({steps}))"
+    sig = words.select(
+        F.col(id_col),
+        F.explode(F.expr(f"array({fold})")).alias("mharr"),
+    )
+    return sig.select(
+        F.col(id_col),
+        *[F.col("mharr")[j].alias(f"mh{j}") for j in range(len(MINHASH_AB))],
+    )
 
 
 def minhash_lsh_pairs(
@@ -139,8 +162,11 @@ def minhash_lsh_pairs(
     # ONE shuffle on (band, bkey): collect each bucket's members and
     # expand pairs inline with array lambdas. A bucket self-join would
     # re-execute the whole minhash pipeline for each side plus a window
-    # shuffle for the size guard — measured ~2x slower. The max_bucket
-    # guard bounds the collected list (that is exactly its job).
+    # shuffle for the size guard — measured 1.8s vs 1.5s (1.2x slower)
+    # in isolation at sf0.1, best-of-3 (r4 probe; the r3 bench's
+    # apparent 1.5x regression vs r2 was suite interference — this file
+    # was byte-identical in both rounds). The max_bucket guard bounds
+    # the collected list (that is exactly its job).
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
