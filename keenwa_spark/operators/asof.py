@@ -19,9 +19,15 @@ forward with ``last(..., ignorenulls=True)``:
     fan-out. At 100 TB both sides partition by key; no pair blow-up,
     no nested loop, no driver state.
 
-Determinism: ordering is (ts, side, seq) where right rows sort before
-left rows at equal timestamps — the join is inclusive (left.ts >=
-right.ts), matching DuckDB ASOF JOIN semantics.
+Determinism: ordering is (ts, side, payload) where right rows sort
+before left rows at equal timestamps — the join is inclusive (left.ts
+>= right.ts), matching DuckDB ASOF JOIN semantics. When the right side
+has SEVERAL rows at the same (key, ts), the lexicographically greatest
+payload struct wins (the payload is the window-order tiebreaker, so
+the choice is a total order, stable across runs/partitionings — an
+arbitrary-but-deterministic rule the caller can rely on; pre-dedup the
+right side if a different rule is wanted). Payload columns must be
+orderable types for this guarantee (maps are not).
 """
 
 from __future__ import annotations
@@ -77,7 +83,11 @@ def asof_join(
 
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ats").asc(), F.col("__side").asc())
+        # __payload last: a total order even with duplicate right-side
+        # (key, ts) rows — last() then deterministically picks the
+        # greatest payload (NULLS FIRST puts left rows' null payloads
+        # harmlessly ahead; __side already orders right before left)
+        .orderBy(F.col("__ats").asc(), F.col("__side").asc(), F.col("__payload").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

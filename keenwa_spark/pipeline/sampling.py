@@ -34,14 +34,40 @@ from keenwa_spark.pipeline.hashing import spark_hash64
 _BUCKETS = 1_000_000
 
 
+def _q(s: str) -> str:
+    """SQL string-literal escape for interpolated user values (salts,
+    split names, domain names) — a stray quote must not alter the
+    generated query."""
+    return s.replace("'", "''")
+
+
 def _bucket_expr(key_col: str, salt: str) -> str:
     """Engine-portable uniform bucket in [0, _BUCKETS) from key+salt.
 
     Salting lets independent samples over the same keys be independent
     draws (rate-0.1 samples with salts 'a' and 'b' overlap ~1%, not
     100%)."""
-    h = spark_hash64(f"concat(CAST({key_col} AS STRING), '{salt}')")
+    h = spark_hash64(f"concat(CAST({key_col} AS STRING), '{_q(salt)}')")
     return f"{h} % {_BUCKETS}"
+
+
+def _split_edges(splits: dict[str, float]) -> list[tuple[str, int, int]]:
+    """Cumulative [lo, hi) bucket edges per split, with each edge
+    ROUNDED (not truncated) from the float-accumulated fraction: for
+    fraction sets summing to exactly 1, the final edge is exactly
+    _BUCKETS, so the last bucket (_BUCKETS - 1) is always covered —
+    truncation could yield 999999 and silently drop keys hashing to
+    the final bucket, and could shift interior edges one bucket off
+    the round numbers an oracle hardcodes."""
+    edges = []
+    acc = 0.0
+    lo = 0
+    for name, frac in splits.items():
+        acc += frac
+        hi = int(round(acc * _BUCKETS))
+        edges.append((name, lo, hi))
+        lo = hi
+    return edges
 
 
 def hash_sample(
@@ -53,7 +79,7 @@ def hash_sample(
     layout."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    threshold = int(rate * _BUCKETS)
+    threshold = int(round(rate * _BUCKETS))
     return df.filter(F.expr(f"{_bucket_expr(key_col, salt)} < {threshold}"))
 
 
@@ -71,16 +97,10 @@ def hash_split(
     total = sum(splits.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split fractions sum to {total} > 1")
-    edges = []
-    acc = 0.0
-    for name, frac in splits.items():
-        lo = int(acc * _BUCKETS)
-        acc += frac
-        hi = int(acc * _BUCKETS)
-        edges.append((name, lo, hi))
+    edges = _split_edges(splits)
     bucket = _bucket_expr(key_col, salt)
     case = "CASE " + " ".join(
-        f"WHEN {bucket} >= {lo} AND {bucket} < {hi} THEN '{name}'"
+        f"WHEN {bucket} >= {lo} AND {bucket} < {hi} THEN '{_q(name)}'"
         for name, lo, hi in edges
     ) + " END"
     return df.withColumn("split", F.expr(case)).filter(F.col("split").isNotNull())
@@ -131,10 +151,10 @@ def mixture_sample(
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {d!r} must be in [0, 1], got {r}")
     whens = " ".join(
-        f"WHEN {domain_col} = '{d}' THEN {int(r * _BUCKETS)}"
+        f"WHEN {domain_col} = '{_q(d)}' THEN {int(round(r * _BUCKETS))}"
         for d, r in sorted(rates.items())
     )
-    threshold = f"CASE {whens} ELSE {int(default_rate * _BUCKETS)} END"
+    threshold = f"CASE {whens} ELSE {int(round(default_rate * _BUCKETS))} END"
     return df.filter(F.expr(f"{_bucket_expr(key_col, salt)} < ({threshold})"))
 
 

@@ -63,7 +63,7 @@ def st_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win_end").cast("string").alias("win_end"),
         "event_type",
         "n_events",
-        "total_value",
+        F.col("total_value").cast("double").alias("total_value"),
     )
 
 
@@ -197,8 +197,9 @@ def st_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "day grain re-aggregates the DRAINED partials in batch — raw events "
     "are only ever aggregated by the stream; the oracle recomputes the "
     "day grain from raw, so equality proves partial re-aggregation "
-    "through the streaming boundary. Each hourly total is an exact "
-    "DECIMAL(18,6) value, so the decimal re-sum is exact.",
+    "through the streaming boundary. Hourly totals cross the boundary "
+    "as DECIMAL(18,6) (never double), so the day re-sum is exact at "
+    "any scale; double appears only in the final presentation cast.",
     tags=("streaming", "rollup"),
 )
 def st_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,8 +217,7 @@ def st_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum(F.col("total_value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("total_value"),
+            # partials arrive as DECIMAL(18,6): the re-sum is exact
+            F.sum("total_value").cast("double").alias("total_value"),
         )
     )

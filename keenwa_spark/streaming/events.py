@@ -72,13 +72,18 @@ def windowed_type_counts(
     """Per-window, per-type event counts + value sums. The watermark
     bounds aggregation state: windows older than (max event time -
     watermark) finalize and are evicted — the knob that keeps state
-    finite on an unbounded stream."""
+    finite on an unbounded stream.
+
+    ``total_value`` is emitted as DECIMAL(18,6) — exact at any scale,
+    so downstream grains can re-aggregate the partials exactly (cast to
+    double only at final presentation). Routing through double here
+    would silently cap exactness at ~15-16 significant digits."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("win_start"),

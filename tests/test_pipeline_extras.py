@@ -43,6 +43,48 @@ def test_hash_split_disjoint_and_total(docs):
         hash_split(docs, "doc_id", {"a": 0.8, "b": 0.4})
 
 
+def test_hash_split_edges_cover_last_bucket():
+    """Edges come from ROUNDED cumulative fractions: any fraction set
+    summing to 1 must end exactly at _BUCKETS (float-truncated edges
+    could stop at _BUCKETS - 1 and silently drop keys hashing to the
+    final bucket), and decimal-round fractions must hit the round
+    edges an oracle hardcodes."""
+    from keenwa_spark.pipeline.sampling import _BUCKETS, _split_edges
+
+    for splits in (
+        {"a": 0.583, "b": 0.285, "c": 0.132},  # advisor's truncation repro
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        {"x": 0.7, "y": 0.3},
+        {"only": 1.0},
+    ):
+        edges = _split_edges(splits)
+        assert edges[0][1] == 0
+        assert edges[-1][2] == _BUCKETS, (splits, edges)
+        for (_, _, hi), (_, lo2, _) in zip(edges, edges[1:]):
+            assert hi == lo2  # contiguous, disjoint
+    assert [e[2] for e in _split_edges({"train": 0.8, "val": 0.1, "test": 0.1})] == [
+        800000,
+        900000,
+        1000000,
+    ]
+
+
+def test_sampling_quote_safe(docs):
+    """Quoted salts / split names / domain names must not break or
+    alter the generated SQL."""
+    from keenwa_spark.pipeline.sampling import mixture_sample
+
+    n = hash_sample(docs, "doc_id", 0.5, salt="o'hare").count()
+    assert 0 < n < 40
+    out = hash_split(docs, "doc_id", {"tr'ain": 0.5, "te'st": 0.5}, salt="s'1")
+    assert set(r.split for r in out.collect()) <= {"tr'ain", "te'st"}
+    assert out.count() == 40
+    mixed = mixture_sample(
+        docs.withColumn("dom", F.lit("d'0")), "dom", {"d'0": 1.0}, "doc_id"
+    )
+    assert mixed.count() == 40
+
+
 def test_stratified_sample_exact_counts(docs):
     out = stratified_sample(docs, "lang", 5, "doc_id")
     counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}

@@ -32,7 +32,9 @@ def test_windowed_counts_match_batch(views, event_dir):
     stream = read_event_stream(views, event_dir)
     out = run_available_now(windowed_type_counts(stream, window="1 day"))
     got = {
-        (str(r.win_start), r.event_type): (r.n_events, r.total_value)
+        # total_value crosses the streaming boundary as DECIMAL(18,6);
+        # cast at presentation like the query layer does
+        (str(r.win_start), r.event_type): (r.n_events, float(r.total_value))
         for r in out.collect()
     }
     batch = views.sql(

@@ -79,6 +79,26 @@ class TestAsofJoin:
         assert "Join" not in plan  # union+window, not a join operator
         assert plan.count("Exchange") <= 2  # one per input branch of the union
 
+    def test_duplicate_right_ts_deterministic_greatest_payload(self, spark):
+        """Several right rows at the same (key, ts): the documented rule
+        is greatest-payload-wins, a total order stable across runs and
+        partitionings."""
+        right = spark.createDataFrame(
+            [
+                ("A", _ts("2024-01-01 10:00:00"), 100.0),
+                ("A", _ts("2024-01-01 10:00:00"), 103.0),
+                ("A", _ts("2024-01-01 10:00:00"), 101.0),
+            ],
+            "sym string, ts timestamp, px double",
+        )
+        left = spark.createDataFrame(
+            [("A", _ts("2024-01-01 10:00:01"), 1)],
+            "sym string, ts timestamp, qty int",
+        )
+        for n_part in (1, 3, 7):
+            out = asof_join(left, right.repartition(n_part), on="sym").collect()
+            assert [r.px_right for r in out] == [103.0]
+
 
 class TestRangeJoin:
     def test_half_open_membership(self, spark):
