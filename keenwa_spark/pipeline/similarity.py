@@ -87,16 +87,43 @@ def lsh_bucket_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's sign-LSH
     bucket (2^bits buckets). One corpus-side bucket projection, then a
     bucket-equi join — the shuffle is on the bucket key, never
-    all-pairs."""
+    all-pairs.
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (the classic multi-probe LSH
+    recall lift): the QUERY side fans out to ``bits + 1`` probe rows —
+    still tiny, still broadcast — while the corpus side is untouched,
+    so the join stays bucket-local and the corpus is still scanned
+    once. Measured recall@5 on the synthetic embeddings at sf0.1
+    (SCALE.md ANN recall table): 0.14 -> 0.56 at bits=4, 0.01 -> 0.10
+    at bits=8, for ~(bits+1)/2^bits of the corpus scored per query.
+    (Random vectors are the adversarial case for sign-LSH — no cluster
+    structure; real embedding corpora bucket far better.)"""
+    if multiprobe not in (0, 1):
+        raise ValueError(f"multiprobe must be 0 or 1, got {multiprobe}")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.expr(_as_double(vec_col)).alias("qv"),
         F.expr(_sign_bucket(vec_col, bits)).alias("bucket"),
     )
+    if multiprobe:
+        # probe set = own bucket + one bit flipped per position; probe
+        # buckets are pairwise distinct, so no (query, neighbor) dups
+        q = q.select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bits}), i -> CASE WHEN i = 0 "
+                    "THEN bucket ELSE bucket ^ shiftleft(CAST(1 AS BIGINT), i - 1) END)"
+                )
+            ).alias("bucket"),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.expr(_as_double(vec_col)).alias("cv"),

@@ -362,6 +362,53 @@ def pl_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, emb.filter("vec_id < 10"), k=5)
 
 
+@df_query(
+    "pl_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {_D_VEC_D} AS qv,
+             {_duck_sign_bucket('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 10
+    ),
+    probes AS (
+      SELECT query_id, qv,
+             CASE WHEN i = 0 THEN bucket
+                  ELSE xor(bucket, CAST(1 AS BIGINT) << (i - 1)) END AS bucket
+      FROM q, generate_series(0, 8) AS t(i)
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, {_D_VEC_D} AS cv,
+             {_duck_sign_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_duck_cosine('qv', 'cv')} AS cos_sim
+      FROM c JOIN probes USING (bucket) WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    doc="Multi-probe sign-LSH top-5: each query probes its own bucket "
+    "plus all 8 Hamming-1 neighbor buckets — the standard multi-probe "
+    "recall lift (recall@5 0.01 -> 0.10 at bits=8 on the synthetic "
+    "embeddings at sf0.1, ~8x; SCALE.md) with the fan-out confined to "
+    "the tiny broadcast QUERY side; the corpus is still bucketed once "
+    "and scanned once (pipeline/similarity.py "
+    "lsh_bucket_topk(multiprobe=1)).",
+    tags=("pipeline", "similarity", "ann", "lsh"),
+)
+def pl_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import lsh_bucket_topk
+
+    emb = spark.table("embeddings")
+    return lsh_bucket_topk(emb, emb.filter("vec_id < 10"), k=5, multiprobe=1)
+
+
 def _duck_ivf_sql(
     k_cells: int = 8,
     iters: int = 2,
