@@ -77,6 +77,11 @@ _STRICT_REJECTS: list[tuple[str, str]] = [
      "compound identifier expression (3+ parts)"),
     # WITHIN GROUP ordered-set aggregates (reference sql/mod.rs:1230)
     (r"\bWITHIN\s+GROUP\b", "aggregate WITHIN GROUP ordering"),
+    # array slice with a stride (reference scalar/expr.rs:93-98 models
+    # arr[lo:hi:stride]; Spark's slice() has no stride argument, so the
+    # form is explicitly rejected instead of silently absent — SURVEY
+    # "shim or reject")
+    (r"\[[^\[\]:]*:[^\[\]:]*:[^\[\]:]*\]", "array slice with stride (arr[lo:hi:stride])"),
 ]
 
 # Constructs keenwa rejects at statement level in ALL modes.

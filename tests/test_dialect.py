@@ -75,6 +75,12 @@ REJECT_STRICT = [
         "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY a1) FROM a",
         "within group",
     ),
+    # array slice with stride (reference scalar/expr.rs:93-98): Spark's
+    # slice() has no stride — explicit strict rejection, not silence
+    (
+        "SELECT arr[1:10:2] FROM a",
+        "stride",
+    ),
 ]
 
 

@@ -1,0 +1,201 @@
+"""Catalyst-behavior matrix — the analog of the reference's
+OptimizerTester rule toggles (reference src/testing.rs:57-85:
+add_rules / disable_rules / rule-order shuffles probe how the Cascades
+optimizer's choices shift under different rule sets).
+
+Catalyst's "rules" are session confs; this matrix toggles the ones
+that decide physical strategy and asserts the CHOSEN JOIN/PLAN SHAPE
+per regime — so a config drift that silently flips dimension joins to
+sort-merge (or disables AQE re-planning) fails a test, not a prod run.
+
+Every case restores the previous conf value, so regimes can't leak
+into other tests sharing the session.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pytest
+
+from keenwa_spark.plans import explain_text, summarize
+
+
+@contextmanager
+def regime(spark, **confs):
+    """Temporarily apply spark confs ('.' encoded as '__' in kwargs is
+    not needed — pass a dict instead when keys have dots)."""
+    saved = {}
+    try:
+        for k, v in confs.items():
+            saved[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _dim_join(views):
+    """A classic dimension join: orders (fact) x customer (dim)."""
+    o = views.table("orders")
+    c = views.table("customer")
+    return o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+
+
+class TestBroadcastThresholdRegimes:
+    def test_default_regime_broadcasts_dimension(self, views):
+        s = summarize(_dim_join(views))
+        assert s.broadcast_joins >= 1 and s.sort_merge_joins == 0, s
+
+    def test_disabled_broadcast_falls_back_to_sort_merge(self, views):
+        with regime(views, **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+            s = summarize(_dim_join(views))
+        assert s.broadcast_joins == 0 and s.sort_merge_joins >= 1, s
+
+    def test_hints_select_each_strategy(self, views):
+        """The three-way strategy lattice, pinned via join hints (the
+        user-facing override, like the reference's explicit physical
+        enforcers): broadcast -> BHJ, shuffle_hash -> SHJ,
+        merge -> SMJ — each chosen exactly where asked."""
+        o = views.table("orders")
+        c = views.table("customer")
+        for hint, node in (
+            ("broadcast", "BroadcastHashJoin"),
+            ("shuffle_hash", "ShuffledHashJoin"),
+            ("merge", "SortMergeJoin"),
+        ):
+            plan = explain_text(
+                o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+                .groupBy("c_mktsegment")
+                .count()
+            )
+            assert node in plan, (hint, plan)
+
+    def test_explicit_hint_overrides_disabled_threshold(self, views):
+        from pyspark.sql import functions as F
+
+        o = views.table("orders")
+        c = views.table("customer")
+        with regime(views, **{"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+            s = summarize(
+                o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .groupBy("c_mktsegment")
+                .count()
+            )
+        assert s.broadcast_joins >= 1, s  # hints beat the conf, like the
+        # reference's explicit enforcer rules beat cost choices
+
+
+class TestAdaptiveRegimes:
+    def test_aqe_wraps_plan_when_enabled(self, views):
+        with regime(views, **{"spark.sql.adaptive.enabled": "true"}):
+            plan = explain_text(_dim_join(views))
+        assert "AdaptiveSparkPlan" in plan
+
+    def test_no_aqe_plan_is_static(self, views):
+        with regime(views, **{"spark.sql.adaptive.enabled": "false"}):
+            plan = explain_text(_dim_join(views))
+        assert "AdaptiveSparkPlan" not in plan
+
+    def test_aqe_coalesces_small_shuffle_partitions(self, views):
+        """With AQE on, a small aggregate's 32 shuffle partitions
+        coalesce at runtime (AQEShuffleRead in the FINAL plan)."""
+        with regime(
+            views,
+            **{
+                "spark.sql.adaptive.enabled": "true",
+                "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            },
+        ):
+            df = views.table("customer").groupBy("c_mktsegment").count()
+            df.collect()  # the final adaptive plan exists only after a run
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in plan or "CustomShuffleReader" in plan
+
+
+class TestCodegenRegimes:
+    def test_wholestage_codegen_spans_present_by_default(self, views):
+        with regime(
+            views,
+            **{
+                "spark.sql.codegen.wholeStage": "true",
+                # static plan: AQE's wrapper hides the *(n) markers
+                "spark.sql.adaptive.enabled": "false",
+            },
+        ):
+            plan = explain_text(_dim_join(views), mode="simple")
+        assert "*(" in plan  # codegen stage markers
+
+    def test_wholestage_codegen_off_removes_spans(self, views):
+        with regime(
+            views,
+            **{
+                "spark.sql.codegen.wholeStage": "false",
+                "spark.sql.adaptive.enabled": "false",
+            },
+        ):
+            plan = explain_text(_dim_join(views), mode="simple")
+        assert "*(" not in plan
+
+
+class TestBucketingRegimes:
+    @pytest.fixture(scope="class")
+    def bucketed(self, views):
+        import shutil
+
+        from keenwa_spark.sources.bucketing import write_bucketed
+
+        for t in ("pm_b_orders", "pm_b_lineitem"):
+            views.sql(f"DROP TABLE IF EXISTS {t}")
+            # a crashed prior run can leave the location without the
+            # catalog entry — clear it or saveAsTable refuses
+            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        orders = views.table("orders").select("o_orderkey", "o_totalprice")
+        lineitem = views.table("lineitem").select(
+            views.table("lineitem").l_orderkey.alias("o_orderkey"), "l_quantity"
+        )
+        write_bucketed(orders, "pm_b_orders", "o_orderkey", n_buckets=8)
+        write_bucketed(lineitem, "pm_b_lineitem", "o_orderkey", n_buckets=8)
+        return views
+
+    def _join(self, spark):
+        return spark.table("pm_b_orders").join(
+            spark.table("pm_b_lineitem"), "o_orderkey"
+        )
+
+    def test_bucketing_on_joins_without_exchange(self, bucketed):
+        with regime(
+            bucketed,
+            **{
+                "spark.sql.sources.bucketing.enabled": "true",
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.enabled": "false",
+            },
+        ):
+            plan = explain_text(self._join(bucketed))
+        assert "Exchange" not in plan, plan
+
+    def test_bucketing_off_reintroduces_exchanges(self, bucketed):
+        with regime(
+            bucketed,
+            **{
+                "spark.sql.sources.bucketing.enabled": "false",
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.enabled": "false",
+            },
+        ):
+            plan = explain_text(self._join(bucketed))
+        assert "Exchange" in plan
+
+
+class TestRegimeHygiene:
+    def test_regime_restores_previous_values(self, views):
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        before = views.conf.get(key)
+        with regime(views, **{key: "-1"}):
+            assert views.conf.get(key) == "-1"
+        assert views.conf.get(key) == before
