@@ -11,6 +11,10 @@ so Catalyst/AQE handle physical planning:
                    bucketed top-k (scale path), per-label centroids
 - ``text``       — quality stats, language-ID heuristic, token
                    counting, positional fingerprints
+- ``packing``    — GPT-style fixed-context sequence packing, sliding
+                   window chunking (RAG shape); ``text.redact_pii``
+                   scrubs emails/phones/IPs with oracle-replayable
+                   regexes
 - ``multimodal`` — opaque binary columns + typed metadata; decode via
                    Arrow-batched mapInPandas (deterministic fake here;
                    real codecs plug into the same batch shape)
@@ -32,14 +36,21 @@ from keenwa_spark.pipeline.similarity import (
     label_centroids,
     lsh_bucket_topk,
 )
+from keenwa_spark.pipeline.packing import (
+    chunk_documents,
+    pack_training_sequences,
+)
+from keenwa_spark.pipeline.recall import recall_at_k
 from keenwa_spark.pipeline.text import (
     language_id,
+    redact_pii,
     text_fingerprint,
     text_stats,
     token_counts,
 )
 
 __all__ = [
+    "chunk_documents",
     "cosine_topk",
     "exact_dedup",
     "label_centroids",
@@ -48,6 +59,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "pack_training_sequences",
+    "recall_at_k",
+    "redact_pii",
     "simhash_fingerprints",
     "text_fingerprint",
     "text_stats",

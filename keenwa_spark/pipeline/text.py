@@ -106,6 +106,46 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+#: PII patterns — kept to syntax valid AND equivalent in both Java
+#: regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+#: word boundaries; no lookaround, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9() -]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / phone-like
+    digit runs / IPv4 addresses with typed placeholder tags and count
+    each category. Pure regex map in codegen — zero shuffle, no Python;
+    patterns restricted to the Java-regex/RE2 common subset so the
+    redaction is exactly replayable by the DuckDB oracle.
+
+    Redaction order matters (an email never contains a phone match, but
+    an IPv4 would also phone-match): email -> ipv4 -> phone, counts
+    taken BEFORE any replacement except for phone, which is counted on
+    the ipv4-redacted text so addresses aren't double-counted."""
+    # column-API only: regex literals never pass through the SQL parser
+    # (whose string-escape rules would corrupt \b and \. sequences)
+    email, phone, ipv4 = PII_PATTERNS["email"], PII_PATTERNS["phone"], PII_PATTERNS["ipv4"]
+    t = F.col(text_col)
+    no_email = F.regexp_replace(t, email, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, ipv4, "<IP>")
+
+    def count(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("bigint")
+
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(no_ip, phone, "<PHONE>").alias("redacted"),
+        count(t, email).alias("n_emails"),
+        count(t, ipv4).alias("n_ips"),
+        count(no_ip, phone).alias("n_phones"),
+    )
+
+
 def text_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive positional content fingerprint: sum over word
     positions of hash64(word) * position, mod P. Unlike a bag-of-words

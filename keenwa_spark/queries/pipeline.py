@@ -688,6 +688,147 @@ def pl_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fingerprint(spark.table("documents"))
 
 
+#: deterministic synthetic PII appended to each doc in BOTH engines so
+#: the redaction regexes are genuinely exercised (the corpus itself is
+#: PII-free word salad — without this the oracle check would be the
+#: vacuous 0-redactions-vs-0-redactions match)
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com"
+    " or +1 (555) 010-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
+    " ' ip 10.0.', CAST(doc_id % 256 AS STRING), '.1')"
+)
+_PII_SUFFIX_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+)
+
+
+def _pii_doc_query() -> str:
+    from keenwa_spark.pipeline.text import PII_PATTERNS
+
+    email, phone, ipv4 = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["phone"],
+        PII_PATTERNS["ipv4"],
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_PII_SUFFIX_DUCK} AS text FROM documents),
+    staged AS (SELECT doc_id, text,
+             regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                            '{ipv4}', '<IP>', 'g') AS no_ip
+           FROM t)
+    SELECT doc_id,
+           regexp_replace(no_ip, '{phone}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{email}', 0)) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{ipv4}', 0)) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(no_ip, '{phone}', 0)) AS BIGINT) AS n_phones
+    FROM staged
+    """
+
+
+@df_query(
+    "pl_pii_redact",
+    oracle=_pii_doc_query(),
+    doc="PII scrubbing: emails / phone-like digit runs / IPv4 replaced "
+    "with typed tags + per-category counts, patterns restricted to the "
+    "Java-regex/RE2 common subset so DuckDB replays the redaction "
+    "byte-for-byte. Pure regex map in codegen, zero shuffle "
+    "(pipeline/text.py redact_pii). Synthetic PII is appended "
+    "deterministically in both engines — the corpus itself is PII-free, "
+    "which would make an unmodified check vacuous.",
+    tags=("pipeline", "text", "pii"),
+)
+def pl_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.pipeline.text import redact_pii
+
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_PII_SUFFIX_SPARK).alias("text")
+    )
+    return redact_pii(docs)
+
+
+@df_query(
+    "pl_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split({_D_NORM.format(c='text')}, ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    cum AS (
+      SELECT *, CAST(SUM(n_tokens) OVER (
+        PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_after
+      FROM toks
+    ),
+    spans AS (
+      SELECT *, cum_after - n_tokens AS cum_before,
+             unnest(generate_series(
+               CAST((cum_after - n_tokens) // 128 AS BIGINT),
+               CAST((cum_after - 1) // 128 AS BIGINT))) AS win
+      FROM cum
+    )
+    SELECT doc_id, shard,
+           shard * {1 << 40} + win AS seq_id,
+           win,
+           GREATEST(0, win * 128 - cum_before) AS tok_start,
+           LEAST(n_tokens, (win + 1) * 128 - cum_before) AS tok_end,
+           n_tokens
+    FROM spans
+    """,
+    doc="GPT-style fixed-context sequence packing (seq_len=128, 8 "
+    "shards): docs concatenated in id order within each shard and cut "
+    "into fixed token windows; output maps every doc to its sequence(s) "
+    "with exact in-doc token ranges. ONE shuffle (shard) + one window "
+    "cumsum, integer math end-to-end — embarrassingly parallel across "
+    "shards at 100 TB (pipeline/packing.py pack_training_sequences).",
+    tags=("pipeline", "packing"),
+)
+def pl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.packing import pack_training_sequences
+
+    return pack_training_sequences(
+        spark.table("documents"), seq_len=128, n_shards=8
+    )
+
+
+@df_query(
+    "pl_doc_chunks",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_D_NORM.format(c='text')}, ' ') AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, (len(w) - 1) // 24)) AS chunk_id
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 24 AS BIGINT) AS chunk_start,
+           CAST(len(w[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(w[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+             AS chunk_text
+    FROM chunks
+    """,
+    doc="Sliding-window document chunking (32-token chunks, 8-token "
+    "overlap — the RAG/embedding-input shape): pure per-row explode "
+    "over the word array, zero shuffles "
+    "(pipeline/packing.py chunk_documents).",
+    tags=("pipeline", "packing", "chunking"),
+)
+def pl_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.packing import chunk_documents
+
+    return chunk_documents(spark.table("documents"), chunk_tokens=32, overlap=8)
+
+
 @df_query(
     "pl_corpus_curation",
     oracle=f"""

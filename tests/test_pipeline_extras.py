@@ -214,3 +214,98 @@ def test_weighted_sample_probability_caps_at_one(spark):
     assert weighted_bernoulli_sample(df, "wt", 1.0, "doc_id").count() == 50
     with pytest.raises(ValueError, match="scale"):
         weighted_bernoulli_sample(df, "wt", -1.0, "doc_id")
+
+
+# --- packing / chunking / PII (round-4 additions) --------------------------
+
+
+def test_pack_sequences_partitions_every_token_exactly_once(spark):
+    from keenwa_spark.pipeline.packing import pack_training_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + 3 * i))) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = pack_training_sequences(docs, seq_len=16, n_shards=4).collect()
+    # every doc's token ranges tile [0, n_tokens) with no gap/overlap
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(20))
+    for doc_id, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: r.win)
+        assert rs[0].tok_start == 0
+        assert rs[-1].tok_end == rs[-1].n_tokens
+        for a, b in zip(rs, rs[1:]):
+            assert a.tok_end == b.tok_start  # contiguous
+            assert b.win == a.win + 1  # a doc spans consecutive windows
+    # every sequence holds exactly seq_len tokens except each shard's last
+    per_seq = {}
+    last_win = {}
+    for r in out:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + (r.tok_end - r.tok_start)
+        last_win[r.shard] = max(last_win.get(r.shard, -1), r.win)
+    for r in out:
+        if r.win != last_win[r.shard]:
+            assert per_seq[r.seq_id] == 16, (r.seq_id, per_seq[r.seq_id])
+        else:
+            assert per_seq[r.seq_id] <= 16
+
+
+def test_pack_sequences_drops_empty_docs(spark):
+    from keenwa_spark.pipeline.packing import pack_training_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "   "), (2, "d e")], "doc_id BIGINT, text STRING"
+    )
+    out = pack_training_sequences(docs, seq_len=4, n_shards=1).collect()
+    assert sorted({r.doc_id for r in out}) == [0, 2]
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from keenwa_spark.pipeline.packing import chunk_documents
+
+    text = " ".join(f"t{j}" for j in range(10))
+    docs = spark.createDataFrame([(7, text)], "doc_id BIGINT, text STRING")
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # stride 2: starts 0,2,4,6,8 -> 5 chunks; last is short
+    assert [r.chunk_start for r in out] == [0, 2, 4, 6, 8]
+    assert out[0].chunk_text == "t0 t1 t2 t3"
+    assert out[1].chunk_text == "t2 t3 t4 t5"
+    assert out[-1].chunk_text == "t8 t9"
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 4, 2]
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(out, out[1:]):
+        assert a.chunk_text.split()[-2:] == b.chunk_text.split()[:2]
+
+
+def test_chunk_documents_validates_overlap(spark):
+    import pytest as _pytest
+
+    from keenwa_spark.pipeline.packing import chunk_documents
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id BIGINT, text STRING")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_redact_pii_examples(spark):
+    from keenwa_spark.pipeline.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.org now"),
+            (1, "call +1 (555) 010-9999 today"),
+            (2, "host 192.168.0.1 up"),
+            (3, "clean text only"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[0].redacted == "mail <EMAIL> now" and out[0].n_emails == 1
+    assert out[1].redacted == "call <PHONE> today" and out[1].n_phones == 1
+    assert out[2].redacted == "host <IP> up" and out[2].n_ips == 1
+    assert out[2].n_phones == 0  # the IP must not double-count as a phone
+    assert out[3].redacted == "clean text only"
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
