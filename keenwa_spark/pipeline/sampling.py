@@ -158,6 +158,55 @@ def mixture_sample(
     return df.filter(F.expr(f"{_bucket_expr(key_col, salt)} < ({threshold})"))
 
 
+def token_budget_cap(
+    df: DataFrame,
+    domain_col: str,
+    budgets: dict[str, int],
+    key_col: str,
+    text_col: str = "text",
+    salt: str = "tb0",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Fill each domain's TOKEN budget (not row count): within a
+    domain, docs are taken in a deterministic uniform order (hash,
+    key) and kept while the running token total stays within the
+    domain's budget — the operator that turns "use 30B wiki tokens,
+    100B crawl tokens" into an exact, reproducible doc selection.
+
+    One window shuffle keyed on the domain (domains in corpus recipes
+    are few and fat; the cumsum is a single in-partition pass).
+    Deterministic and engine-replayable: ordering is (hash, key) — a
+    total order — and token counts are whitespace counts (text.py
+    convention). The selection is the maximal PREFIX of the ordered
+    stream whose cumulative total fits the budget (cumsum is monotone,
+    so the first overflowing doc and everything after it are dropped —
+    no partial docs, no gap-filling). Domains absent from ``budgets``
+    get ``default_budget`` (0 = drop unknown domains)."""
+    for d, b in {**budgets, "<default>": default_budget}.items():
+        if b < 0:
+            raise ValueError(f"budget for {d!r} must be >= 0, got {b}")
+    bucket = _bucket_expr(key_col, salt)
+    whens = " ".join(
+        f"WHEN {domain_col} = '{_q(d)}' THEN CAST({int(b)} AS BIGINT)"
+        for d, b in sorted(budgets.items())
+    )
+    budget = f"CASE {whens} ELSE CAST({int(default_budget)} AS BIGINT) END"
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.expr(bucket).asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = df.withColumn(
+        "n_tokens",
+        F.expr(f"CAST(size(split(trim(regexp_replace(lower({text_col}), "
+               f"'\\\\s+', ' ')), ' ')) AS BIGINT)"),
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.expr(budget))
+    )
+
+
 def weighted_bernoulli_sample(
     df: DataFrame,
     weight_col: str,

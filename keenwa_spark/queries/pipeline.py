@@ -948,6 +948,50 @@ def pl_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "pl_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split({_D_NORM.format(c='text')}, ' ')) AS BIGINT)
+               AS n_tokens,
+             {_duck_bucket('doc_id', 'tb0')} AS bk
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY bk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+    WHERE cum_tokens <= CASE WHEN source = 'src0' THEN CAST(800 AS BIGINT)
+                             WHEN source = 'src1' THEN CAST(10000 AS BIGINT)
+                             WHEN source = 'src2' THEN CAST(100 AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END
+    """,
+    doc="Token-budget corpus cap — the 'data recipe' operator ('use N "
+    "tokens of domain X'): docs taken per domain in deterministic "
+    "(hash, key) order, kept while the running token total fits the "
+    "domain budget (maximal prefix; src0 capped mid-domain, src1 "
+    "uncapped, src2 nearly empty, unknown domains dropped). One window "
+    "shuffle on the domain key "
+    "(pipeline/sampling.py token_budget_cap).",
+    tags=("pipeline", "sampling", "budget"),
+)
+def pl_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sampling import token_budget_cap
+
+    return token_budget_cap(
+        spark.table("documents"),
+        "source",
+        {"src0": 800, "src1": 10000, "src2": 100},
+        "doc_id",
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@df_query(
     "pl_sample_split",
     oracle=f"""
     WITH b AS (SELECT doc_id, {_duck_bucket('doc_id', 'split0')} AS bk FROM documents),

@@ -181,6 +181,47 @@ def st_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "st_interval_join",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS l_event_id,
+           CAST(epoch_us(CAST(l.ts AS TIMESTAMP)) AS BIGINT) AS l_ts_us,
+           r.event_id AS r_event_id,
+           CAST(epoch_us(CAST(r.ts AS TIMESTAMP)) AS BIGINT) AS r_ts_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+    """,
+    doc="Stream-STREAM interval join (purchase x click within +/-30min "
+    "per user): both sides watermarked, the event-time range condition "
+    "bounds the buffered join state (without it stream-stream state "
+    "grows forever — a correctness requirement, not a tuning knob). "
+    "Drained with AvailableNow; oracle is the batch interval join "
+    "(streaming/events.py interval_join_streams).",
+    tags=("streaming", "join"),
+)
+def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming import interval_join_streams, run_available_now
+
+    left = _stream_source(spark, sf_dir).filter("event_type = 'purchase'")
+    right = _stream_source(spark, sf_dir).filter("event_type = 'click'")
+    out = run_available_now(
+        interval_join_streams(left, right, within="30 minutes"),
+        output_mode="append",
+    )
+    return out.select(
+        "user_id",
+        "l_event_id",
+        F.unix_micros("l_ts").alias("l_ts_us"),
+        "r_event_id",
+        F.unix_micros("r_ts").alias("r_ts_us"),
+    )
+
+
+@df_query(
     "st_rollup_day",
     oracle="""
     SELECT

@@ -17,6 +17,7 @@ and comparable to the batch twin.
 from keenwa_spark.streaming.events import (
     dedup_stream,
     enrich_stream,
+    interval_join_streams,
     read_event_stream,
     run_available_now,
     session_stats_stream,
@@ -26,6 +27,7 @@ from keenwa_spark.streaming.events import (
 __all__ = [
     "dedup_stream",
     "enrich_stream",
+    "interval_join_streams",
     "read_event_stream",
     "run_available_now",
     "session_stats_stream",

@@ -148,6 +148,54 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+    left_prefix: str = "l",
+    right_prefix: str = "r",
+) -> DataFrame:
+    """Stream-STREAM interval join: pairs of events from two live
+    streams with the same key whose timestamps fall within ``within``
+    of each other (right.ts in [left.ts - within, left.ts + within]) —
+    the correlation primitive (impression x click, order x payment).
+
+    Both sides are watermarked and the join condition bounds event-time
+    distance, so Spark can size the join STATE: a buffered row is
+    evicted once the other side's watermark passes its eligibility
+    window. Without the time-range condition a stream-stream join's
+    state grows forever — the condition is a correctness requirement,
+    not an optimization (the same reason the batch twin, the
+    operators/range_join.py bin trick, never materializes unbounded
+    pairs). Output columns are prefixed to keep both sides' ids/ts."""
+    lw = left.withWatermark("ts", watermark)
+    rw = right.withWatermark("ts", watermark)
+    lsel = lw.select(
+        F.col(on),
+        F.col("event_id").alias(f"{left_prefix}_event_id"),
+        F.col("ts").alias(f"{left_prefix}_ts"),
+    )
+    rsel = rw.select(
+        F.col(on).alias(f"__r_{on}"),
+        F.col("event_id").alias(f"{right_prefix}_event_id"),
+        F.col("ts").alias(f"{right_prefix}_ts"),
+    )
+    cond = (
+        (F.col(on) == F.col(f"__r_{on}"))
+        & (
+            F.col(f"{right_prefix}_ts")
+            >= F.col(f"{left_prefix}_ts") - F.expr(f"INTERVAL {within}")
+        )
+        & (
+            F.col(f"{right_prefix}_ts")
+            <= F.col(f"{left_prefix}_ts") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return lsel.join(rsel, cond, "inner").drop(f"__r_{on}")
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static dimension enrichment: join each micro-batch against
     a (small) static dimension. The dim side is broadcast — the stream

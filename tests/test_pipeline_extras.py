@@ -309,3 +309,35 @@ def test_redact_pii_examples(spark):
     assert out[2].n_phones == 0  # the IP must not double-count as a phone
     assert out[3].redacted == "clean text only"
     assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
+
+
+def test_token_budget_cap_maximal_prefix(spark):
+    from keenwa_spark.pipeline.sampling import token_budget_cap
+
+    # domain "a": 5 docs x 4 tokens; budget 10 keeps exactly the first
+    # 2 docs of the deterministic (hash, key) order (8 <= 10 < 12) —
+    # the first overflowing doc and everything after it are dropped
+    rows = [(i, "a", "t t t t") for i in range(5)]
+    rows += [(10 + i, "b", "x y") for i in range(3)]  # 2 tokens each
+    rows += [(20, "zz", "drop me please")]  # unknown domain
+    df = spark.createDataFrame(rows, "doc_id BIGINT, domain STRING, text STRING")
+    out = token_budget_cap(df, "domain", {"a": 10, "b": 100}, "doc_id").collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r.domain, []).append(r)
+    assert len(by_dom["a"]) == 2
+    assert max(r.cum_tokens for r in by_dom["a"]) == 8
+    assert len(by_dom["b"]) == 3  # under budget: keep all
+    assert "zz" not in by_dom  # default_budget=0 drops unknown domains
+    # deterministic: same selection on re-run
+    again = {r.doc_id for r in
+             token_budget_cap(df, "domain", {"a": 10, "b": 100}, "doc_id").collect()}
+    assert again == {r.doc_id for r in out}
+
+
+def test_token_budget_cap_validates_budgets(spark):
+    from keenwa_spark.pipeline.sampling import token_budget_cap
+
+    df = spark.createDataFrame([(0, "a", "x")], "doc_id BIGINT, domain STRING, text STRING")
+    with pytest.raises(ValueError):
+        token_budget_cap(df, "domain", {"a": -1}, "doc_id")

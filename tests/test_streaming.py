@@ -117,3 +117,31 @@ def test_stream_static_join_broadcasts(views, event_dir):
     assert sorted((r.tier, r["count"]) for r in out.collect()) == sorted(
         (r.tier, r["count"]) for r in batch.collect()
     )
+
+
+def test_interval_join_matches_batch(views, event_dir):
+    """Stream-stream interval join must equal the batch interval join on
+    the same finite input (purchase x click within +/-30min per user)."""
+    from keenwa_spark.streaming import (
+        interval_join_streams,
+        read_event_stream,
+        run_available_now,
+    )
+
+    left = read_event_stream(views, event_dir).filter("event_type = 'purchase'")
+    right = read_event_stream(views, event_dir).filter("event_type = 'click'")
+    out = run_available_now(
+        interval_join_streams(left, right, within="30 minutes"),
+        output_mode="append",
+    )
+    got = {(r.user_id, r.l_event_id, r.r_event_id) for r in out.collect()}
+    batch = views.sql("""
+        SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTES
+                      AND l.ts + INTERVAL 30 MINUTES
+        WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+    """)
+    want = {(r.user_id, r.l_event_id, r.r_event_id) for r in batch.collect()}
+    assert got == want and len(got) > 0
