@@ -80,10 +80,17 @@ class Catalog:
         if not os.path.exists(path):
             raise ArgumentError(f"no parquet file at {path}")
         # Defensive: the driver may hand us a session built WITHOUT
-        # session.py's configs. nanosAsLong is runtime-settable and
-        # required to read TIMESTAMP(NANOS) parquet (events table) —
-        # without it, registering the testdata dir throws.
+        # session.py's configs. Both are runtime-settable:
+        # - nanosAsLong reads TIMESTAMP(NANOS) parquet (older testdata
+        #   generations) as long; the view converts to micros below;
+        # - inferTimestampNTZ=false reads naive (isAdjustedToUTC=false)
+        #   parquet timestamps as TimestampType instead of NTZ, so the
+        #   whole engine sees one timestamp type regardless of how the
+        #   generator wrote the file — with the session timezone pinned
+        #   to UTC the wall-clock values are identical either way, and
+        #   the scan stays cast-free (filter pushdown on ts intact).
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        self.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         if os.path.isdir(path):
             # Spark-standard directory layout: sum the part files
             dataset = pq.ParquetDataset(path)

@@ -30,9 +30,12 @@ def get_spark(app_name: str = "keenwa_spark", master: str | None = None) -> Spar
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
-        # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
-        # timestamp — read as long, Catalog converts to micros in the view
+        # testdata events.ts has varied by generation: TIMESTAMP(NANOS)
+        # (no Spark type — read as long, Catalog converts to micros) or
+        # naive micros (would infer NTZ — read as TimestampType instead;
+        # identical wall values under the UTC session timezone)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
