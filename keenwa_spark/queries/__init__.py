@@ -135,6 +135,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline,
         streaming_queries,
         temporal,
+        tpch_full,
     )
 
     return REGISTRY
