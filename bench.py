@@ -62,6 +62,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q10_returned_items",
     "q18_large_volume_customer",
+    "q9_product_profit",
+    "q21_waiting_supplier",
     "cte_reuse",
     "win_topn_per_group",
     "ev_sessionize",
@@ -92,15 +94,18 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = registry[name].fn
-        # best-of-2: this box has high run-to-run variance (GC, cache,
-        # contention); min is the stable cross-round comparator
-        best, n = None, 0
-        for _ in range(2):
+        # best-of-2 (best-of-3 when still >1s): this box has high
+        # run-to-run variance (GC, cache, contention) — observed up to
+        # 2x on the same query minutes apart; min is the stable
+        # cross-round comparator
+        best, n, runs = None, 0, 0
+        while runs < 2 or (runs < 3 and best > 1.0):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            runs += 1
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)

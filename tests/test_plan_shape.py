@@ -127,3 +127,53 @@ def test_plans_module_summary_and_assert(views):
                 assert_scale_shape(cart)
             else:
                 raise AssertionError("nested-loop fallback (broadcast) - acceptable")
+
+
+# --- TPC-H completion suite (queries/tpch_full.py) plan shapes ---
+
+
+def _executed_plan(reg_name, views) -> str:
+    from keenwa_spark.queries import load_all
+    import tests.conftest as cf
+
+    df = load_all()[reg_name].fn(views, cf.SF_DIR)
+    df.collect()  # executedPlan is only real after a run (AQE re-plans)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q19_disjunction_pushes_quantity_to_scan(views):
+    """Q19's three-arm OR mixes part and lineitem predicates; Catalyst
+    must still extract the single-side union (quantity range OR) down
+    to the lineitem parquet scan."""
+    ex = _executed_plan("q19_disjunctive_revenue", views)
+    assert "CartesianProduct" not in ex
+    assert "PushedFilters:" in ex
+    pushed = ex.split("PushedFilters:")[1][:400]
+    assert "l_quantity" in pushed
+
+
+def test_q21_plans_semi_and_anti_self_joins(views):
+    """The EXISTS/NOT EXISTS pair must become left-semi + left-anti
+    joins on orderkey — never a per-row subquery or cartesian."""
+    ex = _executed_plan("q21_waiting_supplier", views)
+    assert "LeftSemi" in ex
+    assert "LeftAnti" in ex
+    assert "CartesianProduct" not in ex
+
+
+def test_q17_decorrelates_avg_subquery(views):
+    """The correlated AVG must decorrelate into a per-part aggregate
+    joined back on partkey (one extra fact aggregate, no NLJ)."""
+    ex = _executed_plan("q17_small_qty_revenue", views)
+    assert "CartesianProduct" not in ex
+    assert "BroadcastNestedLoopJoin" not in ex
+    assert "partial_avg" in ex or ex.count("HashAggregate") >= 2
+
+
+def test_q8_star_join_all_broadcast(views):
+    """The 7-way Q8 star join: every dimension join broadcasts at test
+    scale; no sort-merge or cartesian anywhere."""
+    ex = _executed_plan("q8_market_share", views)
+    assert "BroadcastHashJoin" in ex
+    assert "CartesianProduct" not in ex
+    assert "SortMergeJoin" not in ex
