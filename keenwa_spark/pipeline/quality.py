@@ -117,3 +117,34 @@ def drop_reason_stats(gates: DataFrame) -> DataFrame:
     aggs.append(F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("kept"))
     aggs.append(F.count("*").alias("total"))
     return gates.agg(*aggs)
+
+
+def select_top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the k best rows per group by score — the curation step that
+    turns a scored corpus into a budgeted one (e.g. best documents per
+    source/domain under a per-domain quota).
+
+    One window shuffle keyed by the group column; the id column breaks
+    score ties so the selection is deterministic and engine-reproducible.
+    At 100 TB the shuffle is keyed by domain — if one domain dominates,
+    pre-aggregate with a per-partition top-k first (TakeOrdered-style)
+    before the window; for the typical thousands-of-domains case the
+    plain window is the right single-pass plan.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )

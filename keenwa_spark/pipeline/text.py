@@ -170,3 +170,106 @@ def text_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         ).alias("fingerprint"),
         F.expr("md5(" + normalized_text(text_col) + ")").alias("content_md5"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style repetition
+    filters): duplicate bigram/trigram fraction and the share of bigram
+    occurrences taken by the single most frequent bigram.
+
+    Shape: build both n-gram arrays in ONE projection (each array
+    expression evaluated exactly once — a first draft that re-inlined
+    the n-gram constructor inside nested lambdas made Catalyst's
+    expression tree explode and codegen compile for tens of seconds),
+    explode to (doc, gram-kind, gram) rows, then a two-level aggregate:
+    per-gram occurrence counts, re-aggregated to per-doc totals /
+    distinct counts / max-count. Two doc-keyed shuffles of n-gram-sized
+    rows — the same robust plan at 100 TB, with map-side combine doing
+    the heavy lifting; no O(distinct x total) per-row lambda scans.
+
+    Docs too short for a bigram (or trigram) keep ratio 0.0 via the
+    left join back to the id spine.
+
+    Complements quality_signals' word-level distinct_word_ratio with
+    the n-gram-level repetition the Gopher paper actually gates on.
+    """
+    norm = normalized_text(text_col)
+    w = f"split({norm}, ' ')"
+    # sequence(1, n) with n < 1 would COUNT DOWN (Spark auto-negates
+    # the step) — guard short docs to an empty array instead
+    bi = (
+        f"CASE WHEN size({w}) >= 2 THEN transform(sequence(1, size({w}) - 1), "
+        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1))) "
+        f"ELSE array() END"
+    )
+    tri = (
+        f"CASE WHEN size({w}) >= 3 THEN transform(sequence(1, size({w}) - 2), "
+        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1), ' ', "
+        f"element_at({w}, i + 2))) ELSE array() END"
+    )
+    grams = df.selectExpr(
+        id_col,
+        f"concat(transform(({bi}), x -> struct('bi' AS g, x AS gram)), "
+        f"transform(({tri}), x -> struct('tri' AS g, x AS gram))) AS gs",
+    ).select(F.col(id_col), F.explode("gs").alias("e"))
+    per_gram = grams.groupBy(
+        F.col(id_col), F.col("e.g").alias("g"), F.col("e.gram").alias("gram")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("g") == "bi", F.col("c")).otherwise(0)).alias("n_bi"),
+        F.sum(F.when(F.col("g") == "bi", 1).otherwise(0)).alias("d_bi"),
+        F.max(F.when(F.col("g") == "bi", F.col("c")).otherwise(0)).alias("m_bi"),
+        F.sum(F.when(F.col("g") == "tri", F.col("c")).otherwise(0)).alias("n_tri"),
+        F.sum(F.when(F.col("g") == "tri", 1).otherwise(0)).alias("d_tri"),
+    )
+    spine = df.select(F.col(id_col))
+    joined = spine.join(per_doc, on=id_col, how="left")
+
+    def ratio(n: str, d: str) -> F.Column:
+        return F.when(
+            F.col(n) > 0,
+            1.0 - F.col(d).cast("double") / F.col(n),
+        ).otherwise(F.lit(0.0))
+
+    return joined.select(
+        F.col(id_col),
+        ratio("n_bi", "d_bi").alias("dup_bigram_ratio"),
+        ratio("n_tri", "d_tri").alias("dup_trigram_ratio"),
+        F.when(
+            F.col("n_bi") > 0, F.col("m_bi").cast("double") / F.col("n_bi")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-level vocabulary: top-k words by document-independent
+    occurrence count, ordered (count desc, word asc) for determinism.
+
+    The scale shape: explode is a flatMap (no shuffle), the count is
+    one partial-agg shuffle keyed by word (map-side combine collapses
+    each partition to its distinct words first), and the top-k is a
+    TakeOrderedAndProject — no global sort materialization. Word skew
+    (stopwords dominating) is absorbed by the partial aggregation, not
+    a hot reducer.
+    """
+    norm = normalized_text(text_col)
+    words = df.select(
+        F.explode(F.expr(f"split({norm}, ' ')")).alias("word")
+    ).where(F.col("word") != "")
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        counts.where(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(k)
+    )

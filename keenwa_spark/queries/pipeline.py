@@ -14,6 +14,7 @@ generate_subscripts+unnest zip for posexplode.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from keenwa_spark.pipeline.hashing import MINHASH_AB, MINHASH_P, duck_hash64
 from keenwa_spark.queries import df_query
@@ -1364,3 +1365,117 @@ def pl_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_bernoulli_sample(
         spark.table("documents"), "n_chars", 0.0005, key_col="doc_id"
     ).select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Repetition / vocabulary / per-domain curation
+# ---------------------------------------------------------------------------
+
+
+@df_query(
+    "pl_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_D_NORM.format(c='text')} AS norm FROM documents),
+    w AS (SELECT doc_id, string_split(norm, ' ') AS w FROM t),
+    g AS (
+      SELECT doc_id,
+             [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bi,
+             [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              for i in range(1, len(w) - 1)] AS tri
+      FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN len(bi) > 0
+                THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_ratio,
+           CASE WHEN len(tri) > 0
+                THEN 1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_ratio,
+           CASE WHEN len(bi) > 0
+                THEN CAST(list_max(list_transform(list_distinct(bi),
+                          x -> len(list_filter(bi, y -> y = x)))) AS DOUBLE)
+                     / len(bi)
+                ELSE CAST(0.0 AS DOUBLE) END AS top_bigram_frac
+    FROM g
+    """,
+    doc="Gopher-style within-document repetition: duplicate bigram/"
+    "trigram fractions and the top-bigram occupancy share — the n-gram-"
+    "level complement to quality_signals' word-level distinct ratio. "
+    "Pure array-lambda projection, zero shuffle "
+    "(pipeline/text.py repetition_stats).",
+    tags=("pipeline", "text", "quality"),
+)
+def pl_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(spark.table("documents"))
+
+
+@df_query(
+    "pl_vocab_topk",
+    oracle=f"""
+    WITH t AS (SELECT {_D_NORM.format(c='text')} AS norm FROM documents),
+    w AS (SELECT unnest(string_split(norm, ' ')) AS word FROM t)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+    doc="Corpus vocabulary top-k: explode (flatMap, no shuffle) -> one "
+    "word-keyed partial-agg shuffle (map-side combine collapses each "
+    "partition to its distinct words; stopword skew lands in the "
+    "combiner, not a hot reducer) -> TakeOrderedAndProject "
+    "(pipeline/text.py vocab_topk).",
+    tags=("pipeline", "text", "vocab"),
+)
+def pl_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.text import vocab_topk
+
+    return vocab_topk(spark.table("documents"), k=50)
+
+
+@df_query(
+    "pl_quality_topk_per_domain",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_D_NORM.format(c='text')} AS norm
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(string_split(norm, ' '))) AS DOUBLE)
+               / len(string_split(norm, ' ')) * length(text) AS score
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM s
+    )
+    SELECT doc_id, source, score FROM r WHERE rk <= 3
+    ORDER BY source, score DESC, doc_id
+    """,
+    doc="Per-domain curation quota: keep the 3 best documents per "
+    "source by a lexical-diversity x length score — one window shuffle "
+    "keyed by domain, doc_id tie-break for engine-reproducible "
+    "selection (pipeline/quality.py select_top_k_per_group).",
+    tags=("pipeline", "quality", "curation"),
+)
+def pl_quality_topk_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.quality import select_top_k_per_group
+    from keenwa_spark.pipeline.dedup import normalized_text
+
+    docs = spark.table("documents")
+    norm = normalized_text("text")
+    words = f"split({norm}, ' ')"
+    scored = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"CAST(size(array_distinct({words})) AS DOUBLE) / size({words})"
+        " * char_length(text) AS score",
+    )
+    top = select_top_k_per_group(scored, "source", "score", 3)
+    return top.orderBy("source", F.desc("score"), "doc_id")

@@ -341,3 +341,49 @@ def test_token_budget_cap_validates_budgets(spark):
     df = spark.createDataFrame([(0, "a", "x")], "doc_id BIGINT, domain STRING, text STRING")
     with pytest.raises(ValueError):
         token_budget_cap(df, "domain", {"a": -1}, "doc_id")
+
+
+# --- repetition / vocab / per-domain curation (round-4 additions) ---
+
+
+def test_repetition_stats_known_values(spark):
+    rows = [
+        (1, "a b a b a b"),      # bigrams: ab,ba,ab,ba,ab -> 5 total 2 distinct
+        (2, "x y z w"),          # all bigrams unique
+        (3, "solo"),             # too short for any bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    from keenwa_spark.pipeline.text import repetition_stats
+
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert abs(out[1].dup_bigram_ratio - (1 - 2 / 5)) < 1e-12
+    assert abs(out[1].top_bigram_frac - 3 / 5) < 1e-12  # 'a b' occurs 3/5
+    assert out[2].dup_bigram_ratio == 0.0
+    assert out[3].dup_bigram_ratio == 0.0  # short doc kept via spine join
+    assert out[3].top_bigram_frac == 0.0
+    # trigrams of doc 1: aba,bab,aba,bab -> 4 total 2 distinct
+    assert abs(out[1].dup_trigram_ratio - (1 - 2 / 4)) < 1e-12
+
+
+def test_vocab_topk_order_and_min_count(spark):
+    rows = [(1, "b b b a a c"), (2, "a b")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    from keenwa_spark.pipeline.text import vocab_topk
+
+    out = [(r.word, r.n) for r in vocab_topk(df, k=10).collect()]
+    assert out == [("b", 4), ("a", 3), ("c", 1)]  # count desc, word asc
+    out2 = [(r.word, r.n) for r in vocab_topk(df, k=10, min_count=2).collect()]
+    assert out2 == [("b", 4), ("a", 3)]
+
+
+def test_select_top_k_per_group_tie_break(spark):
+    rows = [(1, "g1", 5.0), (2, "g1", 5.0), (3, "g1", 1.0), (4, "g2", 2.0)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING, score DOUBLE")
+    from keenwa_spark.pipeline.quality import select_top_k_per_group
+
+    kept = sorted(
+        r.doc_id
+        for r in select_top_k_per_group(df, "source", "score", 2).collect()
+    )
+    # g1 tie at 5.0 broken by doc_id (1 before 2); g2 keeps its only row
+    assert kept == [1, 2, 4]
