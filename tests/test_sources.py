@@ -116,3 +116,28 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
         spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on the partition column must prune directories at scan
+    time (PartitionFilters + partition count < total), not scan all
+    dirs and filter rows — THE difference between reading one
+    partition and reading 100 TB."""
+    from keenwa_spark.queries import ensure_views
+    import tests.conftest as cf
+
+    ensure_views(spark, cf.SF_DIR)
+    out = str(tmp_path / "orders_by_priority")
+    from keenwa_spark.sources.writers import write_parquet
+
+    write_parquet(
+        spark.table("orders"), out, partition_by=["o_orderpriority"]
+    )
+    df = spark.read.parquet(out).where("o_orderpriority = '1-URGENT'")
+    df.collect()
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in ex
+    # the partition predicate must appear in PartitionFilters, and the
+    # scan must NOT degrade it to a data filter
+    pf = ex.split("PartitionFilters:")[1].split("]")[0]
+    assert "o_orderpriority" in pf
