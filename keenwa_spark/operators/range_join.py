@@ -70,3 +70,62 @@ def range_join(
         (F.col(lo) <= F.col(point_ts)) & (F.col(point_ts) < F.col(hi))
     )
     return joined.drop("__bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    on: list[str] | None = None,
+    bin_width_seconds: int = 300,
+) -> DataFrame:
+    """Inner-join interval rows to interval rows on overlap:
+    ``[l_lo, l_hi)`` intersects ``[r_lo, r_hi)`` (and key columns
+    ``on`` match, when given). The interval x interval sibling of
+    ``range_join``.
+
+    Scale design: both sides explode into bins; a pair could share
+    MANY bins, so the join keeps only the first shared one — the bin
+    of ``greatest(l_lo, r_lo)``, which both intervals contain whenever
+    they overlap — making each qualifying pair meet exactly once with
+    no post-join dedup shuffle. Explosion factor is interval_length/w
+    + 1 per side; pick ``bin_width_seconds`` near the typical interval
+    length. Empty windows (hi <= lo) match nothing.
+    """
+    keys = list(on or [])
+    w = int(bin_width_seconds)
+    if w <= 0:
+        raise ValueError(f"bin_width_seconds must be positive, got {w}")
+    w_us = F.lit(w * 1_000_000)
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.where(F.col(hi) > F.col(lo)).withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(lo)) / w_us),
+                    F.floor((F.unix_micros(F.col(hi)) - 1) / w_us),
+                )
+            ),
+        )
+
+    l = binned(left, l_lo, l_hi)
+    r = binned(right, r_lo, r_hi)
+    joined = l.join(r, keys + ["__bin"], "inner").where(
+        (F.col(l_lo) < F.col(r_hi))
+        & (F.col(r_lo) < F.col(l_hi))
+        # meet-once: only in the bin containing the overlap's start
+        & (
+            F.col("__bin")
+            == F.floor(
+                F.greatest(
+                    F.unix_micros(F.col(l_lo)), F.unix_micros(F.col(r_lo))
+                )
+                / w_us
+            )
+        )
+    )
+    return joined.drop("__bin")

@@ -159,3 +159,67 @@ def op_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vmax",
         "vavg",
     ).orderBy("grain", "event_type", "bucket")
+
+
+@df_query(
+    "op_interval_overlap",
+    oracle="""
+    SELECT
+      e.user_id AS user_id,
+      e.event_id AS error_id,
+      epoch_us(e.ts) AS err_lo_us,
+      epoch_us(e.ts) + 600000000 AS err_hi_us,
+      p.event_id AS purchase_id,
+      epoch_us(p.ts) AS pur_lo_us,
+      epoch_us(p.ts) + 900000000 AS pur_hi_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND epoch_us(e.ts) < epoch_us(p.ts) + 900000000
+     AND epoch_us(p.ts) < epoch_us(e.ts) + 600000000
+    ORDER BY error_id, purchase_id
+    """,
+    doc="Interval x interval overlap join: per-user 10-minute error "
+    "windows intersected with 15-minute purchase windows. Spark side "
+    "is the bin-bucketed plan (operators/range_join.py "
+    "interval_overlap_join): both sides explode into 5-minute bins and "
+    "each qualifying pair meets exactly once, in the bin containing "
+    "the overlap's start — no inequality-join pair blow-up, no dedup "
+    "shuffle. Oracle is DuckDB's native inequality join.",
+    tags=("temporal", "rangejoin"),
+)
+def op_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.range_join import interval_overlap_join
+
+    events = spark.table("events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("err_lo"),
+        F.expr("ts + INTERVAL 10 MINUTES").alias("err_hi"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pur_lo"),
+        F.expr("ts + INTERVAL 15 MINUTES").alias("pur_hi"),
+    )
+    joined = interval_overlap_join(
+        errors,
+        purchases,
+        "err_lo",
+        "err_hi",
+        "pur_lo",
+        "pur_hi",
+        on=["user_id"],
+        bin_width_seconds=300,
+    )
+    return joined.select(
+        "user_id",
+        "error_id",
+        F.unix_micros("err_lo").alias("err_lo_us"),
+        F.unix_micros("err_hi").alias("err_hi_us"),
+        "purchase_id",
+        F.unix_micros("pur_lo").alias("pur_lo_us"),
+        F.unix_micros("pur_hi").alias("pur_hi_us"),
+    ).orderBy("error_id", "purchase_id")

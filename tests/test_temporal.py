@@ -232,3 +232,55 @@ class TestTimeRollup:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") == 3
+
+
+class TestIntervalOverlapJoin:
+    def _mk(self, spark, rows, idc):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, f"{idc} BIGINT, lo_s BIGINT, hi_s BIGINT")
+        return df.select(
+            idc,
+            F.timestamp_seconds(F.col("lo_s")).alias(f"{idc}_lo"),
+            F.timestamp_seconds(F.col("hi_s")).alias(f"{idc}_hi"),
+        )
+
+    def test_overlap_semantics_and_meet_once(self, spark):
+        from keenwa_spark.operators.range_join import interval_overlap_join
+
+        # left interval spans MANY bins; right overlaps it twice -> each
+        # qualifying pair must appear exactly once
+        left = self._mk(spark, [(1, 0, 10_000)], "l")      # ~3 bins at w=3600
+        right = self._mk(
+            spark,
+            [
+                (10, 500, 600),       # inside
+                (11, 9_999, 20_000),  # touches the tail
+                (12, 10_000, 11_000), # starts AT l_hi (half-open: no match)
+                (13, 20_000, 21_000), # disjoint
+            ],
+            "r",
+        )
+        out = interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi", bin_width_seconds=3600
+        )
+        got = sorted((r.l, r.r) for r in out.collect())
+        assert got == [(1, 10), (1, 11)]
+
+    def test_empty_window_and_keying(self, spark):
+        from keenwa_spark.operators.range_join import interval_overlap_join
+        from pyspark.sql import functions as F
+
+        left = self._mk(spark, [(1, 0, 0), (2, 0, 100)], "l").withColumn(
+            "k", F.col("l") % 2
+        )
+        right = self._mk(spark, [(7, 50, 60), (8, 50, 60)], "r").withColumn(
+            "k", F.col("r") % 2
+        )
+        out = interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi",
+            on=["k"], bin_width_seconds=60,
+        )
+        got = sorted((r.l, r.r) for r in out.collect())
+        # l=1 is empty (hi==lo) -> nothing; l=2 (k=0) only matches r=8 (k=0)
+        assert got == [(2, 8)]
