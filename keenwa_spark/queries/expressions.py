@@ -537,3 +537,30 @@ sql_query(
     "serves all three frames.",
     tags=("expressions", "window", "superset"),
 )
+
+sql_query(
+    "win_rank_distributions",
+    """
+    SELECT
+      o_custkey,
+      o_orderkey,
+      CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+      CAST(PERCENT_RANK() OVER w AS DOUBLE) AS prk,
+      CAST(CUME_DIST() OVER w AS DOUBLE) AS cd,
+      NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WHERE o_custkey <= 80
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="Distribution-family window functions (Spark superset; the "
+    "reference's surface stops at row_number/rank/first/last): "
+    "dense_rank, percent_rank, cume_dist, nth_value over one shared "
+    "named window. percent_rank/cume_dist are exact rationals of "
+    "ranks — bit-identical across engines under the unique (price, "
+    "orderkey) order; nth_value uses the default growing frame (NULL "
+    "until the frame holds 2 rows) on both engines. Named-WINDOW "
+    "syntax itself is part of the superset (strict dialect mode "
+    "rejects it, mirroring the reference frontend).",
+    tags=("window", "superset"),
+)

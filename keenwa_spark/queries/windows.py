@@ -203,3 +203,4 @@ sql_query(
     "shuffle-once pattern vs a self-join top-N.",
     tags=("window",),
 )
+

@@ -83,3 +83,7 @@ def test_registry_prefix_is_survey_core():
                      "join_cross", "join_left_semi", "join_right_semi",
                      "join_anti", "join_using", "join_natural"):
         assert required in names
+    # the prefix-pattern check above can't catch a new win_*/subq_*
+    # registration in a core module silently evicting the tail — pin
+    # the exact last three slots (a r4 win_* addition did exactly this)
+    assert names[47:50] == ["expr_array", "bld_exists", "bld_in_subquery"]
