@@ -564,3 +564,78 @@ sql_query(
     "rejects it, mirroring the reference frontend).",
     tags=("window", "superset"),
 )
+
+sql_query(
+    "expr_map_ops",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             map('status', o_orderstatus, 'priority', o_orderpriority) AS m
+      FROM orders WHERE o_orderkey <= 200
+    )
+    SELECT o_orderkey,
+           m['status'] AS status,
+           m['priority'] AS priority,
+           array_join(array_sort(map_keys(m)), ',') AS keys_sorted,
+           CAST(size(m) AS BIGINT) AS n_entries
+    FROM t
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_orderpriority AS priority,
+           'priority,status' AS keys_sorted,
+           CAST(2 AS BIGINT) AS n_entries
+    FROM orders WHERE o_orderkey <= 200
+    """,
+    doc="Map type + functions (Spark superset; the reference's type "
+    "system has tuples but no map, reference src/datatypes.rs): map "
+    "constructor, key lookup, sorted map_keys, size. The oracle states "
+    "the output contract directly from the source columns — it checks "
+    "that the map round-trip loses nothing, not that DuckDB shares "
+    "Spark's map syntax.",
+    tags=("expr", "map", "superset"),
+)
+
+sql_query(
+    "expr_higher_order",
+    """
+    WITH a AS (
+      SELECT l_orderkey,
+             sort_array(collect_list(CAST(l_quantity AS BIGINT))) AS qs
+      FROM lineitem WHERE l_orderkey <= 500
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           aggregate(qs, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS fold_sum,
+           CAST(size(filter(qs, x -> x >= 25)) AS BIGINT) AS n_heavy,
+           exists(qs, x -> x >= 49) AS any_near_max,
+           forall(qs, x -> x >= 1) AS all_pos,
+           array_max(zip_with(qs, reverse(qs), (x, y) -> x + y)) AS max_pairsum
+    FROM a
+    ORDER BY l_orderkey
+    """,
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey,
+             list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      FROM lineitem WHERE l_orderkey <= 500
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(list_sum(qs) AS BIGINT) AS fold_sum,
+           CAST(len(list_filter(qs, x -> x >= 25)) AS BIGINT) AS n_heavy,
+           len(list_filter(qs, x -> x >= 49)) > 0 AS any_near_max,
+           len(list_filter(qs, x -> x < 1)) = 0 AS all_pos,
+           list_max([qs[i] + qs[len(qs) + 1 - i]
+                     for i in range(1, len(qs) + 1)]) AS max_pairsum
+    FROM a
+    ORDER BY l_orderkey
+    """,
+    doc="Higher-order array lambdas (Spark superset): aggregate (fold), "
+    "filter, exists, forall, zip_with — the expression toolkit the "
+    "pipeline operators lean on, proven cross-engine against DuckDB's "
+    "list functions. collect_list is order-nondeterministic, so the "
+    "array is sort_array'd before any lambda touches it.",
+    tags=("expr", "higherorder", "superset"),
+)
