@@ -273,3 +273,29 @@ def near_dup_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def filtered_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_predicate: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Filtered vector search: exact top-k cosine neighbors among the
+    corpus rows satisfying ``corpus_predicate`` (a SQL boolean over the
+    corpus columns, e.g. a metadata/label/date constraint).
+
+    The predicate is applied BEFORE the broadcast join, so it pushes
+    into the corpus scan (partition/row-group pruning at 100 TB) and
+    the distance computation only touches qualifying vectors —
+    pre-filtering, not the post-filter-then-hope-k-survive pattern
+    that breaks filtered ANN recall in IVF-style indexes. With a
+    selective predicate, exact search over the filtered subset is
+    usually CHEAPER than an approximate index over everything.
+    """
+    return cosine_topk(
+        corpus.where(corpus_predicate), queries, k=k,
+        id_col=id_col, vec_col=vec_col,
+    )

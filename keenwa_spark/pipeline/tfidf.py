@@ -91,3 +91,53 @@ def top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "score", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+def search_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical search: top-k documents for a keyword query, scored by
+    summed tf*idf_r over the matched query terms (idf_r = the module's
+    rational BM25-style idf; no length normalization — documented
+    simplification).
+
+    Scale shape — and why search is CHEAP here: the (doc, term) pairs
+    are filtered to the query's terms immediately after the explode,
+    so the corpus-wide vocabulary is never shuffled; df_t computed
+    from the filtered pairs is still exact for those terms (every doc
+    containing a query term survives the filter). What remains is a
+    few-term aggregate + a broadcast of a |query|-row df_t table + one
+    doc-keyed top-k. Relevance sums fold per-doc scores in SORTED
+    order (bit-identical cross-engine, any partitioning).
+    """
+    terms = sorted(
+        {t for t in query.lower().split() if t}
+    )
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    tf = term_frequencies(df, text_col, id_col).filter(F.col("term").isin(terms))
+    df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    n_row = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "score",
+            F.expr("tf * (CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(score)), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        ).alias("relevance"),
+        F.countDistinct("term").cast("bigint").alias("n_terms_matched"),
+    )
+    return (
+        per_doc.orderBy(F.col("relevance").desc(), F.col(id_col))
+        .limit(k)
+    )

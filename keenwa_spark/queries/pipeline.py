@@ -1479,3 +1479,84 @@ def pl_quality_topk_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = select_top_k_per_group(scored, "source", "score", 3)
     return top.orderBy("source", F.desc("score"), "doc_id")
+
+
+@df_query(
+    "pl_ann_filtered_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {_D_VEC_D} AS qv FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, {_D_VEC_D} AS cv
+      FROM embeddings WHERE label = 3
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_duck_cosine('qv', 'cv')} AS cos_sim
+      FROM c, q WHERE query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+    """,
+    doc="Filtered vector search: exact top-5 among label=3 vectors "
+    "only. The metadata predicate applies BEFORE the broadcast join — "
+    "it reaches the corpus scan (pushdown/pruning at scale) and the "
+    "cosine folds never touch non-qualifying vectors; with a selective "
+    "predicate this exact plan beats an approximate index over the "
+    "full corpus (pipeline/similarity.py filtered_cosine_topk).",
+    tags=("pipeline", "similarity", "ann"),
+)
+def pl_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import filtered_cosine_topk
+
+    emb = spark.table("embeddings")
+    return filtered_cosine_topk(
+        emb, emb.filter("vec_id < 10"), "label = 3", k=5
+    )
+
+
+@df_query(
+    "pl_search_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, unnest({_D_WORDS.format(c='text')}) AS term
+      FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tf
+      WHERE term IN ('join', 'spark', 'table')
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tfc GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tfc.term,
+             tf * (CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) AS score
+      FROM tfc JOIN dft ON tfc.term = dft.term CROSS JOIN n
+    ),
+    agg AS (
+      SELECT doc_id,
+             list_sum(list_sort(list(score))) AS relevance,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms_matched
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, relevance, n_terms_matched
+    FROM agg ORDER BY relevance DESC, doc_id LIMIT 10
+    """,
+    doc="Lexical keyword search: top-10 documents for the query 'spark "
+    "table join' by summed tf*idf_r. The term filter lands directly "
+    "after the explode, so the corpus vocabulary is never shuffled — "
+    "df_t over the filtered pairs is still exact for the query terms; "
+    "per-doc relevance folds scores in sorted order (bit-identical to "
+    "the DuckDB oracle) (pipeline/tfidf.py search_topk).",
+    tags=("pipeline", "tfidf", "search"),
+)
+def pl_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.tfidf import search_topk
+
+    return search_topk(spark.table("documents"), "spark table join", k=10)
