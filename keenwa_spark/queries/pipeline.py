@@ -1560,3 +1560,88 @@ def pl_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.tfidf import search_topk
 
     return search_topk(spark.table("documents"), "spark table join", k=10)
+
+
+@df_query(
+    "pl_hybrid_search_rrf",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, unnest({_D_WORDS.format(c='text')}) AS term
+      FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tf
+      WHERE term IN ('join', 'spark', 'table')
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tfc GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id,
+             tf * (CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) AS score
+      FROM tfc JOIN dft ON tfc.term = dft.term CROSS JOIN n
+    ),
+    lex AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY list_sum(list_sort(list(score))) DESC, doc_id
+      ) AS BIGINT) AS lrank
+      FROM scored GROUP BY doc_id
+      ORDER BY lrank LIMIT 50
+    ),
+    q AS (SELECT {_D_VEC_D} AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, {_D_VEC_D} AS cv FROM embeddings WHERE vec_id < 500),
+    vec AS (
+      SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
+        ORDER BY {_duck_cosine('qv', 'cv')} DESC, vec_id
+      ) AS BIGINT) AS vrank
+      FROM c, q WHERE vec_id <> 0
+      ORDER BY vrank LIMIT 50
+    )
+    SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+           COALESCE(1.0 / (60 + lrank), 0) + COALESCE(1.0 / (60 + vrank), 0)
+             AS rrf,
+           lrank, vrank
+    FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid retrieval: the lexical arm (tf-idf top-50 for 'spark "
+    "table join') fused with the vector arm (cosine top-50 around "
+    "vec_id 0, restricted to the doc-id range) by reciprocal-rank "
+    "fusion 1/(60+rank) — rank-based exact rationals, so the fusion is "
+    "bit-deterministic cross-engine. Both arms are bounded top-k "
+    "DataFrames; the fusion is a full-outer join of two 50-row sides — "
+    "driver-free, broadcast-size at any corpus scale.",
+    tags=("pipeline", "search", "ann"),
+)
+def pl_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from keenwa_spark.pipeline.similarity import cosine_topk
+    from keenwa_spark.pipeline.tfidf import search_topk
+
+    docs = spark.table("documents")
+    emb = spark.table("embeddings").where("vec_id < 500")
+    lex = (
+        search_topk(docs, "spark table join", k=50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("relevance").desc(), F.col("doc_id")))
+            .cast("bigint")
+            .alias("lrank"),
+        )
+    )
+    vec = (
+        cosine_topk(emb, emb.where("vec_id = 0"), k=50)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("vrank"))
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("lrank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vrank")), F.lit(0.0))
+        ).alias("rrf"),
+        "lrank",
+        "vrank",
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
