@@ -47,3 +47,78 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def zorder_key_expr(
+    cols: list[tuple[str, float, float]], bits: int = 16
+) -> F.Column:
+    """Z-order (Morton) key over 2+ numeric columns: each value is
+    normalized into ``[0, 2^bits)`` using the caller-supplied
+    ``(col, min, max)`` domain, then the columns' bits are interleaved.
+
+    Sorting by this key clusters rows so that ANY of the participating
+    columns has narrow min/max spans per file/row-group — which is what
+    makes multi-predicate scans skip data. One linear expression, all
+    codegen.
+    """
+    if len(cols) < 2:
+        raise ValueError("z-order needs at least 2 columns")
+    if not 1 <= bits <= 20:
+        raise ValueError(f"bits must be in [1, 20], got {bits}")
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(
+            f"{n} cols x {bits} bits = {n * bits} key bits > 62 (long overflow)"
+        )
+    scaled = []
+    for c, lo, hi in cols:
+        if not hi > lo:
+            raise ValueError(f"bad domain for {c}: [{lo}, {hi}]")
+        span = float(hi) - float(lo)
+        scaled.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(c).cast("double") - float(lo))
+                        / span
+                        * ((1 << bits) - 1)
+                    ).cast("bigint"),
+                ),
+            )
+        )
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            key = key.bitwiseOR(
+                s.bitwiseAND(F.lit(1 << i)).cast("bigint")
+                * F.lit(1 << (i * (n - 1) + j))
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[tuple[str, float, float]],
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "error",
+) -> None:
+    """Write parquet clustered by the z-order key of ``cols``:
+    range-repartition on the key (contiguous key ranges per file, one
+    shuffle), sort within partitions, drop the key. Every participating
+    column gets narrow per-file min/max statistics, so single- OR
+    multi-column range predicates skip most files/row-groups at scan
+    time — the lakehouse layout trick (Delta/Iceberg OPTIMIZE ZORDER)
+    in plain Spark operators."""
+    key = zorder_key_expr(cols, bits=bits)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

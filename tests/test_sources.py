@@ -141,3 +141,52 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     # scan must NOT degrade it to a data filter
     pf = ex.split("PartitionFilters:")[1].split("]")[0]
     assert "o_orderpriority" in pf
+
+
+def test_zorder_layout_narrows_file_stats(spark, tmp_path):
+    """Z-order clustering must give EVERY participating column narrow
+    per-file min/max spans (the stats that drive file/row-group
+    skipping) — a single-column sort would nail one column and leave
+    the other's span global."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+    from keenwa_spark.queries import ensure_views
+    from keenwa_spark.sources.writers import write_zordered
+    import tests.conftest as cf
+
+    ensure_views(spark, cf.SF_DIR)
+    ev = spark.table("events").select("user_id", "value", "event_id")
+    lo_u, hi_u, lo_v, hi_v = ev.selectExpr(
+        "min(user_id)", "max(user_id)", "min(value)", "max(value)"
+    ).collect()[0]
+    out = str(tmp_path / "events_z")
+    write_zordered(
+        ev, out,
+        [("user_id", lo_u, hi_u), ("value", lo_v, hi_v)],
+        n_files=8,
+    )
+    spans_u, spans_v = [], []
+    for f in _glob.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        mins_u, maxs_u, mins_v, maxs_v = [], [], [], []
+        for rg in range(md.num_row_groups):
+            su = md.row_group(rg).column(cols["user_id"]).statistics
+            sv = md.row_group(rg).column(cols["value"]).statistics
+            mins_u.append(su.min); maxs_u.append(su.max)
+            mins_v.append(sv.min); maxs_v.append(sv.max)
+        spans_u.append((max(maxs_u) - min(mins_u)) / max(hi_u - lo_u, 1))
+        spans_v.append((max(maxs_v) - min(mins_v)) / max(hi_v - lo_v, 1e-9))
+    assert len(spans_u) >= 4  # range partitioning actually split files
+    # average per-file span must be well below the global range on BOTH
+    # dimensions (z-order trades a perfect single-column sort for
+    # balanced narrowing across all participating columns)
+    avg_u = sum(spans_u) / len(spans_u)
+    avg_v = sum(spans_v) / len(spans_v)
+    assert avg_u < 0.6, spans_u
+    assert avg_v < 0.6, spans_v
+    # round-trip integrity
+    assert spark.read.parquet(out).count() == ev.count()
