@@ -232,3 +232,25 @@ sql_query(
     "labels the rollup rows unambiguously.",
     tags=("analytics", "aggregate", "superset"),
 )
+
+sql_query(
+    "agg_pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Pivot / cross-tab via conditional aggregation — the shape "
+    "Spark's df.pivot() desugars to (one pass, one shuffle, no "
+    "per-pivot-value scans); written as explicit SUM(CASE) so the "
+    "same text is the DuckDB oracle. Counts cast BIGINT, money "
+    "decimal-exact.",
+    tags=("analytics", "pivot", "superset"),
+)

@@ -1645,3 +1645,36 @@ def pl_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vrank",
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@df_query(
+    "pl_profile_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_value,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE),
+           CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    ORDER BY col_name
+    """,
+    doc="Column profiling (the ANALYZE-style data profile a pipeline "
+    "runs before choosing layouts and join strategies): null count, "
+    "exact distinct count, min/max per column in ONE aggregation pass "
+    "+ a driver-free stack unpivot (pipeline/quality.py "
+    "profile_columns). Feeds Catalog row-count/broadcast statistics.",
+    tags=("pipeline", "profile", "stats"),
+)
+def pl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.quality import profile_columns
+
+    return profile_columns(
+        spark.table("orders"), ["o_custkey", "o_totalprice"]
+    ).orderBy("col_name")
