@@ -284,3 +284,62 @@ class TestIntervalOverlapJoin:
         got = sorted((r.l, r.r) for r in out.collect())
         # l=1 is empty (hi==lo) -> nothing; l=2 (k=0) only matches r=8 (k=0)
         assert got == [(2, 8)]
+
+
+class TestIntervalOverlapRandomized:
+    def test_matches_bruteforce_on_seeded_random_intervals(self, spark):
+        """Randomized cross-check: bin-bucketed overlap join == O(n*m)
+        brute force, on intervals engineered to hit the nasty spots —
+        zero-width, bin-edge-aligned, many-bin spans, key mismatches."""
+        import random
+
+        from keenwa_spark.operators.range_join import interval_overlap_join
+        from pyspark.sql import functions as F
+
+        rng = random.Random(20260813)
+        W = 60  # bin width (seconds)
+
+        def mk(n, idbase):
+            rows = []
+            for i in range(n):
+                lo = rng.randrange(0, 3000)
+                style = rng.random()
+                if style < 0.15:
+                    hi = lo                      # empty
+                elif style < 0.3:
+                    lo = (lo // W) * W           # bin-aligned start
+                    hi = lo + W * rng.randrange(0, 4)  # bin-aligned end
+                elif style < 0.5:
+                    hi = lo + rng.randrange(1, 10)     # tiny
+                else:
+                    hi = lo + rng.randrange(1, 600)    # spans many bins
+                rows.append((idbase + i, rng.randrange(0, 3), lo, hi))
+            return rows
+
+        lrows, rrows = mk(60, 1000), mk(60, 2000)
+        expected = sorted(
+            (l[0], r[0])
+            for l in lrows
+            for r in rrows
+            if l[1] == r[1] and l[2] < r[3] and r[2] < l[3]
+            and l[3] > l[2] and r[3] > r[2]
+        )
+
+        def to_df(rows, idc, lo, hi):
+            df = spark.createDataFrame(
+                rows, f"{idc} BIGINT, k BIGINT, lo_s BIGINT, hi_s BIGINT"
+            )
+            return df.select(
+                idc, "k",
+                F.timestamp_seconds(F.col("lo_s")).alias(lo),
+                F.timestamp_seconds(F.col("hi_s")).alias(hi),
+            )
+
+        out = interval_overlap_join(
+            to_df(lrows, "lid", "l_lo", "l_hi"),
+            to_df(rrows, "rid", "r_lo", "r_hi"),
+            "l_lo", "l_hi", "r_lo", "r_hi",
+            on=["k"], bin_width_seconds=W,
+        )
+        got = sorted((r.lid, r.rid) for r in out.collect())
+        assert got == expected
