@@ -145,3 +145,77 @@ def test_interval_join_matches_batch(views, event_dir):
     """)
     want = {(r.user_id, r.l_event_id, r.r_event_id) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows_across_restarts(views, tmp_path_factory):
+    """Late-data semantics, pinned: a row older than the checkpointed
+    watermark must be EXCLUDED from its (already finalized) window when
+    it arrives in a later run — and the watermark itself must survive
+    the query restart via the checkpoint. This is the behavior that
+    bounds state at 100 TB: without the drop, every historical window
+    stays open forever."""
+    import glob as _glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("wm")
+    src = str(base / "src")
+    sink = str(base / "sink")
+    ckpt = str(base / "ckpt")
+    spark = views
+
+    def write_batch(rows, name):
+        (
+            spark.createDataFrame(rows, "ts_s STRING, k STRING")
+            .select(F.to_timestamp("ts_s").alias("ts"), "k")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema("ts TIMESTAMP, k STRING").parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "k")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("w.start").cast("string").alias("wstart"), "k", "n"
+            )
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two on-time rows in the 10:00 window, plus a 12:00 row
+    # that advances the watermark to 11:50 at the end of the batch
+    write_batch(
+        [("2024-01-01 10:02:00", "a"), ("2024-01-01 10:03:00", "a"),
+         ("2024-01-01 12:00:00", "a")],
+        "b1",
+    )
+    run()
+    # run 2: a LATE row for the 10:00 window (behind the checkpointed
+    # 11:50 watermark -> must be dropped) + a fresh 13:00 row that
+    # pushes the watermark far enough to finalize every earlier window
+    time.sleep(1.1)  # distinct mod-time so the file source orders runs
+    write_batch([("2024-01-01 10:04:00", "a"), ("2024-01-01 13:00:00", "a")], "b2")
+    run()
+    time.sleep(1.1)
+    write_batch([("2024-01-01 15:00:00", "a")], "b3")
+    run()
+
+    out = {
+        (r.wstart, r.k): r.n
+        for r in spark.read.parquet(sink).collect()
+        if _glob.glob(sink + "/*.parquet")
+    }
+    ten = [v for (ws, _), v in out.items() if ws.startswith("2024-01-01 10:0")]
+    assert ten == [2], out  # late 10:04 row NOT counted; window emitted once
