@@ -231,3 +231,62 @@ def weighted_bernoulli_sample(
         f" * {_BUCKETS}) AS BIGINT)"
     )
     return df.filter(F.expr(f"{_bucket_expr(key_col, salt)} < {thr}"))
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: pair
+    every anchor row with ``k`` pseudo-random OTHER rows, reproducibly.
+
+    Candidate ids derive from the portable md5 hash of (anchor, j,
+    salt) modulo the id domain — so the candidate list is a pure
+    zero-shuffle projection; the only data movement is the equi-join
+    that resolves candidates to rows (broadcast of the anchor-derived
+    side if small, else one keyed shuffle — never a random shuffle of
+    the corpus, which is how naive rand()-ordering implementations
+    burn a full sort at 100 TB). A candidate that hashes onto its own
+    anchor is remapped to the next id (mod N), so a pair is never
+    (a, a).
+
+    Requires ids dense in [0, N): the standard contiguous-row-id
+    layout of a training corpus (materialize one with
+    row_number/zipWithIndex if ids are sparse; that costs the one
+    shuffle this function otherwise avoids).
+    """
+    from keenwa_spark.pipeline.hashing import spark_hash64
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_row = df.agg(F.countDistinct(id_col).alias("__n"))
+    probes = ", ".join(
+        spark_hash64(
+            f"concat(CAST({id_col} AS STRING), ':{j}:', '{_q(salt)}')"
+        )
+        for j in range(k)
+    )
+    anchors = (
+        df.select(id_col)
+        .crossJoin(F.broadcast(n_row))
+        .selectExpr(
+            id_col,
+            "__n",
+            f"transform(array({probes}), h -> h % __n) AS __cands",
+        )
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.posexplode("__cands").alias("j", "__cand"),
+            F.col("__n"),
+        )
+        # self-collision: step to the neighboring id, still in-domain
+        .selectExpr(
+            "anchor_id",
+            "CAST(j AS BIGINT) AS j",
+            "CASE WHEN __cand = anchor_id THEN (__cand + 1) % __n "
+            "ELSE __cand END AS negative_id",
+        )
+    )
+    return anchors

@@ -1678,3 +1678,37 @@ def pl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         spark.table("orders"), ["o_custkey", "o_totalprice"]
     ).orderBy("col_name")
+
+
+@df_query(
+    "pl_negative_samples",
+    oracle="""
+    WITH n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents),
+    probes AS (SELECT unnest([0, 1, 2]) AS j),
+    cand AS (
+      SELECT d.doc_id, p.j, n.nn,
+             (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                 || CAST(p.j AS VARCHAR) || ':neg'), 1, 8))::BIGINT) % n.nn
+               AS c
+      FROM documents d CROSS JOIN n CROSS JOIN probes p
+    )
+    SELECT doc_id AS anchor_id,
+           CAST(j AS BIGINT) AS j,
+           CASE WHEN c = doc_id THEN (c + 1) % nn ELSE c END AS negative_id
+    FROM cand
+    ORDER BY anchor_id, j
+    """,
+    doc="Deterministic negative sampling (contrastive-pair mining): 3 "
+    "pseudo-random negatives per anchor from the portable md5 hash of "
+    "(anchor, probe, salt) mod N — a zero-shuffle projection, "
+    "reproducible across engines and runs (never a rand() corpus "
+    "sort); self-collisions step to the adjacent id "
+    "(pipeline/sampling.py negative_samples).",
+    tags=("pipeline", "sampling", "contrastive"),
+)
+def pl_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sampling import negative_samples
+
+    return negative_samples(spark.table("documents"), k=3).select(
+        "anchor_id", "j", "negative_id"
+    ).orderBy("anchor_id", "j")

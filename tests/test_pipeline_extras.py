@@ -387,3 +387,25 @@ def test_select_top_k_per_group_tie_break(spark):
     )
     # g1 tie at 5.0 broken by doc_id (1 before 2); g2 keeps its only row
     assert kept == [1, 2, 4]
+
+
+def test_negative_samples_properties(spark):
+    from keenwa_spark.pipeline.sampling import negative_samples
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "doc_id BIGINT, text STRING"
+    )
+    out = negative_samples(df, k=4).collect()
+    assert len(out) == 20 * 4
+    for r in out:
+        assert r.negative_id != r.anchor_id          # never self-paired
+        assert 0 <= r.negative_id < 20               # stays in domain
+    # deterministic across invocations; salt changes the draw
+    again = negative_samples(df, k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = negative_samples(df, k=4, salt="other").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        negative_samples(df, k=0)
