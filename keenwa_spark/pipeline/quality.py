@@ -144,9 +144,9 @@ def select_top_k_per_group(
         .orderBy(F.col(score_col).desc(), F.col(id_col))
     )
     return (
-        df.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .drop("rk")
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
     )
 
 
@@ -164,19 +164,23 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     if not cols:
         raise ValueError("cols must be non-empty")
+    # temp aliases are INDEXED (not name-derived) and the emitted
+    # col_name is a quote-escaped literal, so names with dashes,
+    # spaces, dots, or quotes survive the selectExpr round-trip
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("bigint")
-            .alias(f"__nn_{c}"),
-            F.countDistinct(c).cast("bigint").alias(f"__nd_{c}"),
-            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+            .alias(f"__nn_{i}"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"__nd_{i}"),
+            F.min(F.col(c).cast("double")).alias(f"__mn_{i}"),
+            F.max(F.col(c).cast("double")).alias(f"__mx_{i}"),
         ]
     one = df.agg(*aggs)
     stack = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+        f"""'{c.replace("'", "''")}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}"""
+        for i, c in enumerate(cols)
     )
     return one.selectExpr(
         f"stack({len(cols)}, {stack}) AS "

@@ -242,15 +242,17 @@ def negative_samples(
     """Deterministic negative sampling for contrastive training: pair
     every anchor row with ``k`` pseudo-random OTHER rows, reproducibly.
 
-    Candidate ids derive from the portable md5 hash of (anchor, j,
-    salt) modulo the id domain — so the candidate list is a pure
-    zero-shuffle projection; the only data movement is the equi-join
-    that resolves candidates to rows (broadcast of the anchor-derived
-    side if small, else one keyed shuffle — never a random shuffle of
-    the corpus, which is how naive rand()-ordering implementations
-    burn a full sort at 100 TB). A candidate that hashes onto its own
-    anchor is remapped to the next id (mod N), so a pair is never
-    (a, a).
+    Returns (anchor_id, j, negative_id) id triples. Candidate ids
+    derive from the portable md5 hash of (anchor, j, salt) modulo the
+    id domain, so generation is a pure zero-shuffle projection —
+    never a random shuffle of the corpus, which is how naive
+    rand()-ordering implementations burn a full sort at 100 TB.
+    Resolving triples to row payloads is the caller's equi-join on
+    negative_id (broadcast if the anchor set is small, else one keyed
+    shuffle). A candidate that hashes onto its own anchor is remapped
+    to the next id (mod N), and self-pairs are filtered as a final
+    guard — with a degenerate single-row corpus (N=1) no negative
+    exists and the result is EMPTY rather than wrong.
 
     Requires ids dense in [0, N): the standard contiguous-row-id
     layout of a training corpus (materialize one with
@@ -288,5 +290,8 @@ def negative_samples(
             "CASE WHEN __cand = anchor_id THEN (__cand + 1) % __n "
             "ELSE __cand END AS negative_id",
         )
+        # N=1 degenerate corpus: the remap lands back on the anchor —
+        # emit nothing instead of a self-pair
+        .where("negative_id <> anchor_id")
     )
     return anchors

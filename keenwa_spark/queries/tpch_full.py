@@ -286,8 +286,8 @@ sql_query(
     doc="TPC-H Q14 shape (promotion effect): date-windowed fact scan "
     "joined to part (broadcast), global conditional-share aggregate — "
     "promo revenue as a percentage of total. Both sums decimal-exact; "
-    "the division happens once, in double. GROUP BY a constant keeps "
-    "it a (trivially) grouped aggregate as in the reference plan.",
+    "the division happens once, in double, over a single global "
+    "(ungrouped) aggregate row.",
     tags=("analytics", "tpch"),
 )
 

@@ -203,4 +203,3 @@ sql_query(
     "shuffle-once pattern vs a self-join top-N.",
     tags=("window",),
 )
-
