@@ -82,3 +82,56 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("n_hits") >= min_hits)
     )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate (fuzzy) decontamination: flag training docs whose
+    MinHash signature agrees with ANY benchmark doc's signature on at
+    least one LSH band — catching paraphrased/lightly-edited benchmark
+    leakage that exact n-gram matching (``decontaminate``) misses.
+
+    Scale shape mirrors the exact variant: the benchmark side reduces
+    to DISTINCT (band, key) rows — k/bands strings per eval doc — and
+    is BROADCAST; the corpus side is the zero-shuffle signature
+    projection (dedup.minhash_signatures) plus an inline band
+    explosion, so corpus text never shuffles and the only shuffle is
+    the per-doc hit count. Output: (id, n_band_hits, contaminated);
+    docs with fewer words than a shingle are absent (vacuously clean),
+    as in the exact variant.
+    """
+    from keenwa_spark.pipeline.dedup import minhash_signatures
+    from keenwa_spark.pipeline.hashing import MINHASH_AB
+
+    if len(MINHASH_AB) % bands:
+        raise ValueError(f"bands={bands} must divide k={len(MINHASH_AB)}")
+    rows_per_band = len(MINHASH_AB) // bands
+
+    def band_rows(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col)
+        structs = []
+        for b in range(bands):
+            cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+            key = ", '-', ".join(f"CAST({c} AS STRING)" for c in cols)
+            structs.append(f"struct({b} AS band, concat({key}) AS bkey)")
+        return sig.select(
+            F.col(id_col),
+            F.explode(F.expr(f"array({', '.join(structs)})")).alias("bb"),
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    eval_keys = (
+        band_rows(benchmark).select("band", "bkey").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        band_rows(docs)
+        .join(F.broadcast(eval_keys), ["band", "bkey"], "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_band_hits"))
+        .withColumn("contaminated", F.col("n_band_hits") >= 1)
+    )

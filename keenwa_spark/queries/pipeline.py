@@ -1712,3 +1712,49 @@ def pl_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(spark.table("documents"), k=3).select(
         "anchor_id", "j", "negative_id"
     ).orderBy("anchor_id", "j")
+
+
+@df_query(
+    "pl_fuzzy_decontaminate",
+    oracle=f"""
+    WITH {_duck_docs_cte()},
+    {_duck_minhash_sig()},
+    bands AS (
+      {" UNION ALL ".join(
+        "SELECT doc_id, " + str(b) + " AS band, "
+        + " || '-' || ".join(
+            "CAST(mh" + str(b * 3 + r) + " AS VARCHAR)" for r in range(3)
+        )
+        + " AS bkey FROM sig"
+        for b in range(4)
+      )}
+    ),
+    eval_keys AS (
+      SELECT DISTINCT band, bkey FROM bands WHERE doc_id % 97 = 0
+    ),
+    corpus AS (SELECT * FROM bands WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id,
+           CAST(SUM(CASE WHEN e.bkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_band_hits,
+           SUM(CASE WHEN e.bkey IS NOT NULL THEN 1 ELSE 0 END) >= 1
+             AS contaminated
+    FROM corpus c
+    LEFT JOIN eval_keys e ON c.band = e.band AND c.bkey = e.bkey
+    GROUP BY c.doc_id
+    """,
+    doc="Fuzzy (near-duplicate) decontamination: training docs flagged "
+    "when their MinHash signature agrees with any benchmark doc on a "
+    "full LSH band — the paraphrase-tolerant complement to "
+    "pl_decontaminate's exact n-gram overlap. Benchmark reduces to "
+    "DISTINCT broadcast (band, key) rows; corpus text never shuffles "
+    "(pipeline/decontaminate.py fuzzy_decontaminate).",
+    tags=("pipeline", "dedup", "decontamination"),
+)
+def pl_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.decontaminate import fuzzy_decontaminate
+
+    docs = spark.table("documents")
+    return fuzzy_decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+    )
