@@ -639,3 +639,23 @@ sql_query(
     "array is sort_array'd before any lambda touches it.",
     tags=("expr", "higherorder", "superset"),
 )
+
+sql_query(
+    "join_lateral_topn",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    ORDER BY c.c_custkey
+    """,
+    doc="Correlated LATERAL derived table — top-1 order per customer "
+    "(Spark superset: the reference frontend rejects LATERAL, "
+    "reference sql/mod.rs dialect matrix, mirrored by strict mode). "
+    "Catalyst decorrelates the limit-1 lateral into a ranked join "
+    "rather than per-row re-execution; customers without orders drop "
+    "out (inner lateral semantics) identically on both engines; "
+    "(price, orderkey) makes the per-customer pick unique.",
+    tags=("join", "lateral", "superset"),
+)
