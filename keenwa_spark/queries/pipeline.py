@@ -1758,3 +1758,33 @@ def pl_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 97 != 0),
         docs.where(F.col("doc_id") % 97 == 0),
     )
+
+
+@df_query(
+    "pl_group_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source, {_duck_bucket('source', 'gsplit0')} AS bk
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bk < 800000 THEN 'train'
+                WHEN bk < 1000000 THEN 'test' END AS split
+    FROM b
+    ORDER BY doc_id
+    """,
+    doc="Group-aware (leakage-safe) splits: the hash key is the SOURCE "
+    "domain, not the doc id, so every document of a source lands in "
+    "the same split — near-duplicates and templated content within a "
+    "domain can never straddle train/test (the classic contamination "
+    "path of row-wise splits). Same zero-shuffle deterministic bucket "
+    "math as hash_split (pipeline/sampling.py), keyed by group.",
+    tags=("pipeline", "sampling", "splits"),
+)
+def pl_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sampling import hash_split
+
+    return hash_split(
+        spark.table("documents"), "source",
+        {"train": 0.8, "test": 0.2}, salt="gsplit0",
+    ).select("doc_id", "source", "split").orderBy("doc_id")
