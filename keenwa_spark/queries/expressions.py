@@ -659,3 +659,69 @@ sql_query(
     "(price, orderkey) makes the per-customer pick unique.",
     tags=("join", "lateral", "superset"),
 )
+
+sql_query(
+    "expr_try_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           try_divide(l_extendedprice, l_discount) AS price_per_disc,
+           try_divide(CAST(l_quantity AS BIGINT),
+                      CAST(l_quantity AS BIGINT) - CAST(l_quantity AS BIGINT))
+             AS div_zero_int,
+           try_add(9223372036854775807, CAST(l_quantity AS BIGINT))
+             AS overflow_add
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS price_per_disc,
+           CAST(NULL AS DOUBLE) AS div_zero_int,
+           CAST(NULL AS BIGINT) AS overflow_add
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Error-safe arithmetic (Spark superset): try_divide returns "
+    "NULL on zero denominators (both double and integer division) and "
+    "try_add returns NULL on bigint overflow, instead of raising under "
+    "ANSI mode or returning Inf. The oracle states the NULL-contract "
+    "directly (DuckDB has no try_* family); quantity > 0 in the data "
+    "makes the overflow arm deterministically NULL.",
+    tags=("expr", "superset"),
+)
+
+sql_query(
+    "expr_bitwise",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(o_orderkey ^ 21845 AS BIGINT) AS xored,
+           CAST(shiftleft(o_orderkey, 3) AS BIGINT) AS shl3,
+           CAST(shiftright(o_orderkey, 2) AS BIGINT) AS shr2,
+           CAST(~o_orderkey AS BIGINT) AS negated,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+           CAST(o_orderkey << 3 AS BIGINT) AS shl3,
+           CAST(o_orderkey >> 2 AS BIGINT) AS shr2,
+           CAST(~o_orderkey AS BIGINT) AS negated,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+    FROM orders WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+    doc="Bitwise operator family (Spark superset; the toolkit behind "
+    "the z-order and sign-LSH operators): AND/OR/XOR/shifts/NOT/"
+    "popcount — Spark's ^ is DuckDB's xor(), shiftleft/shiftright are "
+    "<< / >>; two's-complement semantics match bit-for-bit on BIGINT.",
+    tags=("expr", "superset"),
+)
