@@ -725,3 +725,44 @@ sql_query(
     "<< / >>; two's-complement semantics match bit-for-bit on BIGINT.",
     tags=("expr", "superset"),
 )
+
+sql_query(
+    "fn_datetime_extended",
+    """
+    SELECT o_orderkey,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING)
+             AS month_start,
+           CAST(CAST(add_months(o_orderdate, 2) AS DATE) AS STRING)
+             AS plus2m,
+           CAST(datediff(TIMESTAMP '1998-01-01', o_orderdate) AS BIGINT)
+             AS days_to_98,
+           CAST(CAST(last_day(o_orderdate) AS DATE) AS STRING) AS month_end,
+           CAST(weekday(o_orderdate) AS BIGINT) AS wd,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+    FROM orders WHERE o_orderkey <= 400
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+             AS month_start,
+           strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '1998-01-01') AS BIGINT)
+             AS days_to_98,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           CAST(isodow(o_orderdate) - 1 AS BIGINT) AS wd,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+    FROM orders WHERE o_orderkey <= 400
+    ORDER BY o_orderkey
+    """,
+    doc="Extended datetime functions (Spark superset; every date "
+    "function is TODO in the reference): date_trunc, add_months "
+    "(month-end clamped, = DuckDB interval addition), datediff "
+    "(argument order differs per dialect), last_day, weekday "
+    "(Spark 0=Monday = DuckDB isodow-1), quarter, dayofyear. Dates "
+    "emitted as ISO strings per the cross-engine convention.",
+    tags=("expr", "functions", "datetime", "superset"),
+)
