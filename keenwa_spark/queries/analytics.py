@@ -254,3 +254,33 @@ sql_query(
     "decimal-exact.",
     tags=("analytics", "pivot", "superset"),
 )
+
+sql_query(
+    "agg_stats_moments",
+    """
+    WITH m AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM orders
+      GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus,
+           n,
+           s1 / n AS mean_price,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_price,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_price
+    FROM m
+    ORDER BY o_orderstatus
+    """,
+    doc="Second-moment statistics (variance/stddev) via exact decimal "
+    "moments: SUM(x) and SUM(x*x) aggregate exactly (decimal, "
+    "order-independent — the built-in stddev's streaming double "
+    "accumulation is partition-order-dependent and can't be "
+    "hash-verified cross-engine), then the sample-variance formula "
+    "runs once per group in double. The same one-pass shape the "
+    "built-in uses, with deterministic results at any partitioning.",
+    tags=("analytics", "aggregate", "stats"),
+)
