@@ -1788,3 +1788,41 @@ def pl_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents"), "source",
         {"train": 0.8, "test": 0.2}, salt="gsplit0",
     ).select("doc_id", "source", "split").orderBy("doc_id")
+
+
+@df_query(
+    "pl_incremental_dedup",
+    oracle=f"""
+    WITH old AS (
+      SELECT DISTINCT md5({_D_NORM.format(c='text')}) AS h
+      FROM documents WHERE doc_id < 250
+    ),
+    new_docs AS (
+      SELECT doc_id, md5({_D_NORM.format(c='text')}) AS h
+      FROM documents WHERE doc_id >= 250
+    )
+    SELECT n.doc_id
+    FROM new_docs n LEFT JOIN old o ON n.h = o.h
+    WHERE o.h IS NULL
+    ORDER BY n.doc_id
+    """,
+    doc="Incremental exact dedup: the arriving batch (doc_id >= 250) "
+    "anti-joined on content digest against the persisted corpus state "
+    "(digests of doc_id < 250) — corpus TEXT is never re-read; the "
+    "state side is 16 bytes/doc and typically broadcast "
+    "(operators/incremental.py incremental_exact_dedup).",
+    tags=("pipeline", "dedup", "incremental"),
+)
+def pl_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.incremental import incremental_exact_dedup
+    from keenwa_spark.pipeline.dedup import normalized_text
+
+    docs = spark.table("documents")
+    known = docs.where("doc_id < 250").select(
+        F.expr(f"md5({normalized_text('text')})").alias("content_hash")
+    ).distinct()
+    return (
+        incremental_exact_dedup(docs.where("doc_id >= 250"), known)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
