@@ -1826,3 +1826,36 @@ def pl_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@df_query(
+    "op_salted_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+    doc="Skew-salted join equals the plain join (the oracle IS the "
+    "plain join): the big side scatters each key across 16 "
+    "deterministic sub-keys, the small side replicates per salt, and "
+    "the (key, salt) equi-join reassembles exactly the unsalted "
+    "result — proving salting is purely a physical rebalance "
+    "(operators/skew.py salted_join; hot-key splitting rationale in "
+    "its module doc).",
+    tags=("operator", "skew", "join"),
+)
+def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.skew import salted_join
+
+    events = spark.table("events").where("event_type = 'purchase'")
+    customers = spark.table("customer").select("c_custkey", "c_name")
+    return (
+        salted_join(
+            events, customers.withColumnRenamed("c_custkey", "user_id"),
+            on="user_id", salts=16,
+        )
+        .select("event_id", "user_id", "c_name")
+        .orderBy("event_id")
+    )
