@@ -262,3 +262,45 @@ def st_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_value").cast("double").alias("total_value"),
         )
     )
+
+
+@df_query(
+    "st_user_state",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Custom stateful streaming (applyInPandasWithState): the "
+    "per-user lifetime tracker's final snapshot must equal the batch "
+    "GROUP BY — state accumulated across micro-batches in the state "
+    "store, verified against the all-at-once answer. The exact integer "
+    "counters are compared (the float total_value column is "
+    "pandas-summation-order-dependent and is covered by the tolerance "
+    "tests in tests/test_stateful_streaming.py instead); snapshots are "
+    "max-reduced per user so the check is robust to multi-batch "
+    "admission emitting intermediate snapshots.",
+    tags=("streaming", "stateful"),
+)
+def st_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming import run_available_now
+    from keenwa_spark.streaming.stateful import user_activity_tracker
+
+    out = run_available_now(
+        user_activity_tracker(_stream_source(spark, sf_dir)),
+        output_mode="update",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("bigint").alias("n_events"),
+            F.max("n_purchases").cast("bigint").alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
