@@ -366,8 +366,71 @@ VALUES_EMPTY = _cases(
     "SELECT count(*) AS n FROM (SELECT 1) one",
 )
 
+# Round-4 superset constructs (all strict=False: the reference dialect
+# rejects LATERAL / named WINDOW / GROUP BY modifiers and has none of
+# the function families) — pinned cross-engine on the mini catalog.
+NS = {"strict": False}
+SUPERSET_R4 = _cases(
+    "superset_r4",
+    # correlated LATERAL derived table with per-row top-1
+    (
+        "SELECT a.a1, t.b3 FROM a, LATERAL (SELECT b3 FROM b "
+        "WHERE b.b1 = a.a1 ORDER BY b3 DESC LIMIT 1) t",
+        NS,
+    ),
+    # named WINDOW shared by two functions (tie-free, null-free keys)
+    (
+        "SELECT a1, ROW_NUMBER() OVER w AS rn, SUM(a4) OVER w AS s "
+        "FROM a WHERE a1 IS NOT NULL AND a3 IS NOT NULL "
+        "WINDOW w AS (ORDER BY a1, a3)",
+        {"strict": False, "ordered": False},
+    ),
+    # GROUP BY ROLLUP (reference rejects all GROUP BY modifiers)
+    ("SELECT a2, SUM(a4) AS s FROM a GROUP BY ROLLUP(a2)", NS),
+    # bitwise family — Spark's ^ is DuckDB xor(), shifts differ in name
+    (
+        "SELECT a1 & 3 AS b_and, a1 | 4 AS b_or, a1 ^ 5 AS b_xor, "
+        "shiftleft(a1, 2) AS shl FROM a WHERE a1 IS NOT NULL",
+        {
+            "strict": False,
+            "duck_sql": "SELECT a1 & 3 AS b_and, a1 | 4 AS b_or, "
+            "xor(a1, 5) AS b_xor, a1 << 2 AS shl FROM a WHERE a1 IS NOT NULL",
+        },
+    ),
+    # higher-order array lambdas
+    (
+        "SELECT a1, transform(array(a1, a2), x -> x + 1) AS arr, "
+        "aggregate(array(a1, a2, a3), 0, (acc, x) -> acc + coalesce(x, 0)) AS agg "
+        "FROM a WHERE a1 IS NOT NULL",
+        {
+            "strict": False,
+            "duck_sql": "SELECT a1, [x + 1 for x in [a1, a2]] AS arr, "
+            "list_sum(list_transform([a1, a2, a3], x -> coalesce(x, 0))) AS agg "
+            "FROM a WHERE a1 IS NOT NULL",
+        },
+    ),
+    # error-safe division: NULL on zero denominator
+    (
+        "SELECT a1, try_divide(a4, a1 - a1) AS dz, try_divide(a4, 2) AS ok "
+        "FROM a WHERE a1 IS NOT NULL",
+        {
+            "strict": False,
+            "duck_sql": "SELECT a1, CAST(NULL AS DOUBLE) AS dz, "
+            "a4 / 2.0 AS ok FROM a WHERE a1 IS NOT NULL",
+        },
+    ),
+    # pivot via conditional aggregation (shared dialect)
+    (
+        "SELECT a2, SUM(CASE WHEN a1 % 2 = 0 THEN 1 ELSE 0 END) AS n_even, "
+        "SUM(CASE WHEN a1 % 2 = 1 THEN 1 ELSE 0 END) AS n_odd "
+        "FROM a WHERE a1 IS NOT NULL GROUP BY a2",
+        NS,
+    ),
+)
+
 CORPUS: list[Case] = (
     BASIC + AGGREGATE + WINDOW + JOINS + SETOPS + CTE + SUBQ + EXPR + INTERVAL + VALUES_EMPTY
+    + SUPERSET_R4
 )
 
 
