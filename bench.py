@@ -70,6 +70,8 @@ HEADLINE = [
     "subq_scalar_correlated",
     "op_asof_attribution",
     "op_hypertable_rollup",
+    "op_interval_overlap",
+    "pl_search_topk",
     "pl_minhash_lsh_pairs",
     "pl_ann_cosine_topk",
     "pl_ann_ivf_topk",
