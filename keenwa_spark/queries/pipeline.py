@@ -1859,3 +1859,68 @@ def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "c_name")
         .orderBy("event_id")
     )
+
+
+@df_query(
+    "pl_chunk_pack_pipeline",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_D_NORM.format(c='text')}, ' ') AS w
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0, (len(w) - 1) // 24)) AS chunk_id,
+             w
+      FROM w
+    ),
+    units AS (
+      SELECT doc_id * 100 + chunk_id AS cid,
+             CAST(len(w[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT)
+               AS n_tokens
+      FROM chunks
+    ),
+    cum AS (
+      SELECT cid, cid % 8 AS shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY cid % 8 ORDER BY cid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_after
+      FROM units
+    ),
+    spans AS (
+      SELECT *, cum_after - n_tokens AS cum_before,
+             unnest(generate_series(
+               CAST((cum_after - n_tokens) // 128 AS BIGINT),
+               CAST((cum_after - 1) // 128 AS BIGINT))) AS win
+      FROM cum
+    )
+    SELECT cid, shard,
+           shard * {1 << 40} + win AS seq_id,
+           win,
+           GREATEST(0, win * 128 - cum_before) AS tok_start,
+           LEAST(n_tokens, (win + 1) * 128 - cum_before) AS tok_end,
+           n_tokens
+    FROM spans
+    """,
+    doc="End-to-end chunk-then-pack: sliding-window 32-token chunks "
+    "(8-token overlap) become the packing units, concatenated in "
+    "deterministic (chunk-id) order within 8 shards and cut into "
+    "fixed 128-token training sequences — the RAG-style tokenize -> "
+    "chunk -> pack path as ONE declarative plan: a zero-shuffle chunk "
+    "explode feeding pack's single windowed cumsum shuffle "
+    "(pipeline/packing.py chunk_documents + pack_training_sequences).",
+    tags=("pipeline", "packing", "composition"),
+)
+def pl_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.packing import (
+        chunk_documents,
+        pack_training_sequences,
+    )
+
+    chunks = chunk_documents(
+        spark.table("documents"), chunk_tokens=32, overlap=8
+    ).selectExpr("doc_id * 100 + chunk_id AS cid", "chunk_text")
+    return pack_training_sequences(
+        chunks, seq_len=128, n_shards=8, id_col="cid", text_col="chunk_text"
+    )
