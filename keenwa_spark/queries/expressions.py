@@ -766,3 +766,33 @@ sql_query(
     "emitted as ISO strings per the cross-engine convention.",
     tags=("expr", "functions", "datetime", "superset"),
 )
+
+sql_query(
+    "fn_strings_regex",
+    """
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_mktsegment, '[AEIOU]', '_') AS devoweled,
+           CAST(regexp_count(c_name, '0') AS BIGINT) AS zeros,
+           CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+           translate(c_mktsegment, 'AEI', 'aei') AS translated
+    FROM customer WHERE c_custkey <= 150
+    ORDER BY c_custkey
+    """,
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devoweled,
+           CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS zeros,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+           translate(c_mktsegment, 'AEI', 'aei') AS translated
+    FROM customer WHERE c_custkey <= 150
+    ORDER BY c_custkey
+    """,
+    doc="Regex + positional string functions (Spark superset): "
+    "regexp_extract group capture, regexp_replace (Spark replaces ALL "
+    "matches — DuckDB needs the 'g' flag to agree), regexp_count "
+    "(DuckDB spells it len(regexp_extract_all)), instr/strpos, "
+    "translate. The text-pipeline's regex layer proven cross-engine.",
+    tags=("expr", "functions", "strings", "superset"),
+)
