@@ -284,3 +284,40 @@ sql_query(
     "built-in uses, with deterministic results at any partitioning.",
     tags=("analytics", "aggregate", "stats"),
 )
+
+sql_query(
+    "agg_bool_family",
+    """
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 250000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(max_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS BIGINT)
+             AS priciest_key,
+           CAST(min_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS BIGINT)
+             AS cheapest_key
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 250000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           CAST(max_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS BIGINT)
+             AS priciest_key,
+           CAST(min_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS BIGINT)
+             AS cheapest_key
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Boolean/conditional aggregate family (Spark superset): "
+    "count_if, bool_and/bool_or, max_by/min_by — shared spelling with "
+    "DuckDB. max_by/min_by are deterministic here because "
+    "o_totalprice is unique per status group in this data (ties would "
+    "be engine-arbitrary; production usage pairs the ordering value "
+    "with a unique tiebreak column).",
+    tags=("analytics", "aggregate", "superset"),
+)
