@@ -796,3 +796,53 @@ sql_query(
     "translate. The text-pipeline's regex layer proven cross-engine.",
     tags=("expr", "functions", "strings", "superset"),
 )
+
+sql_query(
+    "win_ignore_nulls_ffill",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE value END AS v
+      FROM events WHERE user_id <= 20
+    )
+    SELECT event_id, user_id, v,
+           last_value(v) IGNORE NULLS OVER (
+             PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+           first_value(v) IGNORE NULLS OVER (
+             PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_first
+    FROM s
+    ORDER BY user_id, ts, event_id
+    """,
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE value END AS v
+      FROM events WHERE user_id <= 20
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+           first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_first
+    FROM s
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="IGNORE NULLS window functions — forward fill (the time-series "
+    "gap-filling primitive: carry the last non-null observation) and "
+    "first-observation via one growing frame per user. Spark spells "
+    "IGNORE NULLS after the argument list, DuckDB inside it; the "
+    "(ts, event_id) order is total so the fill is deterministic. At "
+    "scale this is one user-keyed window shuffle — the same plan as "
+    "the as-of join's carry-forward half.",
+    tags=("window", "timeseries", "superset"),
+)
