@@ -223,3 +223,67 @@ def op_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("pur_lo").alias("pur_lo_us"),
         F.unix_micros("pur_hi").alias("pur_hi_us"),
     ).orderBy("error_id", "purchase_id")
+
+
+@df_query(
+    "op_time_resample",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+             ts, event_id, CAST(value AS DOUBLE) AS v
+      FROM events WHERE user_id <= 30
+    ),
+    per_bucket AS (
+      SELECT user_id, bucket_us, v AS last_v, n_obs FROM (
+        SELECT user_id, bucket_us, v,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, bucket_us) AS n_obs
+        FROM obs) x WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM obs
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, 86400000000)) AS bucket_us
+      FROM bounds
+    )
+    SELECT g.user_id,
+           strftime(make_timestamp(g.bucket_us), '%Y-%m-%d %H:%M:%S')
+             AS bucket_ts,
+           last_value(p.last_v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           CAST(COALESCE(p.n_obs, 0) AS BIGINT) AS n_obs
+    FROM grid g
+    LEFT JOIN per_bucket p
+      ON g.user_id = p.user_id AND g.bucket_us = p.bucket_us
+    ORDER BY g.user_id, g.bucket_us
+    """,
+    doc="Time-series resampling to a regular 1-day grid per user: "
+    "empty days are EMITTED (sequence+explode off per-key bounds — "
+    "Spark's window() cannot produce absent buckets) and forward-"
+    "filled from the last observation; the in-bucket 'last' reduces "
+    "via MAX(struct(ts, id, value)) — plain partial-aggregable MAX, "
+    "no window — deterministic under the total (ts, id) order "
+    "(operators/resample.py time_resample). All stages keyed by "
+    "user_id: one bucket agg, one co-keyed join, one fill window.",
+    tags=("temporal", "resample", "timeseries"),
+)
+def op_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.resample import time_resample
+
+    events = spark.table("events").where("user_id <= 30")
+    out = time_resample(
+        events, key_col="user_id", ts_col="ts", value_col="value",
+        step_seconds=86400, id_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket_ts").cast("string").alias("bucket_ts"),
+        "value",
+        "n_obs",
+    ).orderBy("user_id", "bucket_ts")

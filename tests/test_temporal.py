@@ -343,3 +343,48 @@ class TestIntervalOverlapRandomized:
         )
         got = sorted((r.lid, r.rid) for r in out.collect())
         assert got == expected
+
+
+class TestTimeResample:
+    def test_grid_fill_and_last_in_bucket(self, spark):
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.operators.resample import time_resample
+
+        rows = [
+            # key 1: two obs in bucket 0 (last wins), gap at bucket 60,
+            # one obs at bucket 120
+            (1, 1, 5, 10.0),
+            (2, 1, 50, 20.0),   # same bucket, later ts -> bucket value
+            (3, 1, 125, 30.0),
+            # key 2: single observation -> single-bucket grid
+            (4, 2, 70, 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id BIGINT, user_id BIGINT, ts_s BIGINT, value DOUBLE"
+        ).select(
+            "event_id", "user_id",
+            F.timestamp_seconds(F.col("ts_s")).alias("ts"), "value",
+        )
+        out = time_resample(
+            df, key_col="user_id", ts_col="ts", value_col="value",
+            step_seconds=60, id_col="event_id",
+        ).collect()
+        got = {
+            (r.user_id, r.bucket_ts.strftime("%M")): (r.value, r.n_obs)
+            for r in out
+        }
+        assert got[(1, "00")] == (20.0, 2)   # last of 2 obs in bucket
+        assert got[(1, "01")] == (20.0, 0)   # gap forward-filled
+        assert got[(1, "02")] == (30.0, 1)
+        assert got[(2, "01")] == (7.0, 1)
+        assert len([k for k in got if k[0] == 2]) == 1  # no spurious grid
+
+    def test_bad_step_raises(self, spark):
+        from keenwa_spark.operators.resample import time_resample
+
+        df = spark.createDataFrame([(1, 1, 1.0)], "a BIGINT, b BIGINT, v DOUBLE")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            time_resample(df, "a", "b", "v", 0, "a")
