@@ -252,3 +252,57 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The production near-dup path: banded-LSH candidate pairs
+    VERIFIED by exact n-gram Jaccard, in one plan.
+
+    LSH recall is probabilistic and its false positives are content
+    pairs that merely share a signature band; this composition keeps
+    only candidates whose true Jaccard clears ``threshold``. The
+    verification is CANDIDATE-LOCAL: per-doc shingle-hash arrays are
+    built once (one doc-keyed aggregate), joined to the (small)
+    candidate pair list, and intersected per pair with array_intersect
+    — the corpus is never all-paired and the exact index join of the
+    standalone ``ngram_jaccard_pairs`` is never built. At 100 TB the
+    pair list is orders of magnitude smaller than the corpus, so both
+    joins are cheap keyed lookups.
+
+    Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    cands = minhash_lsh_pairs(
+        df, id_col, text_col, bands=bands, max_bucket=max_bucket
+    ).select("id_a", "id_b")
+    sets = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(_shingles(text_col, n))).alias("shingle"),
+        )
+        .select(id_col, F.expr(spark_hash64("shingle")).alias("sh"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("sh")).alias("hs"))
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("ha", "hb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("ha") + F.size("hb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1924,3 +1924,39 @@ def pl_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_training_sequences(
         chunks, seq_len=128, n_shards=8, id_col="cid", text_col="chunk_text"
     )
+
+
+@df_query(
+    "pl_lsh_verified_pairs",
+    oracle=f"""
+    WITH {_duck_lsh_pair_ctes()},
+    sets AS (SELECT DISTINCT doc_id, h AS sh FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM lsh_pairs p
+      JOIN sets a ON a.doc_id = p.id_a
+      JOIN sets b ON b.doc_id = p.id_b AND a.sh = b.sh
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.set_size + sb.set_size - n_inter)
+          >= 0.5
+    """,
+    doc="The production near-dup path in one plan: banded-LSH "
+    "candidates VERIFIED by exact 3-gram Jaccard >= 0.5 — candidate-"
+    "local verification (per-doc shingle-hash arrays joined to the "
+    "small pair list, array_intersect per pair), so the corpus is "
+    "never all-paired and no full Jaccard index is built "
+    "(pipeline/dedup.py lsh_verified_pairs).",
+    tags=("pipeline", "dedup", "composition"),
+)
+def pl_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dedup import lsh_verified_pairs
+
+    return lsh_verified_pairs(spark.table("documents"), threshold=0.5)
