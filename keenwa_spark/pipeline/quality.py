@@ -186,3 +186,54 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack}) AS "
         "(col_name, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column over [lo, hi): one
+    row PER BIN — empty bins emitted with n=0 (a groupBy alone cannot
+    produce absent groups; the bin spine comes from sequence+explode).
+    Values outside [lo, hi) and NULLs are dropped and reported by the
+    caller via profile_columns; hi itself lands in the last bin
+    (right-edge inclusion, the numpy.histogram convention).
+
+    One partial-aggregated shuffle keyed by bin id (n_bins groups) +
+    a broadcast-sized spine join. Bin ids derive from exact double
+    arithmetic ((v - lo) / width) identical across engines.
+    """
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    width = (float(hi) - float(lo)) / n_bins
+    binned = (
+        df.select(F.col(col).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .where((F.col("__v") >= lo) & (F.col("__v") <= hi))
+        .select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((F.col("__v") - float(lo)) / width).cast("bigint"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spine = df.sparkSession.range(0, n_bins).select(
+        F.col("id").alias("bin")
+    )
+    return (
+        spine.join(binned, "bin", "left")
+        .select(
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * width).alias("bin_lo"),
+            (F.lit(float(lo)) + (F.col("bin") + 1) * width).alias("bin_hi"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+        .orderBy("bin")
+    )

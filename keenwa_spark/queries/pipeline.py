@@ -1960,3 +1960,34 @@ def pl_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.dedup import lsh_verified_pairs
 
     return lsh_verified_pairs(spark.table("documents"), threshold=0.5)
+
+
+@df_query(
+    "pl_value_histogram",
+    oracle="""
+    WITH binned AS (
+      SELECT LEAST(19, CAST(FLOOR((value - 0.0) / 25.0) AS BIGINT)) AS bin
+      FROM events
+      WHERE value IS NOT NULL AND value >= 0.0 AND value <= 500.0
+    ),
+    counts AS (SELECT bin, COUNT(*) AS n FROM binned GROUP BY bin),
+    spine AS (SELECT unnest(generate_series(0, 19)) AS bin)
+    SELECT s.bin,
+           0.0 + s.bin * 25.0 AS bin_lo,
+           0.0 + (s.bin + 1) * 25.0 AS bin_hi,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+    ORDER BY s.bin
+    """,
+    doc="Equi-width histogram of events.value over [0, 500) in 20 "
+    "bins — empty bins EMITTED via the sequence spine (groupBy alone "
+    "cannot produce absent groups), hi lands in the last bin "
+    "(numpy.histogram convention), bin ids from exact double "
+    "arithmetic identical on both engines "
+    "(pipeline/quality.py value_histogram).",
+    tags=("pipeline", "profile", "histogram"),
+)
+def pl_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.quality import value_histogram
+
+    return value_histogram(spark.table("events"), "value", 0.0, 500.0, 20)
