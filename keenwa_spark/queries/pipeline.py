@@ -1991,3 +1991,50 @@ def pl_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.quality import value_histogram
 
     return value_histogram(spark.table("events"), "value", 0.0, 500.0, 20)
+
+
+@df_query(
+    "pl_curriculum_stages",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+               AS DOUBLE)
+               / len(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               * length(text) AS score
+      FROM documents
+    )
+    SELECT doc_id, score,
+           CAST(NTILE(4) OVER (ORDER BY score, doc_id) AS BIGINT) AS stage
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Curriculum staging: documents quantile-binned into 4 stages "
+    "by the lexical-diversity x length score (easy -> hard), with the "
+    "doc-id tie-break making the cut points deterministic. NTILE is "
+    "one range-partitioned global sort — the once-per-build cost that "
+    "gives every doc a stable stage label for ordered training.",
+    tags=("pipeline", "curriculum", "sampling"),
+)
+def pl_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from keenwa_spark.pipeline.dedup import normalized_text
+
+    norm = normalized_text("text")
+    words = f"split({norm}, ' ')"
+    scored = spark.table("documents").selectExpr(
+        "doc_id",
+        f"CAST(size(array_distinct({words})) AS DOUBLE) / size({words})"
+        " * char_length(text) AS score",
+    )
+    return scored.select(
+        "doc_id",
+        "score",
+        F.ntile(4)
+        .over(Window.orderBy("score", "doc_id"))
+        .cast("bigint")
+        .alias("stage"),
+    ).orderBy("doc_id")

@@ -287,3 +287,44 @@ def op_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "n_obs",
     ).orderBy("user_id", "bucket_ts")
+
+
+@df_query(
+    "op_asof_dim_enrich",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           o.o_orderpriority AS priority_at_event,
+           o.o_orderkey AS asof_orderkey
+    FROM (SELECT * FROM events WHERE user_id <= 50) e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+    doc="Slowly-changing-dimension enrichment via the SAME as-of "
+    "operator as attribution (operators/asof.py): each event picks up "
+    "the customer's most recent order attribute as of the event time "
+    "— the temporal-dimension join pattern (SCD2 without an explicit "
+    "end date: validity runs to the next change). Deterministic: "
+    "(o_orderdate, o_orderkey) ties resolved by the operator's "
+    "greatest-payload rule, mirrored in DuckDB's ASOF semantics on "
+    "this data (one order per (custkey, date)).",
+    tags=("temporal", "asof", "scd"),
+)
+def op_asof_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.table("events").where("user_id <= 50").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = spark.table("orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderpriority",
+        "o_orderkey",
+    )
+    joined = asof_join(events, orders, on="user_id", left_ts="ts", right_ts="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderpriority_right").alias("priority_at_event"),
+        F.col("o_orderkey_right").alias("asof_orderkey"),
+    ).orderBy("event_id")
