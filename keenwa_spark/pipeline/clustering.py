@@ -129,3 +129,46 @@ def dedup_groups(
         .withColumn("component", F.coalesce("component", F.col(id_col)))
         .withColumn("keep", (F.col(id_col) == F.col("component")))
     )
+
+
+def cluster_keep_by_priority(
+    df: DataFrame,
+    pairs: DataFrame,
+    priority: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_priority: int = 999,
+) -> DataFrame:
+    """Resolve near-dup clusters by SOURCE PRIORITY instead of min-id:
+    within each connected component, keep the doc from the most
+    trusted source (curated > web-crawl), tie-broken by id.
+
+    The keep-policy layer every real dedup ends with — "which copy
+    survives" is a data-quality decision, not an artifact of id
+    assignment. Input ``pairs`` is any near-dup pair list (banded LSH,
+    verified Jaccard, cosine). One window shuffle keyed by component
+    on top of the connected-components labeling; singletons coalesce
+    to their own id and always survive.
+
+    Output: (id, component, source, priority) for SURVIVING docs only.
+    """
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs)
+    esc = {str(k).replace("'", "''"): int(v) for k, v in priority.items()}
+    whens = " ".join(
+        f"WHEN {source_col} = '{k}' THEN {v}" for k, v in sorted(esc.items())
+    )
+    prio = f"CASE {whens} ELSE {int(default_priority)} END"
+    labeled = (
+        df.select(id_col, source_col)
+        .join(comp, id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("priority", F.expr(prio).cast("bigint"))
+    )
+    w = Window.partitionBy("component").orderBy("priority", id_col)
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )

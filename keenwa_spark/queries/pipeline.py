@@ -2038,3 +2038,59 @@ def pl_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("stage"),
     ).orderBy("doc_id")
+
+
+@df_query(
+    "pl_dedup_keep_priority",
+    oracle=f"""
+    WITH RECURSIVE {_duck_lsh_pair_ctes()},
+    cc_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION SELECT id_b, id_a FROM lsh_pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM cc_edges
+      UNION
+      SELECT e.src, r.lab FROM cc_edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             d.source,
+             CASE WHEN d.source = 'src0' THEN 0
+                  WHEN d.source = 'src1' THEN 1
+                  WHEN d.source = 'src2' THEN 2
+                  ELSE 999 END AS priority
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, component, source, CAST(priority AS BIGINT) AS priority
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY component ORDER BY priority, doc_id) AS rk
+      FROM labeled) x
+    WHERE rk = 1
+    ORDER BY doc_id
+    """,
+    doc="Near-dup cluster resolution by SOURCE PRIORITY: within each "
+    "LSH connected component the doc from the most trusted source "
+    "survives (src0 > src1 > src2 > rest), tie-broken by id — the "
+    "keep-policy layer real dedup ends with, replacing min-id "
+    "survival with a data-quality decision. One component-keyed "
+    "window over the CC labeling; singletons always survive "
+    "(pipeline/clustering.py cluster_keep_by_priority).",
+    tags=("pipeline", "dedup", "curation"),
+)
+def pl_dedup_keep_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.clustering import cluster_keep_by_priority
+    from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = spark.table("documents")
+    kept = cluster_keep_by_priority(
+        docs,
+        minhash_lsh_pairs(docs),
+        priority={"src0": 0, "src1": 1, "src2": 2},
+    )
+    return kept.select("doc_id", "component", "source", "priority").orderBy(
+        "doc_id"
+    )
