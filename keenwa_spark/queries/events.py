@@ -17,7 +17,10 @@ Spark ``unix_timestamp`` vs DuckDB ``epoch`` — oracle text differs.
 
 from __future__ import annotations
 
-from keenwa_spark.queries import sql_query
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keenwa_spark.queries import df_query, sql_query
 
 sql_query(
     "ev_type_rollup",
@@ -245,3 +248,54 @@ sql_query(
     "aggregation (Spark get_json_object vs DuckDB json_extract_string).",
     tags=("events", "json"),
 )
+
+
+@df_query(
+    "ev_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Inter-event gap statistics per user: lag() under the total "
+    "(ts, event_id) order yields exact integral microsecond gaps "
+    "(BIGINT arithmetic — no float drift), then min/max/sum/count per "
+    "user. One user-keyed window + the aggregate reusing the same "
+    "partitioning — the cadence-profiling pass behind session-gap "
+    "threshold tuning.",
+    tags=("events", "timeseries"),
+)
+def ev_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = spark.table("events").select(
+        "user_id",
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    return (
+        gaps.where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").cast("bigint").alias("n_gaps"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+        )
+        .orderBy("user_id")
+    )

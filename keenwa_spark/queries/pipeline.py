@@ -2094,3 +2094,72 @@ def pl_dedup_keep_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "component", "source", "priority").orderBy(
         "doc_id"
     )
+
+
+@df_query(
+    "pl_mixture_report",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, source, {_duck_bucket('doc_id', 'mixr0')} AS bk
+      FROM documents
+    ),
+    tagged AS (
+      SELECT source,
+             CASE WHEN source = 'src0' THEN 900000
+                  WHEN source = 'src1' THEN 500000
+                  WHEN source = 'src2' THEN 100000
+                  ELSE 250000 END AS thr,
+             bk
+      FROM kept
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bk < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bk < thr THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS achieved_rate,
+           CAST(thr AS DOUBLE) / 1000000 AS target_rate
+    FROM tagged
+    GROUP BY source, thr
+    ORDER BY source
+    """,
+    doc="Mixture-recipe verification report: per-domain achieved vs "
+    "target keep rates for a deterministic mixture_sample draw "
+    "(src0 90%, src1 50%, src2 10%, default 25%) — the audit that "
+    "closes the loop on the data-recipe operator: rates are checked "
+    "from the SAME hash draw the sampler uses, so the report is exact, "
+    "not an estimate (pipeline/sampling.py mixture_sample).",
+    tags=("pipeline", "sampling", "audit"),
+)
+def pl_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sampling import mixture_sample
+
+    docs = spark.table("documents")
+    rates = {"src0": 0.9, "src1": 0.5, "src2": 0.1}
+    kept = mixture_sample(
+        docs, "source", rates, key_col="doc_id", salt="mixr0",
+        default_rate=0.25,
+    ).select("doc_id", "source")
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    kept_counts = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    target = F.expr(
+        "CASE WHEN source = 'src0' THEN 0.9 WHEN source = 'src1' THEN 0.5 "
+        "WHEN source = 'src2' THEN 0.1 ELSE 0.25 END"
+    )
+    return (
+        totals.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (
+                F.coalesce("n_kept", F.lit(0)).cast("double")
+                / F.col("n_total")
+            ).alias("achieved_rate"),
+            target.cast("double").alias("target_rate"),
+        )
+        .orderBy("source")
+    )
