@@ -321,3 +321,33 @@ sql_query(
     "with a unique tiebreak column).",
     tags=("analytics", "aggregate", "superset"),
 )
+
+sql_query(
+    "agg_string_concat",
+    """
+    SELECT c_nationkey,
+           concat_ws(',', sort_array(collect_list(c_mktsegment))) AS segments,
+           concat_ws('|', array_sort(collect_set(c_mktsegment))) AS distinct_segments
+    FROM customer
+    WHERE c_custkey <= 60
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+             AS distinct_segments
+    FROM customer
+    WHERE c_custkey <= 60
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="String aggregation, deterministically: collect_list has no "
+    "defined order, so the array is sorted before concat_ws — "
+    "equivalent to DuckDB's string_agg(... ORDER BY). The DISTINCT "
+    "variant goes through collect_set + array_sort. Both stay in the "
+    "partial-aggregable path (arrays merge associatively; the sort "
+    "is final-stage only).",
+    tags=("analytics", "aggregate", "strings"),
+)

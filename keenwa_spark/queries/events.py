@@ -299,3 +299,31 @@ def ev_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@df_query(
+    "ev_props_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_id <= 500
+    ORDER BY event_id
+    """,
+    doc="Schema-on-read JSON: from_json with an explicit schema parses "
+    "props into a typed struct at the scan (one parse, typed access) — "
+    "versus get_json_object's per-path string extraction in "
+    "ev_props_json. At scale the struct parse wins whenever more than "
+    "one field is read; both are codegen, no Python.",
+    tags=("events", "json"),
+)
+def ev_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("events")
+        .where("event_id <= 500")
+        .select(
+            "event_id",
+            F.from_json("props", "k BIGINT").getField("k").alias("k"),
+        )
+        .orderBy("event_id")
+    )
