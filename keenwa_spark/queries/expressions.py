@@ -846,3 +846,53 @@ sql_query(
     "the as-of join's carry-forward half.",
     tags=("window", "timeseries", "superset"),
 )
+
+sql_query(
+    "expr_array_setops",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             array(CAST(o_orderkey % 5 AS BIGINT),
+                   CAST(o_orderkey % 3 AS BIGINT)) AS a,
+             array(CAST(o_orderkey % 3 AS BIGINT),
+                   CAST(o_orderkey % 7 AS BIGINT)) AS b
+      FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT o_orderkey,
+           concat_ws(',', sort_array(array_intersect(a, b))) AS inter,
+           concat_ws(',', sort_array(array_union(a, b))) AS uni,
+           concat_ws(',', sort_array(array_except(a, b))) AS diff,
+           array_contains(a, CAST(1 AS BIGINT)) AS has_one
+    FROM t
+    ORDER BY o_orderkey
+    """,
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             [CAST(o_orderkey % 5 AS BIGINT),
+              CAST(o_orderkey % 3 AS BIGINT)] AS a,
+             [CAST(o_orderkey % 3 AS BIGINT),
+              CAST(o_orderkey % 7 AS BIGINT)] AS b
+      FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT o_orderkey,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> list_contains(b, x)))), ','), '') AS inter,
+           COALESCE(array_to_string(list_sort(list_distinct(a || b)), ','), '')
+             AS uni,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS diff,
+           list_contains(a, CAST(1 AS BIGINT)) AS has_one
+    FROM t
+    ORDER BY o_orderkey
+    """,
+    doc="Array set operations (Spark superset): array_intersect/"
+    "union/except (set semantics — deduplicating, spelled as "
+    "distinct+filter compositions in DuckDB) plus membership. Results "
+    "sorted then string-joined so the comparison is order- and "
+    "representation-stable (array cells hash differently across "
+    "engines — the expr_array lesson from r2; DuckDB additionally "
+    "returns NULL, not the empty string, when joining an empty list, "
+    "hence the COALESCE).",
+    tags=("expr", "array", "superset"),
+)
