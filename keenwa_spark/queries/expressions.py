@@ -896,3 +896,23 @@ sql_query(
     "hence the COALESCE).",
     tags=("expr", "array", "superset"),
 )
+
+sql_query(
+    "order_nulls_placement",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_totalprice END AS price_or_null
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY price_or_null DESC NULLS LAST, o_orderkey
+    """,
+    doc="Explicit NULLS LAST ordering (Spark superset; the reference "
+    "frontend rejects NULLS FIRST/LAST and strict mode mirrors that). "
+    "The explicit placement is what makes the cross-engine ORDER "
+    "comparable at all: Spark defaults ascending NULLS FIRST, DuckDB "
+    "NULLS LAST — without the clause the same query returns "
+    "differently-ordered rows on each engine. Compared as an ordered "
+    "sequence (o_orderkey tie-break).",
+    tags=("ordering", "nulls", "superset"),
+)
