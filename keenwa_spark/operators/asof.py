@@ -19,14 +19,21 @@ forward with ``last(..., ignorenulls=True)``:
     fan-out. At 100 TB both sides partition by key; no pair blow-up,
     no nested loop, no driver state.
 
-Determinism: ordering is (ts, side, payload) where right rows sort
-before left rows at equal timestamps — the join is inclusive (left.ts
->= right.ts), matching DuckDB ASOF JOIN semantics. When the right side
-has SEVERAL rows at the same (key, ts), the lexicographically greatest
-payload struct wins (the payload is the window-order tiebreaker, so
-the choice is a total order, stable across runs/partitionings — an
-arbitrary-but-deterministic rule the caller can rely on; pre-dedup the
-right side if a different rule is wanted). Payload columns must be
+Determinism: ordering is (ts, side) where right rows sort before left
+rows at equal timestamps — the join is inclusive (left.ts >= right.ts),
+matching DuckDB ASOF JOIN semantics. The carried value is the RUNNING
+MAX of the payload struct, whose first field is the right row's ts:
+``max(struct(ts, payload...))`` over the growing frame picks the
+greatest right ts seen so far (= the as-of match), tie-broken by the
+lexicographically greatest payload when several right rows share the
+same (key, ts). That rule is a total order, stable across runs and
+partitionings — an arbitrary-but-deterministic choice the caller can
+rely on (pre-dedup the right side if a different rule is wanted).
+Cost: the window sort stays the cheap two-column (ts, side) order and
+the running max is an O(1)-per-row incremental aggregate (struct
+comparison short-circuits on the leading ts field, so it only inspects
+payload bytes on ts ties) — same single-shuffle plan as a windowed
+``last()``, no pre-reduction pass needed. Payload columns must be
 orderable types for this guarantee (maps are not).
 """
 
@@ -83,15 +90,18 @@ def asof_join(
 
     w = (
         Window.partitionBy(*keys)
-        # __payload last: a total order even with duplicate right-side
-        # (key, ts) rows — last() then deterministically picks the
-        # greatest payload (NULLS FIRST puts left rows' null payloads
-        # harmlessly ahead; __side already orders right before left)
-        .orderBy(F.col("__ats").asc(), F.col("__side").asc(), F.col("__payload").asc())
+        # right rows (side 0) sort before left rows at equal ts so the
+        # inclusive (>=) match lands inside the frame; the tiebreak on
+        # duplicate right (key, ts) rows is handled by max() below, so
+        # the sort itself stays a cheap two-column order.
+        .orderBy(F.col("__ats").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Running max of struct(__ts, payload...): greatest right ts in the
+    # frame = the as-of match; equal-ts duplicates resolve to the
+    # greatest payload. max() skips the left rows' NULL payloads.
     matched = (
-        unioned.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+        unioned.withColumn("__m", F.max("__payload").over(w))
         .where(F.col("__side") == 1)
         .drop("__ats", "__side", "__payload")
     )
