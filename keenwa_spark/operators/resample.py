@@ -44,15 +44,21 @@ def time_resample(
     LAST observation in it (deterministic under (ts, id) order) and
     empty buckets forward-filled from the previous bucket.
 
+    NULL-valued observations are dropped up front: they supply neither
+    a bucket value nor an n_obs count (pandas ``resample().last()``
+    NaN semantics), so ``n_obs > 0`` always means ``value`` came from
+    inside the bucket, never a forward-fill masked by a NULL last row.
+
     Output: (key, bucket_ts TIMESTAMP, value DOUBLE, n_obs BIGINT) —
-    n_obs = observations inside the bucket (0 for filled gaps).
+    n_obs = value-bearing observations inside the bucket (0 for
+    filled gaps).
     """
     step = int(step_seconds)
     if step <= 0:
         raise ValueError(f"step_seconds must be positive, got {step}")
     step_us = step * 1_000_000
 
-    bucketed = df.select(
+    bucketed = df.where(F.col(value_col).isNotNull()).select(
         F.col(key_col),
         (F.floor(F.unix_micros(F.col(ts_col)) / step_us) * step_us).alias(
             "__bucket_us"

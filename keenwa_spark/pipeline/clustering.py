@@ -20,7 +20,7 @@ computes the same min-reachable-id closure).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -155,16 +155,17 @@ def cluster_keep_by_priority(
     from pyspark.sql.window import Window
 
     comp = connected_components(pairs)
-    esc = {str(k).replace("'", "''"): int(v) for k, v in priority.items()}
-    whens = " ".join(
-        f"WHEN {source_col} = '{k}' THEN {v}" for k, v in sorted(esc.items())
-    )
-    prio = f"CASE {whens} ELSE {int(default_priority)} END"
+    # Column-expression CASE (F.when chain), never string-formatted
+    # SQL: keys, values, and the column name all stay data — immune to
+    # quotes/SQL fragments in any of them.
+    prio: Column = F.lit(int(default_priority))
+    for k, v in sorted(priority.items(), reverse=True):
+        prio = F.when(F.col(source_col) == F.lit(str(k)), int(v)).otherwise(prio)
     labeled = (
         df.select(id_col, source_col)
         .join(comp, id_col, "left")
         .withColumn("component", F.coalesce("component", F.col(id_col)))
-        .withColumn("priority", F.expr(prio).cast("bigint"))
+        .withColumn("priority", prio.cast("bigint"))
     )
     w = Window.partitionBy("component").orderBy("priority", id_col)
     return (

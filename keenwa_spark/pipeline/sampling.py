@@ -238,9 +238,19 @@ def negative_samples(
     k: int,
     id_col: str = "doc_id",
     salt: str = "neg",
+    distinct: bool = False,
 ) -> DataFrame:
     """Deterministic negative sampling for contrastive training: pair
     every anchor row with ``k`` pseudo-random OTHER rows, reproducibly.
+
+    Draws are WITH replacement: the ``k`` independent probes for one
+    anchor can hash to the same negative_id, so duplicate (anchor,
+    negative) pairs are possible — likely only when N is small
+    relative to k (birthday bound ~ k^2/2N per anchor). Pass
+    ``distinct=True`` to keep one pair per (anchor, negative) — the
+    lowest ``j`` survives, determinism preserved — at the cost of one
+    (anchor, negative)-keyed shuffle the raw form avoids (an anchor
+    may then yield fewer than k negatives).
 
     Returns (anchor_id, j, negative_id) id triples. Candidate ids
     derive from the portable md5 hash of (anchor, j, salt) modulo the
@@ -294,4 +304,10 @@ def negative_samples(
         # emit nothing instead of a self-pair
         .where("negative_id <> anchor_id")
     )
+    if distinct:
+        anchors = (
+            anchors.groupBy("anchor_id", "negative_id")
+            .agg(F.min("j").alias("j"))
+            .select("anchor_id", "j", "negative_id")
+        )
     return anchors

@@ -56,7 +56,11 @@ def tfidf(
 ) -> DataFrame:
     """(doc_id, term, tf, df_t, score) for every (doc, term) pair with
     document frequency >= min_df. score = tf * (N - df_t + .5)/(df_t + .5)
-    (rational idf — module docstring)."""
+    (rational idf — module docstring). Scores go NEGATIVE for terms in
+    more than half the corpus — deliberate here: top_terms then ranks
+    such ubiquitous terms last, which is the desired 'characteristic
+    term' behavior (search_topk, by contrast, clamps at 0 so matching
+    a common query term can never subtract relevance)."""
     tf = term_frequencies(df, text_col, id_col)
     df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
     n_row = df.agg(F.countDistinct(id_col).alias("n_docs"))
@@ -105,6 +109,13 @@ def search_topk(
     rational BM25-style idf; no length normalization — documented
     simplification).
 
+    idf_r is clamped at 0 (GREATEST) before weighting: the raw
+    rational form goes NEGATIVE for terms appearing in more than half
+    the corpus, and an un-clamped negative idf would make matching a
+    stopword-like query term SUBTRACT relevance (the standard BM25
+    negative-idf fix; exact max() of exact doubles, so cross-engine
+    bit-exactness is preserved).
+
     Scale shape — and why search is CHEAP here: the (doc, term) pairs
     are filtered to the query's terms immediately after the explode,
     so the corpus-wide vocabulary is never shuffled; df_t computed
@@ -127,7 +138,10 @@ def search_topk(
         .crossJoin(F.broadcast(n_row))
         .withColumn(
             "score",
-            F.expr("tf * (CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)"),
+            F.expr(
+                "tf * GREATEST((CAST(n_docs AS DOUBLE) - df_t + 0.5)"
+                " / (df_t + 0.5), CAST(0 AS DOUBLE))"
+            ),
         )
     )
     per_doc = scored.groupBy(id_col).agg(

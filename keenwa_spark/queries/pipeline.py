@@ -1536,7 +1536,8 @@ def pl_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
     scored AS (
       SELECT doc_id, tfc.term,
-             tf * (CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) AS score
+             tf * GREATEST((CAST(n_docs AS DOUBLE) - df_t + 0.5)
+                           / (df_t + 0.5), CAST(0 AS DOUBLE)) AS score
       FROM tfc JOIN dft ON tfc.term = dft.term CROSS JOIN n
     ),
     agg AS (
@@ -1578,7 +1579,8 @@ def pl_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
     scored AS (
       SELECT doc_id,
-             tf * (CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5) AS score
+             tf * GREATEST((CAST(n_docs AS DOUBLE) - df_t + 0.5)
+                           / (df_t + 0.5), CAST(0 AS DOUBLE)) AS score
       FROM tfc JOIN dft ON tfc.term = dft.term CROSS JOIN n
     ),
     lex AS (

@@ -232,7 +232,7 @@ def op_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
              ts, event_id, CAST(value AS DOUBLE) AS v
-      FROM events WHERE user_id <= 30
+      FROM events WHERE user_id <= 30 AND value IS NOT NULL
     ),
     per_bucket AS (
       SELECT user_id, bucket_us, v AS last_v, n_obs FROM (

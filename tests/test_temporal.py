@@ -380,6 +380,40 @@ class TestTimeResample:
         assert got[(2, "01")] == (7.0, 1)
         assert len([k for k in got if k[0] == 2]) == 1  # no spurious grid
 
+    def test_null_valued_observations_ignored(self, spark):
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.operators.resample import time_resample
+
+        rows = [
+            # key 1: bucket 0 has a real obs then a NULL-valued one at
+            # a later ts — the NULL must neither become the bucket
+            # value nor count toward n_obs
+            (1, 1, 5, 10.0),
+            (2, 1, 50, None),
+            # bucket 60 holds ONLY a NULL-valued obs -> treated as a
+            # gap (n_obs 0, forward-filled)
+            (3, 1, 70, None),
+            (4, 1, 125, 30.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id BIGINT, user_id BIGINT, ts_s BIGINT, value DOUBLE"
+        ).select(
+            "event_id", "user_id",
+            F.timestamp_seconds(F.col("ts_s")).alias("ts"), "value",
+        )
+        out = time_resample(
+            df, key_col="user_id", ts_col="ts", value_col="value",
+            step_seconds=60, id_col="event_id",
+        ).collect()
+        got = {
+            (r.user_id, r.bucket_ts.strftime("%M")): (r.value, r.n_obs)
+            for r in out
+        }
+        assert got[(1, "00")] == (10.0, 1)   # NULL obs not counted
+        assert got[(1, "01")] == (10.0, 0)   # NULL-only bucket is a gap
+        assert got[(1, "02")] == (30.0, 1)
+
     def test_bad_step_raises(self, spark):
         from keenwa_spark.operators.resample import time_resample
 
