@@ -87,23 +87,26 @@ def lsh_bucket_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    multiprobe: int = 0,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's sign-LSH
     bucket (2^bits buckets). One corpus-side bucket projection, then a
     bucket-equi join — the shuffle is on the bucket key, never
     all-pairs.
 
-    ``multiprobe=1`` additionally probes every bucket at Hamming
-    distance 1 from the query's bucket (the classic multi-probe LSH
-    recall lift): the QUERY side fans out to ``bits + 1`` probe rows —
-    still tiny, still broadcast — while the corpus side is untouched,
-    so the join stays bucket-local and the corpus is still scanned
-    once. Measured recall@5 on the synthetic embeddings at sf0.1
-    (SCALE.md ANN recall table): 0.14 -> 0.56 at bits=4, 0.01 -> 0.10
-    at bits=8, for ~(bits+1)/2^bits of the corpus scored per query.
-    (Random vectors are the adversarial case for sign-LSH — no cluster
-    structure; real embedding corpora bucket far better.)"""
+    ``multiprobe=1`` (the DEFAULT — justified by measurement, below)
+    additionally probes every bucket at Hamming distance 1 from the
+    query's bucket (the classic multi-probe LSH recall lift): the
+    QUERY side fans out to ``bits + 1`` probe rows — still tiny, still
+    broadcast — while the corpus side is untouched, so the join stays
+    bucket-local and the corpus is still scanned once. Measured
+    recall@5 at bits=8 (SCALE.md ANN recall tables): 0.01 -> 0.10 on
+    the adversarial i.i.d.-random sf0.1 embeddings and 0.36 -> 0.74 on
+    the clustered mixture-of-Gaussians fixture
+    (pipeline/fixtures.py) — multiprobe dominates single-probe on BOTH
+    distributions for a (bits+1)x probe fan-out confined to the
+    broadcast query side, hence the shipped default. Pass
+    ``multiprobe=0`` for the minimal single-bucket plan."""
     if multiprobe not in (0, 1):
         raise ValueError(f"multiprobe must be 0 or 1, got {multiprobe}")
     q = queries.select(

@@ -353,14 +353,17 @@ def _duck_sign_bucket(vec: str, bits: int = 8) -> str:
     doc="Sign-LSH bucketed approximate top-5 (the scale path): corpus "
     "bucketed once by leading-dimension sign bits (256 buckets), "
     "candidates bucket-local — the join shuffles on the bucket key, "
-    "never corpus^2 (pipeline/similarity.py lsh_bucket_topk).",
+    "never corpus^2 (pipeline/similarity.py lsh_bucket_topk; "
+    "multiprobe=0 pinned here to exercise the minimal single-bucket "
+    "plan — the shipped default is multiprobe=1, covered by "
+    "pl_ann_lsh_multiprobe).",
     tags=("pipeline", "similarity", "ann", "lsh"),
 )
 def pl_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.similarity import lsh_bucket_topk
 
     emb = spark.table("embeddings")
-    return lsh_bucket_topk(emb, emb.filter("vec_id < 10"), k=5)
+    return lsh_bucket_topk(emb, emb.filter("vec_id < 10"), k=5, multiprobe=0)
 
 
 @df_query(

@@ -3,7 +3,10 @@ ivf_search (k_cells x nprobe) against exact cosine_topk ground truth.
 
 Prints the markdown table recorded in SCALE.md.
 
-Usage: python tools/ann_recall.py  [SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1]
+Usage:
+    python tools/ann_recall.py                  # random testdata corpus
+    CLUSTERED=1 python tools/ann_recall.py      # mixture-of-Gaussians
+    [SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1]
 """
 
 from __future__ import annotations
@@ -25,12 +28,19 @@ def main() -> None:
     from keenwa_spark.session import get_spark
 
     spark = get_spark("ann_recall")
-    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    if os.environ.get("CLUSTERED"):
+        from keenwa_spark.pipeline.fixtures import make_clustered_embeddings
+
+        emb = make_clustered_embeddings(spark).localCheckpoint(eager=True)
+        src = "clustered mixture-of-Gaussians (pipeline/fixtures.py)"
+    else:
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        src = f"random testdata {SF_DIR}"
     queries = emb.filter(f"vec_id < {N_QUERIES}")
     n = emb.count()
     truth = cosine_topk(emb, queries, k=K).localCheckpoint(eager=True)
 
-    print(f"corpus={n} vectors, {N_QUERIES} queries, k={K}, sf_dir={SF_DIR}\n")
+    print(f"corpus={n} vectors, {N_QUERIES} queries, k={K}, source={src}\n")
     print("| operator | params | recall@5 | corpus scored/query |")
     print("|---|---|---|---|")
     for bits in (4, 6, 8):
