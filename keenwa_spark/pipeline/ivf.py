@@ -185,12 +185,18 @@ def ivf_assign(
       sequential over dims. At production models (K >= 1024, dim 768)
       this is the only sane per-row cost; the corpus crosses the Arrow
       boundary once, the blessed batch pattern;
-    - ``auto``: sql while K*dim <= 4096, else numpy.
+    - ``auto``: sql while K*dim <= 384, else numpy. MEASURED crossover
+      (tools/ivf_crossover.py, 100k-row corpus, best-of-3, warm JVM):
+      sql wins at K*dim=256 (0.8s vs 1.4s), numpy from 512 up (0.5s
+      vs ~1.0s) and the gap widens linearly in K*dim (sql 34s vs
+      numpy 3.5s at K*dim=65536) — the Arrow crossing is a flat
+      ~0.5s while interpreted HOF steps scale with the model. Full
+      table in SCALE.md.
     """
     vecs = _as_vecs(emb, id_col, vec_col)
     if backend == "auto":
         kdim = len(cents) * (len(cents[0][1]) if cents else 0)
-        backend = "sql" if kdim <= 4096 else "numpy"
+        backend = "sql" if kdim <= 384 else "numpy"
     if backend == "sql":
         return (
             _with_cells(vecs, cents)

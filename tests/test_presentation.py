@@ -1,0 +1,141 @@
+"""Golden plan-text tests for the keenwa-style plan presentation
+(keenwa_spark/presentation.py) — the analog of the reference's YAML
+plan corpus (src/sql/*.yaml: query + expected operator tree), pinned
+against this repo's Spark version.
+
+These freeze the RENDERED LOGICAL SHAPE of one query per major plan
+family. A diff here means either the renderer or Catalyst's analysis
+changed — both worth a human look.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from keenwa_spark.presentation import render_plan
+
+GOLDEN = {
+    "scan_filter_project": (
+        "SELECT n_name FROM nation WHERE n_regionkey = 1",
+        """\
+LogicalProjection exprs: [n_name]
+  input: LogicalSelect filter=(n_regionkey = 1)
+    input: LogicalGet nation cols=[n_nationkey, n_name, n_regionkey]""",
+    ),
+    "join_agg_sort_limit": (
+        "SELECT r_name, count(*) AS cnt FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY cnt DESC LIMIT 3",
+        """\
+LogicalLimit rows=3
+  input: LogicalSort ordering=[cnt DESC NULLS LAST]
+    input: LogicalAggregate groups=[r_name] aggrs=[r_name, count(1) AS cnt]
+      input: LogicalJoin type=Inner on=(n_regionkey = r_regionkey)
+        left: LogicalGet nation cols=[n_nationkey, n_name, n_regionkey]
+        right: LogicalGet region cols=[r_regionkey, r_name]""",
+    ),
+    "left_outer_join": (
+        "SELECT n_name, r_name FROM nation "
+        "LEFT JOIN region ON n_regionkey = r_regionkey",
+        """\
+LogicalProjection exprs: [n_name, r_name]
+  input: LogicalJoin type=LeftOuter on=(n_regionkey = r_regionkey)
+    left: LogicalGet nation cols=[n_nationkey, n_name, n_regionkey]
+    right: LogicalGet region cols=[r_regionkey, r_name]""",
+    ),
+    "semi_join": (
+        "SELECT n_name FROM nation "
+        "LEFT SEMI JOIN region ON n_regionkey = r_regionkey",
+        """\
+LogicalProjection exprs: [n_name]
+  input: LogicalJoin type=LeftSemi on=(n_regionkey = r_regionkey)
+    left: LogicalGet nation cols=[n_nationkey, n_name, n_regionkey]
+    right: LogicalGet region cols=[r_regionkey, r_name]""",
+    ),
+    "anti_join": (
+        "SELECT n_name FROM nation "
+        "LEFT ANTI JOIN region ON n_regionkey = r_regionkey",
+        """\
+LogicalProjection exprs: [n_name]
+  input: LogicalJoin type=LeftAnti on=(n_regionkey = r_regionkey)
+    left: LogicalGet nation cols=[n_nationkey, n_name, n_regionkey]
+    right: LogicalGet region cols=[r_regionkey, r_name]""",
+    ),
+    "union_distinct": (
+        "SELECT n_regionkey FROM nation UNION SELECT r_regionkey FROM region",
+        """\
+LogicalUnion all=false
+  input[0]: LogicalProjection exprs: [n_regionkey]
+    input: LogicalGet nation cols=[n_nationkey, n_name, n_regionkey]
+  input[1]: LogicalProjection exprs: [r_regionkey]
+    input: LogicalGet region cols=[r_regionkey, r_name]""",
+    ),
+    "except_all": (
+        "SELECT n_regionkey FROM nation EXCEPT ALL "
+        "SELECT r_regionkey FROM region",
+        """\
+LogicalExcept all=true
+  input[0]: LogicalProjection exprs: [n_regionkey]
+    input: LogicalGet nation cols=[n_nationkey, n_name, n_regionkey]
+  input[1]: LogicalProjection exprs: [r_regionkey]
+    input: LogicalGet region cols=[r_regionkey, r_name]""",
+    ),
+    "select_without_from": (
+        "SELECT 1 AS x",
+        """\
+LogicalProjection exprs: [1 AS x]
+  input: LogicalEmpty return_one_row=true""",
+    ),
+    "values_list": (
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(id, name)",
+        """\
+LogicalProjection exprs: [id, name]
+  input: LogicalValues t cols=[id, name]""",
+    ),
+    "limit_offset": (
+        "SELECT n_name FROM nation ORDER BY n_name LIMIT 5 OFFSET 2",
+        """\
+LogicalLimit rows=5
+  input: LogicalOffset rows=2
+    input: LogicalSort ordering=[n_name ASC NULLS FIRST]
+      input: LogicalProjection exprs: [n_name]
+        input: LogicalGet nation cols=[n_nationkey, n_name, n_regionkey]""",
+    ),
+    "group_having": (
+        "SELECT n_regionkey, count(*) AS c FROM nation "
+        "GROUP BY n_regionkey HAVING count(*) > 3",
+        """\
+LogicalSelect filter=(c > cast(3 as bigint))
+  input: LogicalAggregate groups=[n_regionkey] aggrs=[n_regionkey, count(1) AS c]
+    input: LogicalGet nation cols=[n_nationkey, n_name, n_regionkey]""",
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(GOLDEN))
+def test_golden_plan_text(views, case):
+    sql, expected = GOLDEN[case]
+    assert render_plan(views.sql(sql)) == expected
+
+
+def test_window_renders_as_window_aggregate(views):
+    text = render_plan(
+        views.sql(
+            "SELECT o_custkey, row_number() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn "
+            "FROM orders"
+        )
+    )
+    assert "LogicalWindowAggregate" in text
+    assert "partition=[o_custkey]" in text
+    assert "order=[o_totalprice DESC NULLS LAST]" in text
+
+
+def test_no_expr_ids_leak(views):
+    """Catalyst #id suffixes must never reach the rendered text."""
+    import re
+
+    text = render_plan(
+        views.sql("SELECT c_name FROM customer JOIN orders ON c_custkey = o_custkey")
+    )
+    assert not re.search(r"#\d", text), text
