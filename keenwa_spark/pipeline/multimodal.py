@@ -7,11 +7,14 @@ metadata alongside; decode/feature-extraction runs as Arrow-batched
 never per row, and the operator composes with any upstream DataFrame
 plan (predicate pushdown still prunes files before decode).
 
-The image/audio libs are not in this container, so ``decode_batch``
-uses a DETERMINISTIC FAKE decoder (header-byte arithmetic) behind the
-same batch shape a real codec (Pillow/ffmpeg) would use — swap
-``_fake_decode`` for the real call and nothing else changes. Real
-codecs raise NotImplementedError via ``decode_real``.
+``decode_batch`` uses a DETERMINISTIC FAKE decoder (header-byte
+arithmetic) behind the same batch shape a real codec would use — the
+cross-engine-checkable oracle path. ``decode_real`` is a WORKING
+image decode over the same plumbing: Pillow when importable, else the
+repo's pure-Python PNG codec (pipeline/png.py — stdlib zlib, all five
+scanline filters); invalid/unsupported payloads become format='invalid'
+rows instead of failing the batch, the posture a 100 TB crawl corpus
+requires (a single corrupt blob must never kill a stage).
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -85,12 +88,80 @@ def decode_batch(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(run, DECODE_SCHEMA)
 
 
-def decode_real(df: DataFrame) -> DataFrame:
-    """Real-codec decode path — libs not present in this environment."""
-    raise NotImplementedError(
-        "image/audio codecs are not installed in this container; "
-        "swap _fake_decode for Pillow/ffmpeg in decode_batch"
-    )
+#: real-decode output schema: decode metadata + a real extracted
+#: feature (mean luma) — what a training-data filter actually consumes
+DECODE_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("format", StringType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def _decode_real_one(payload: bytes) -> tuple[int, int, int, str, float]:
+    """(width, height, channels, format, mean_luma) via Pillow when
+    available, else the pure-Python PNG codec. Anything undecodable
+    returns an 'invalid' row."""
+    try:
+        from PIL import Image  # real codec if the env has it
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            px = im.convert("L")
+            hist = px.histogram()
+            total = sum(hist) or 1
+            luma = sum(i * c for i, c in enumerate(hist)) / total
+            return im.width, im.height, len(im.getbands()), im.format.lower(), luma
+    except ImportError:
+        pass
+    except Exception:
+        return 0, 0, 0, "invalid", 0.0
+    from keenwa_spark.pipeline.png import PngError, decode_png
+
+    try:
+        w, h, ch, pixels = decode_png(payload)
+    except PngError:
+        return 0, 0, 0, "invalid", 0.0
+    if ch in (3, 4):  # Rec.601 luma over RGB(A) pixels
+        luma = (
+            sum(
+                0.299 * pixels[i] + 0.587 * pixels[i + 1] + 0.114 * pixels[i + 2]
+                for i in range(0, len(pixels), ch)
+            )
+            / (w * h)
+        )
+    else:  # grey / grey+alpha: first sample IS luma
+        luma = sum(pixels[i] for i in range(0, len(pixels), ch)) / (w * h)
+    return w, h, ch, "png", luma
+
+
+def decode_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Working real-codec decode: same Arrow-batched mapInPandas shape
+    as decode_batch, but payloads are actually decoded (Pillow if
+    present, else pipeline/png.py) and a real feature (mean luma) is
+    extracted from the pixels."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_decode_real_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "height": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "channels": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "format": [r[3] for r in rows],
+                    "mean_luma": pd.Series([r[4] for r in rows], dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, DECODE_REAL_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

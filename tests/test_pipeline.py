@@ -85,11 +85,130 @@ def test_multimodal_decode_batch_schema(views):
     assert all(r.format in ("fake-a", "fake-b") for r in rows)
 
 
-def test_multimodal_real_decode_stubbed(views):
+def test_multimodal_real_decode_png(spark):
+    """decode_real actually decodes PNG payloads distributed (the
+    pure-Python codec path) and flags corrupt blobs instead of failing
+    the batch."""
     from keenwa_spark.pipeline.multimodal import decode_real
+    from keenwa_spark.pipeline.png import encode_png
 
-    with pytest.raises(NotImplementedError):
-        decode_real(views.table("documents"))
+    white = encode_png(4, 2, 3, bytes([255] * 4 * 2 * 3))
+    black = encode_png(3, 3, 1, bytes(9))
+    grad = encode_png(2, 1, 3, bytes([0, 0, 0, 255, 255, 255]))
+    df = spark.createDataFrame(
+        [(1, white), (2, black), (3, grad), (4, b"not a png")],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {r.doc_id: r for r in decode_real(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (4, 2, 3)
+    assert rows[1].format == "png" and rows[1].mean_luma == pytest.approx(255.0)
+    assert rows[2].mean_luma == pytest.approx(0.0)
+    assert rows[3].mean_luma == pytest.approx(127.5)
+    assert rows[4].format == "invalid" and rows[4].width == 0
+
+
+class TestPngCodec:
+    def test_roundtrip_rgb(self):
+        from keenwa_spark.pipeline.png import decode_png, encode_png
+
+        pixels = bytes((i * 7) % 256 for i in range(5 * 4 * 3))
+        data = encode_png(5, 4, 3, pixels)
+        w, h, ch, out = decode_png(data)
+        assert (w, h, ch) == (5, 4, 3)
+        assert out == pixels
+
+    def test_roundtrip_rgba_and_grey(self):
+        from keenwa_spark.pipeline.png import decode_png, encode_png
+
+        for channels in (1, 2, 4):
+            pixels = bytes((i * 13) % 256 for i in range(3 * 2 * channels))
+            w, h, ch, out = decode_png(encode_png(3, 2, channels, pixels))
+            assert (w, h, ch) == (3, 2, channels)
+            assert out == pixels
+
+    def test_all_scanline_filters_decode(self):
+        """Hand-build IDAT scanlines using filters Sub/Up/Average/Paeth
+        and check the decoder recovers the raw pixels (our encoder only
+        writes filter None, so these exercise the unfilter paths a
+        foreign encoder would produce)."""
+        import struct
+        import zlib
+
+        from keenwa_spark.pipeline.png import decode_png
+
+        width, height, ch = 4, 4, 1
+        pixels = bytes((i * 11 + 3) % 256 for i in range(width * height))
+        rows = [pixels[y * width : (y + 1) * width] for y in range(height)]
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        filtered = bytearray()
+        prev = bytes(width)
+        for y, row in enumerate(rows):
+            f = [1, 2, 3, 4][y % 4]
+            filtered.append(f)
+            for i, x in enumerate(row):
+                left = row[i - ch] if i >= ch else 0
+                up = prev[i]
+                ul = prev[i - ch] if i >= ch else 0
+                if f == 1:
+                    filtered.append((x - left) & 0xFF)
+                elif f == 2:
+                    filtered.append((x - up) & 0xFF)
+                elif f == 3:
+                    filtered.append((x - ((left + up) >> 1)) & 0xFF)
+                else:
+                    filtered.append((x - paeth(left, up, ul)) & 0xFF)
+            prev = row
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+            + chunk(b"IEND", b"")
+        )
+        w, h, c, out = decode_png(data)
+        assert (w, h, c) == (width, height, 1)
+        assert out == pixels
+
+    def test_unsupported_variants_raise(self):
+        import struct
+        import zlib
+
+        from keenwa_spark.pipeline.png import PngError, decode_png, encode_png
+
+        with pytest.raises(PngError):
+            decode_png(b"JFIF not a png")
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body))
+                + ctype
+                + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        sixteen_bit = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(PngError, match="bit depth"):
+            decode_png(sixteen_bit)
+        with pytest.raises(PngError, match="channel"):
+            encode_png(1, 1, 5, bytes(5))
 
 
 def test_short_docs_produce_no_shingles(spark):
