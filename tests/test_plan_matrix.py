@@ -192,6 +192,77 @@ class TestBucketingRegimes:
         assert "Exchange" in plan
 
 
+class TestCboStatsJoinReorder:
+    """ANALYZE-computed statistics flip the join ORDER under CBO — the
+    analog of the reference's stats-driven Cascades choices (reference
+    src/statistics/simple.rs SimpleCatalogStatisticsBuilder feeding the
+    join-commutativity/associativity rules). Written join order is
+    deliberately bad (fact x dim first, tiny dim last); with
+    cbo+joinReorder and ANALYZEd row counts Catalyst rewrites to join
+    the two dimensions first."""
+
+    SQL = """
+        SELECT count(*) AS cnt
+        FROM orders_stats o
+        JOIN customer_stats c ON o.o_custkey = c.c_custkey
+        JOIN nation_stats n ON c.c_nationkey = n.n_nationkey
+    """
+
+    @pytest.fixture(scope="class")
+    def analyzed(self, views):
+        from keenwa_spark.catalog import Catalog
+
+        import os
+
+        cat = Catalog(views)
+        cat.register_dir(os.environ.get("SF_DIR", "/root/testdata/sf0.001"))
+        for t, cols in (
+            ("orders", ["o_custkey", "o_orderkey"]),
+            ("customer", ["c_custkey", "c_nationkey"]),
+            ("nation", ["n_nationkey"]),
+        ):
+            cat.persist_and_analyze(t, cols)
+        return views
+
+    @staticmethod
+    def _first_join_leaves(spark, sql):
+        """Relation names in optimized-plan order — index order exposes
+        which pair joins first."""
+        import re
+
+        plan = (
+            spark.sql(sql)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        return re.findall(r"default\.(\w+_stats)", plan)
+
+    def test_stats_flip_join_order(self, analyzed):
+        cbo_on = {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+        }
+        cbo_off = {
+            "spark.sql.cbo.enabled": "false",
+            "spark.sql.cbo.joinReorder.enabled": "false",
+        }
+        with regime(analyzed, **cbo_off):
+            baseline = self._first_join_leaves(analyzed, self.SQL)
+        with regime(analyzed, **cbo_on):
+            reordered = self._first_join_leaves(analyzed, self.SQL)
+        # without CBO the written order survives: orders joins first
+        assert baseline[0] == "orders_stats", baseline
+        # with stats the two dims join first and the fact joins LAST
+        assert reordered[-1] == "orders_stats", reordered
+        assert set(reordered[:2]) == {"customer_stats", "nation_stats"}, reordered
+
+    def test_explain_cost_carries_row_counts(self, analyzed):
+        with regime(analyzed, **{"spark.sql.cbo.enabled": "true"}):
+            cost = explain_text(analyzed.sql(self.SQL), "cost")
+        assert "rowCount=" in cost, cost[:500]
+
+
 class TestRegimeHygiene:
     def test_regime_restores_previous_values(self, views):
         key = "spark.sql.autoBroadcastJoinThreshold"
