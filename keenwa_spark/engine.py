@@ -50,6 +50,20 @@ class Engine:
         explain_mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
         return df._jdf.queryExecution().explainString(explain_mode)  # type: ignore[attr-defined]
 
+    def explain_keenwa(self, query_or_df: str | DataFrame) -> str:
+        """The logical plan in keenwa's own plan-text vocabulary
+        (LogicalProjection/LogicalSelect/LogicalJoin... — the format a
+        reference user reads; keenwa_spark/presentation.py). Takes a
+        SQL string (dialect-gated) or a built DataFrame."""
+        from keenwa_spark.presentation import render_plan
+
+        df = (
+            self.sql(query_or_df)
+            if isinstance(query_or_df, str)
+            else query_or_df
+        )
+        return render_plan(df)
+
     # -- programmatic builder (reference src/operators/builder/mod.rs) --
     def builder(self):
         from keenwa_spark.builder import PlanBuilder

@@ -164,6 +164,101 @@ def decode_real(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(run, DECODE_REAL_SCHEMA)
 
 
+#: aHash output schema
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def _ahash_one(payload: bytes) -> int | None:
+    """64-bit average-hash of an image payload: decode, sample an 8x8
+    luma grid (nearest-pixel), set bit (row*8+col) iff the cell is
+    brighter than the grid mean. None for undecodable payloads."""
+    from keenwa_spark.pipeline.png import PngError, decode_png
+
+    try:
+        w, h, ch, pixels = decode_png(payload)
+    except PngError:
+        return None
+    if w == 0 or h == 0:
+        return None
+
+    def luma_at(x: int, y: int) -> float:
+        i = (y * w + x) * ch
+        if ch >= 3:
+            return 0.299 * pixels[i] + 0.587 * pixels[i + 1] + 0.114 * pixels[i + 2]
+        return float(pixels[i])
+
+    grid = [
+        luma_at(min((gx * w) // 8, w - 1), min((gy * h) // 8, h - 1))
+        for gy in range(8)
+        for gx in range(8)
+    ]
+    mean = sum(grid) / 64.0
+    bits = 0
+    for j, v in enumerate(grid):
+        if v > mean:
+            bits |= 1 << j
+    # keep within signed int64 for Spark LongType
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def ahash_fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ahash) per decodable image payload — the image-domain
+    analog of simhash_fingerprints: near-duplicate images differ in few
+    hash bits. One Arrow-batched decode pass; undecodable payloads are
+    dropped (they can't be perceptually deduped)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [_ahash_one(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "ahash": hashes}
+            )
+            yield out[out["ahash"].notna()]
+
+    return df.select(id_col, "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) image near-dup pairs with hash hamming
+    distance <= max_hamming, via banded self-join — the same
+    pigeonhole as banded MinHash-LSH: splitting 64 bits into 4 16-bit
+    bands guarantees any pair within hamming 3 agrees on at least one
+    band, so candidates come from 4 equi-joins on (band, value), never
+    an all-pairs crossing; the exact popcount verification (xor +
+    bit_count, pure JVM) then removes band false-positives. Scale
+    cost: one shuffle on the band key over 12-byte rows."""
+    bands = fingerprints.select(
+        F.col("doc_id"),
+        F.col("ahash"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "named_struct('band', b, 'val', (ahash >> (b * 16)) & 65535))"
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ahash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("ahash").alias("h_a"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("ahash").alias("h_b"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(h_a ^ h_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling SHAPE: given per-frame rows, keep
     every n-th frame per asset — pure DataFrame ops (window + modulo),

@@ -234,6 +234,28 @@ sql_query(
 )
 
 sql_query(
+    "agg_cube_grouping_id",
+    """
+    SELECT
+      COALESCE(o_orderstatus, '<all>') AS status,
+      COALESCE(o_orderpriority, '<all>') AS priority,
+      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, status, priority
+    """,
+    doc="GROUP BY CUBE with GROUPING() markers (Spark superset; keenwa "
+    "rejects all GROUP BY modifiers, reference sql/mod.rs:341-343): all "
+    "four grouping combinations in ONE Expand+aggregate pass — one "
+    "shuffle, not four scans — with GROUPING() disambiguating genuine "
+    "NULL keys from subtotal rows, which COALESCE alone cannot.",
+    tags=("analytics", "cube", "superset"),
+)
+
+sql_query(
     "agg_pivot_status_priority",
     """
     SELECT o_orderpriority,

@@ -107,6 +107,59 @@ def test_multimodal_real_decode_png(spark):
     assert rows[4].format == "invalid" and rows[4].width == 0
 
 
+class TestImageDedup:
+    @staticmethod
+    def _gradient_png(w, h, tweak=0):
+        from keenwa_spark.pipeline.png import encode_png
+
+        pixels = bytes(
+            min(255, ((x * 255) // max(w - 1, 1) + (tweak if x == 0 and y == 0 else 0)) % 256)
+            for y in range(h)
+            for x in range(w)
+        )
+        return encode_png(w, h, 1, pixels)
+
+    def test_near_dup_found_distinct_not(self, spark):
+        from keenwa_spark.pipeline.multimodal import (
+            ahash_fingerprints,
+            ahash_near_dup_pairs,
+        )
+        from keenwa_spark.pipeline.png import encode_png
+
+        grad = self._gradient_png(16, 16)
+        grad_tweaked = self._gradient_png(16, 16, tweak=3)  # one pixel off
+        checker = encode_png(
+            16, 16, 1,
+            bytes(255 if (x + y) % 2 else 0 for y in range(16) for x in range(16)),
+        )
+        df = spark.createDataFrame(
+            [(1, grad), (2, grad_tweaked), (3, checker), (4, b"junk")],
+            "doc_id LONG, payload BINARY",
+        )
+        fps = ahash_fingerprints(df)
+        rows = {r.doc_id: r.ahash for r in fps.collect()}
+        assert set(rows) == {1, 2, 3}  # junk payload dropped
+        pairs = ahash_near_dup_pairs(fps, max_hamming=3).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+        assert all(r.hamming <= 3 for r in pairs)
+
+    def test_pair_generation_stays_jvm_side(self, spark):
+        """Only the decode pass crosses into Python; banding + popcount
+        verification must be JVM-only (no second Python eval)."""
+        from keenwa_spark.pipeline.multimodal import (
+            ahash_fingerprints,
+            ahash_near_dup_pairs,
+        )
+        from keenwa_spark.plans import explain_text
+
+        df = spark.createDataFrame(
+            [(1, self._gradient_png(8, 8))], "doc_id LONG, payload BINARY"
+        )
+        fps = ahash_fingerprints(df).localCheckpoint(eager=True)
+        plan = explain_text(ahash_near_dup_pairs(fps))
+        assert "EvalPython" not in plan
+
+
 class TestPngCodec:
     def test_roundtrip_rgb(self):
         from keenwa_spark.pipeline.png import decode_png, encode_png

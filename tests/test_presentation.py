@@ -131,6 +131,16 @@ def test_window_renders_as_window_aggregate(views):
     assert "order=[o_totalprice DESC NULLS LAST]" in text
 
 
+def test_engine_explain_keenwa(engine):
+    """The Engine surface renders keenwa-style text for SQL strings
+    (dialect-gated) and for built DataFrames."""
+    text = engine.explain_keenwa("SELECT n_name FROM nation WHERE n_regionkey = 1")
+    assert text.startswith("LogicalProjection")
+    assert "LogicalGet nation" in text
+    df_text = engine.explain_keenwa(engine.table("region"))
+    assert df_text.startswith("LogicalGet region")
+
+
 def test_no_expr_ids_leak(views):
     """Catalyst #id suffixes must never reach the rendered text."""
     import re
