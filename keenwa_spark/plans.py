@@ -57,7 +57,14 @@ def summarize(df: DataFrame) -> PlanSummary:
         nested_loop_joins=plan.count("BroadcastNestedLoopJoin"),
         cartesian_products=plan.count("CartesianProduct"),
         exchanges=plan.count("Exchange"),
-        python_evals=plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+        python_evals=(
+            plan.count("BatchEvalPython")
+            + plan.count("ArrowEvalPython")
+            # deliberate Arrow-batch crossings (mapInPandas operators)
+            # count too — a plan audit that hides them would claim
+            # pure-JVM for plans that are not
+            + plan.count("MapInPandas")
+        ),
         pushed_filters="PushedFilters: [" in plan,
     )
 

@@ -1,7 +1,9 @@
-"""Generate SCALE.md: executed-plan audit of the headline suite at
-sf0.1 + the 100 TB design narrative.
+"""Refresh the plan-audit table in SCALE.md: executed-plan audit of
+the bench headline suite at sf0.1.
 
-Run: python tools/plan_audit.py   (rewrites SCALE.md)
+Run: python tools/plan_audit.py   (replaces ONLY the audit table
+in-place — the narrative sections of SCALE.md are hand-maintained and
+preserved).
 """
 
 from __future__ import annotations
@@ -11,151 +13,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-HEADER = """# SCALE — plan audit + 100 TB design notes
-
-Auto-generated by `tools/plan_audit.py` from the EXECUTED plans of the
-bench headline suite at sf0.1 (re-run after plan-affecting changes).
-
-Columns: BHJ = BroadcastHashJoin, SMJ = SortMergeJoin, NLJ =
-BroadcastNestedLoopJoin, Cart = CartesianProduct, Exch = shuffle
-Exchanges, PyEval = Python evaluation nodes, Pushed = filters reached
-the parquet scan.
-
-| query | BHJ | SMJ | NLJ | Cart | Exch | PyEval | Pushed |
-|---|---|---|---|---|---|---|---|
-"""
-
-FOOTER = """
-## Reading the table
-
-- **Joins.** Every dimension join broadcasts (BHJ); SMJ=0 and Cart=0
-  across the suite (the corpus-curation SMJs are doc_id fact-to-fact
-  joins — algorithmically required; bucketed layouts amortize them).
-  The only NLJs are the ANN queries' `crossJoin(broadcast(...))` of a
-  K-row query/centroid side against the corpus — correct at any corpus
-  scale. At 1000 executors the same plans hold: dimensions stay under
-  the broadcast threshold at any SF because they grow with the catalog,
-  not the fact data.
-- **Exchanges** are the scale currency. Counts here include AQE's
-  final+initial plan duplication in the text; the real shuffle count
-  per query is roughly half. The structural minimum for each family:
-  one shuffle per aggregation key change, zero for broadcast joins.
-  Sessionization reuses one user_id partitioning across both windows
-  and the final aggregate. MinHash-LSH's signature stage is a ZERO-
-  shuffle projection (one aggregate fold per doc, r4); the only
-  shuffle left is (band, bucket) — below the classic banded-LSH floor
-  of two.
-- **PyEval = 0 everywhere** except the multimodal decoder (Arrow-
-  batched mapInPandas by design): dedup/text/similarity run entirely
-  inside whole-stage codegen.
-- **Pushed filters** show predicate pushdown reaching the parquet
-  scans; column pruning is asserted separately in
-  tests/test_plan_shape.py (ReadSchema).
-
-## Per-family 100 TB notes
-
-- **Temporal (as-of join / range join / rollup):** the as-of join is a
-  union + one user_id window (no inequality-join pair explosion); the
-  range join meets each (point, interval) pair in exactly one time bin
-  via an equi-join; the hypertable rollup scans raw once and
-  re-aggregates coarser grains from materialized fine partials.
-- **Full-scan aggs (Q1/Q6):** map-side partial aggregation does all
-  the work; Q6's predicates are pushed to the parquet scan, so row
-  groups outside the shipdate range never decompress.
-- **Star joins (flagship, Q3/Q5/Q10/Q18):** fact-table scans dominate;
-  partition-pruned reads (date-partitioned layout via
-  sources.write_parquet) + broadcast dims keep the only shuffle at the
-  aggregate. Q18's second fact shuffle (grouped-HAVING subquery) is
-  algorithmically required.
-- **Dedup (exact/MinHash/SimHash):** digest/signature shuffles move
-  16-96 bytes per doc, never text. Degenerate LSH buckets capped
-  (max_bucket) — the boilerplate-content guard. Incremental state
-  (operators/incremental.py) makes re-runs corpus-size-independent.
-- **ANN (LSH/IVF):** candidate generation is bucket-/cell-local; the
-  corpus is never paired with itself. The IVF coarse quantizer is fit
-  in-driver on a bounded sample (train_rows cap — the faiss recipe;
-  the 100 TB corpus never participates in training), then assignment
-  is ONE shuffle-free corpus pass with the centroid model broadcast
-  as data (constant-size plan at any K; an Arrow/numpy mapInPandas
-  backend with the identical IEEE fold order takes over above
-  K*dim ~ 4k). Multi-probe LSH fans out only the broadcast QUERY side.
-
-## ANN recall (approximation quality, measured)
-
-recall@5 vs exact cosine_topk, 50 queries, 2000-vector corpus at
-sf0.1 (tools/ann_recall.py; floors asserted in tests/test_recall.py).
-Synthetic random vectors are the LSH-adversarial case — no cluster
-structure — so treat these as lower bounds for real embedding corpora:
-
-| operator | params | recall@5 | corpus scored/query |
-|---|---|---|---|
-| sign-LSH | bits=4 | 0.140 | ~6.2% |
-| sign-LSH | bits=4 +multiprobe | 0.560 | ~31.2% |
-| sign-LSH | bits=6 | 0.036 | ~1.6% |
-| sign-LSH | bits=6 +multiprobe | 0.280 | ~10.9% |
-| sign-LSH | bits=8 | 0.012 | ~0.4% |
-| sign-LSH | bits=8 +multiprobe | 0.100 | ~3.5% |
-| IVF | K=8 nprobe=1 | 0.364 | ~12.5% |
-| IVF | K=8 nprobe=2 | 0.504 | ~25.0% |
-| IVF | K=8 nprobe=4 | 0.752 | ~50.0% |
-| IVF | K=16 nprobe=2 | 0.544 | ~12.5% |
-| IVF | K=16 nprobe=4 | 0.692 | ~25.0% |
-
-Hamming-1 multi-probe buys ~4-8x recall for a (bits+1)x probe fan-out
-confined to the broadcast query side; IVF dominates LSH on
-unstructured data at equal scored fraction.
-- **Clustering:** O(log diameter) rounds of edge-list joins; per-round
-  localCheckpoint bounds lineage; never collects data to the driver.
-- **Events/streaming:** one user_id partitioning serves sessionization
-  end-to-end; streaming state (windows, session_window,
-  applyInPandasWithState) is watermark-bounded.
-- **Skew:** AQE skew-split handles shuffle-partition skew
-  (demonstrated in tests/test_sources.py); operators/skew.salted_join
-  covers single-key pathologies beyond AQE's reach.
-- **Bucketing:** repeated fact-to-fact joins amortize their shuffle
-  via bucketed layouts (sources/bucketing.py, shuffle-free join
-  verified in tests).
-
-## Round-4 additions
-
-- **TPC-H completion (Q2-Q22):** every remaining plan family under
-  one oracle-checked roof — correlated MIN/AVG decorrelation (Q2/Q17:
-  aggregate + join-back, never per-row subqueries), paired left-semi/
-  left-anti fact self-joins (Q21), three-arm disjunctive predicates
-  with single-side OR-extraction pushed to the scans (Q19, asserted in
-  test_plan_shape), nested grouped IN (Q20), MAX-equality over a
-  reused CTE (Q15). All-BHJ at test scale; at 100 TB the only new
-  fact-scale shuffles are the algorithmically required grouped
-  subqueries.
-- **Interval-overlap join:** both interval sides explode into time
-  bins and each qualifying pair meets exactly once — in the bin of
-  greatest(l_lo, r_lo) — so interval x interval joins cost two binned
-  shuffles, never an inequality-join pair blow-up; randomized
-  brute-force cross-check in tests/test_temporal.py.
-- **Search (lexical / filtered / hybrid):** search_topk filters the
-  exploded (doc, term) pairs to the query's terms immediately, so the
-  corpus vocabulary is never shuffled and df_t stays exact for those
-  terms; filtered_cosine_topk applies metadata predicates BEFORE the
-  broadcast join (scan pruning + exact filtered recall, vs the
-  post-filter pattern that starves approximate indexes); RRF fusion
-  joins two bounded top-k sides — broadcast-size at any corpus scale.
-- **Repetition / vocabulary:** Gopher-style n-gram repetition runs as
-  explode + two doc-keyed aggregates (the first draft that re-inlined
-  the n-gram constructor inside nested array lambdas blew codegen
-  compile time to ~50s — shape matters); vocab_topk absorbs stopword
-  skew in map-side combine and finishes with TakeOrderedAndProject.
-- **Z-order layout:** write_zordered range-partitions on a Morton key
-  over domain-normalized columns, giving EVERY participating column
-  narrow per-file min/max stats (multi-predicate file/row-group
-  skipping); per-file stat narrowing is verified against parquet
-  footers in tests/test_sources.py.
-- **Watermark semantics:** late rows behind the checkpointed
-  watermark are dropped across query restarts (tests/test_streaming)
-  — the behavior that bounds streaming state at any scale.
-- **Approximate twins:** approx_percentile / approx_count_distinct
-  accuracy measured against exact answers (tests/test_approx_twins) —
-  the bounded-memory forms the exact operators take on 100 TB facts.
-"""
+TABLE_HEAD = "| query | BHJ | SMJ | NLJ | Cart | Exch | PyEval | Pushed |"
 
 
 def main() -> None:
@@ -179,11 +37,16 @@ def main() -> None:
             f"{s.python_evals} | {'yes' if s.pushed_filters else 'no'} |"
         )
 
-    out = HEADER + "\n".join(rows) + "\n" + FOOTER
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
+    )
+    text = open(path).read()
+    start = text.index(TABLE_HEAD)
+    end = text.index("\n\n", start)
+    table = TABLE_HEAD + "\n|---|---|---|---|---|---|---|---|\n" + "\n".join(rows)
     with open(path, "w") as f:
-        f.write(out)
-    print(f"wrote {path} ({len(rows)} queries audited)")
+        f.write(text[:start] + table + text[end:])
+    print(f"updated audit table in {path} ({len(rows)} queries)")
 
 
 if __name__ == "__main__":
