@@ -162,6 +162,62 @@ def op_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "op_rollup_incremental",
+    oracle="""
+    SELECT
+      'day' AS grain,
+      event_type,
+      strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS bucket,
+      COUNT(value) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+      MIN(value) AS vmin,
+      MAX(value) AS vmax,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS vavg
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    ORDER BY event_type, bucket
+    """,
+    doc="Incremental continuous-aggregate REFRESH: stored day-grain "
+    "partials over history (ts < 2024-01-20) merged with a new batch's "
+    "partials (ts >= 2024-01-20) via rollup_merge — COUNT/SUM re-sum, "
+    "MIN/MAX re-min/max on the bucket key, cost O(delta + touched "
+    "buckets), never a history rescan. The oracle recomputes the whole "
+    "rollup from ALL raw events; equality (decimal-exact, order-"
+    "independent sums) proves merged == recomputed "
+    "(operators/rollup.py rollup_partials/rollup_merge).",
+    tags=("temporal", "rollup", "incremental"),
+)
+def op_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.rollup import (
+        finalize_rollup,
+        rollup_merge,
+        rollup_partials,
+    )
+
+    events = spark.table("events")
+    cutoff = "2024-01-20"
+    stored = rollup_partials(
+        events.where(F.col("ts") < cutoff),
+        ts_col="ts", key_cols=["event_type"], value_col="value", grain="day",
+    )
+    delta = rollup_partials(
+        events.where(F.col("ts") >= cutoff),
+        ts_col="ts", key_cols=["event_type"], value_col="value", grain="day",
+    )
+    merged = finalize_rollup(rollup_merge(stored, delta), grain="day")
+    return merged.select(
+        "grain",
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        "total",
+        "vmin",
+        "vmax",
+        "vavg",
+    ).orderBy("event_type", "bucket")
+
+
+@df_query(
     "op_interval_overlap",
     oracle="""
     SELECT

@@ -207,6 +207,57 @@ class TestTimeRollup:
         row = rolled.where("grain = 'day'").first()
         assert row.vavg == pytest.approx(row.total / row.n)
 
+    def test_incremental_merge_equals_recompute(self, views):
+        """rollup_merge(history partials, delta partials) must be
+        bit-equal to partials over the union — including buckets only
+        in history, only in the delta, and touched by both."""
+        from keenwa_spark.operators.rollup import (
+            finalize_rollup,
+            rollup_merge,
+            rollup_partials,
+        )
+
+        events = views.table("events")
+        cutoff = "2024-01-15"
+        part = lambda d: rollup_partials(  # noqa: E731
+            d, ts_col="ts", key_cols=["event_type"], value_col="value",
+            grain="day",
+        )
+        merged = finalize_rollup(
+            rollup_merge(
+                part(events.where(F.col("ts") < cutoff)),
+                part(events.where(F.col("ts") >= cutoff)),
+            ),
+            grain="day",
+        )
+        full = finalize_rollup(part(events), grain="day")
+        key = lambda r: (r.event_type, r.bucket_ts)  # noqa: E731
+        m = {key(r): (r.n, r.total, r.vmin, r.vmax) for r in merged.collect()}
+        f = {key(r): (r.n, r.total, r.vmin, r.vmax) for r in full.collect()}
+        assert m == f
+
+    def test_merge_with_empty_delta_is_identity(self, views):
+        from keenwa_spark.operators.rollup import rollup_merge, rollup_partials
+
+        events = views.table("events")
+        stored = rollup_partials(
+            events, ts_col="ts", key_cols=["event_type"], value_col="value",
+            grain="day",
+        )
+        empty = rollup_partials(
+            events.where("1 = 0"), ts_col="ts", key_cols=["event_type"],
+            value_col="value", grain="day",
+        )
+        merged = {
+            (r.event_type, r.bucket_ts): (r["__n"], r["__sum"])
+            for r in rollup_merge(stored, empty).collect()
+        }
+        base = {
+            (r.event_type, r.bucket_ts): (r["__n"], r["__sum"])
+            for r in stored.collect()
+        }
+        assert merged == base
+
     def test_week_cannot_be_cascade_base(self, views):
         with pytest.raises(ValueError, match="week"):
             time_rollup(
