@@ -16,7 +16,7 @@ a key exceeds ~1 task's capacity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,4 +63,55 @@ def salted_join(
     # drop the duplicate key + salt columns from the small side
     return joined.drop(small_salted[on]).drop(small_salted["__salt"]).drop(
         big_salted["__salt"]
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Join/agg-key skew diagnostics: per-key count distribution plus
+    the heavy hitters — the measurement that decides WHEN salted_join
+    (above) or AQE skew-join is needed, instead of guessing.
+
+    Output: one row per top-k heaviest key, each carrying the
+    distribution summary alongside (n_keys, max/p50/p99 per-key
+    counts, the max/median ratio, and the key's share of all rows).
+    A max_over_p50 in the tens+ means the hottest shuffle partition
+    does that many times the median partition's work — the signal to
+    salt. Cost: one count aggregate on the key + a tiny all-key
+    summary, both map-side combinable; the per-key counts are never
+    collected.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("key_count"))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_count").alias("n_rows"),
+        F.max("key_count").alias("max_count"),
+        F.expr("percentile(key_count, 0.5)").alias("p50_count"),
+        F.expr("percentile(key_count, 0.99)").alias("p99_count"),
+    )
+    # distributed top-k (TakeOrderedAndProject) FIRST, so the global
+    # rank window only ever sees top_k rows — never all n_keys counts
+    # funneled through one partition
+    top = counts.orderBy(
+        F.col("key_count").desc(), F.col(key_col).asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("key_count").desc(), F.col(key_col).asc())
+    top = top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    return (
+        top.crossJoin(F.broadcast(summary))
+        .select(
+            "rnk",
+            F.col(key_col).alias("key"),
+            "key_count",
+            (F.col("key_count") / F.col("n_rows")).alias("share"),
+            "n_keys",
+            "max_count",
+            "p50_count",
+            "p99_count",
+            (F.col("max_count") / F.col("p50_count")).alias("max_over_p50"),
+        )
+        .orderBy("rnk")
     )

@@ -1867,6 +1867,87 @@ def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "op_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey AS key, COUNT(*) AS key_count
+      FROM orders GROUP BY o_custkey
+    ),
+    summary AS (
+      SELECT COUNT(*) AS n_keys,
+             SUM(key_count) AS n_rows,
+             MAX(key_count) AS max_count,
+             quantile_cont(key_count, 0.5) AS p50_count,
+             quantile_cont(key_count, 0.99) AS p99_count
+      FROM counts
+    ),
+    top AS (
+      SELECT key, key_count,
+             CAST(ROW_NUMBER() OVER (ORDER BY key_count DESC, key) AS BIGINT)
+               AS rnk
+      FROM counts ORDER BY key_count DESC, key LIMIT 5
+    )
+    SELECT rnk, key, key_count,
+           CAST(key_count AS DOUBLE) / n_rows AS share,
+           n_keys, max_count, p50_count, p99_count,
+           max_count / p50_count AS max_over_p50
+    FROM top CROSS JOIN summary
+    ORDER BY rnk
+    """,
+    doc="Join-key skew diagnostics: per-key count distribution "
+    "(n_keys, max/p50/p99) + top-5 heavy hitters with their share — "
+    "the measurement that decides when op_salted_join/AQE skew-join "
+    "is warranted. One map-side-combinable count per key + a "
+    "distributed top-k (TakeOrderedAndProject, never a global window "
+    "over all keys); exact percentiles are the cross-engine-verified "
+    "percentile/quantile_cont pair (operators/skew.py skew_report).",
+    tags=("operator", "skew", "diagnostics"),
+)
+def op_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.skew import skew_report
+
+    return skew_report(spark.table("orders"), key_col="o_custkey", top_k=5)
+
+
+@df_query(
+    "pl_winsorize",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS q_lo,
+             quantile_cont(value, 0.95) AS q_hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           LEAST(GREATEST(CAST(e.value AS DOUBLE), b.q_lo), b.q_hi)
+             AS value_w,
+           b.q_lo, b.q_hi
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    ORDER BY e.event_id
+    """,
+    doc="Per-group winsorization: clamp each event's value to its "
+    "event_type's exact [p05, p95] — the outlier treatment a numeric "
+    "feature needs before feeding training or sampling weights. One "
+    "group-aggregate for the bounds (exact percentile == DuckDB "
+    "quantile_cont, the verified pair) + a broadcast join-back; at "
+    "100 TB approx_percentile drops the per-group sort with the same "
+    "plan shape (pipeline/quality.py winsorize).",
+    tags=("pipeline", "quality", "winsorize"),
+)
+def pl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.quality import winsorize
+
+    events = spark.table("events")
+    out = winsorize(
+        events, value_col="value", group_col="event_type",
+        lower_q=0.05, upper_q=0.95,
+    )
+    return out.select(
+        "event_id", "event_type", "value", "value_w", "q_lo", "q_hi"
+    ).orderBy("event_id")
+
+
+@df_query(
     "pl_chunk_pack_pipeline",
     oracle=f"""
     WITH w AS (

@@ -165,3 +165,56 @@ def test_approx_aggregates_within_tolerance(views):
     ).collect()[0]
     assert abs(row.acd - row.cd) / row.cd < 0.05          # HLL ~2% typical
     assert abs(row.ap50 - row.p50) / row.p50 < 0.05
+
+
+class TestSkewReport:
+    def test_heavy_hitter_surfaces_with_stats(self, spark):
+        from keenwa_spark.operators.skew import skew_report
+
+        rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+        df = spark.createDataFrame(rows, "k STRING")
+        out = skew_report(df, key_col="k", top_k=3).collect()
+        assert [r.rnk for r in out] == [1, 2, 3]
+        top = out[0]
+        assert top.key == "hot" and top.key_count == 90
+        assert top.share == 0.90
+        assert top.n_keys == 11 and top.max_count == 90
+        assert top.p50_count == 1.0
+        assert top.max_over_p50 == 90.0
+
+    def test_no_global_window_over_all_keys(self, views):
+        """The heavy-hitter selection must be a distributed top-k; the
+        only window runs over the already-limited top_k rows."""
+        from keenwa_spark.operators.skew import skew_report
+        from keenwa_spark.plans import explain_text
+
+        plan = explain_text(
+            skew_report(views.table("orders"), key_col="o_custkey")
+        )
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestWinsorize:
+    def test_values_clamped_to_group_quantiles(self, spark):
+        from keenwa_spark.pipeline.quality import winsorize
+
+        rows = [("a", float(v)) for v in range(1, 100)] + [("a", 1e9), ("b", 5.0)]
+        df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+        out = winsorize(df, value_col="v", group_col="g").collect()
+        a = [r for r in out if r.g == "a"]
+        assert max(r.v_w for r in a) == a[0].q_hi  # outlier clamped
+        assert max(r.v for r in a) == 1e9          # original intact
+        assert all(r.q_lo <= r.v_w <= r.q_hi for r in out)
+        b = [r for r in out if r.g == "b"][0]
+        assert b.v_w == 5.0  # single-value group: quantiles collapse
+
+    def test_global_mode_and_bad_quantiles(self, spark):
+        from keenwa_spark.pipeline.quality import winsorize
+
+        df = spark.createDataFrame([(float(v),) for v in range(10)], "v DOUBLE")
+        out = winsorize(df, value_col="v").collect()
+        assert all(r.q_lo <= r.v_w <= r.q_hi for r in out)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            winsorize(df, value_col="v", lower_q=0.9, upper_q=0.1)
