@@ -52,18 +52,23 @@ def _ts_is_nanos(path: str) -> bool:
     return False
 
 
-def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_event_stream(spark: SparkSession, path: str, **options) -> DataFrame:
     """Unbounded file-stream over the events layout: every new parquet
     file under ``path`` becomes a micro-batch. Schema is declared (file
     streams cannot infer); TIMESTAMP(NANOS) files (the driver testdata)
-    get the nanos->micros shim, normal timestamp files pass through."""
+    get the nanos->micros shim, normal timestamp files pass through.
+    Extra ``options`` go to the reader (e.g. ``maxFilesPerTrigger=1``
+    to pin micro-batch granularity)."""
     if _ts_is_nanos(path):
         return (
             spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .options(**options)
             .parquet(path)
             .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
         )
-    return spark.readStream.schema(EVENTS_SCHEMA_TS).parquet(path)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA_TS).options(**options).parquet(path)
+    )
 
 
 def windowed_type_counts(

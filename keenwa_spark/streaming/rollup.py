@@ -1,0 +1,67 @@
+"""Streaming continuous-aggregate maintenance: keep a stored rollup
+partials table fresh from an event stream, one micro-batch at a time.
+
+The streaming face of ``operators/rollup.py``'s incremental refresh:
+each micro-batch's rows reduce to day/hour partials
+(``rollup_partials``) and merge into the persisted partials
+(``rollup_merge``) inside ``foreachBatch`` — so the continuous
+aggregate is maintained at O(batch + touched buckets) cost and NEVER
+recomputes history, while any reader can ``finalize_rollup`` the
+stored partials into presented rows at any moment.
+
+Storage caveat, stated honestly: the swap below is
+write-new-directory-then-rename — atomic enough for a single-writer
+demo and tests, NOT transactional under concurrent readers/writers.
+At production scale the stored partials belong in a transactional
+table format (or are partitioned by bucket so refreshes only rewrite
+touched partitions); the MERGE LOGIC — the part this module owns — is
+unchanged in either case.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+from keenwa_spark.operators.rollup import rollup_merge, rollup_partials
+
+
+def rollup_refresh_stream(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    value_col: str = "value",
+    grain: str = "day",
+):
+    """Start (availableNow) a stream that folds each micro-batch into
+    the parquet partials table at ``store_path``. Returns the query;
+    caller awaits termination then reads/finalizes the store."""
+    key_cols = key_cols if key_cols is not None else ["event_type"]
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = rollup_partials(
+            batch_df, ts_col=ts_col, key_cols=key_cols,
+            value_col=value_col, grain=grain,
+        )
+        if os.path.exists(store_path):
+            stored = spark.read.parquet(store_path)
+            merged = rollup_merge(stored, delta)
+        else:
+            merged = delta
+        tmp = f"{store_path}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(store_path):
+            shutil.rmtree(store_path)
+        os.rename(tmp, store_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

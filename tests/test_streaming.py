@@ -219,3 +219,48 @@ def test_watermark_drops_late_rows_across_restarts(views, tmp_path_factory):
     }
     ten = [v for (ws, _), v in out.items() if ws.startswith("2024-01-01 10:0")]
     assert ten == [2], out  # late 10:04 row NOT counted; window emitted once
+
+
+def test_rollup_refresh_stream_matches_batch(views, tmp_path_factory):
+    """Continuous-aggregate maintenance: partials merged micro-batch by
+    micro-batch (2 batches via maxFilesPerTrigger=1) must finalize to
+    exactly the one-shot batch rollup over all events."""
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.operators.rollup import finalize_rollup, rollup_partials
+    from keenwa_spark.streaming.events import read_event_stream
+    from keenwa_spark.streaming.rollup import rollup_refresh_stream
+
+    base = tmp_path_factory.mktemp("rollup_stream")
+    src_dir, store, ckpt = str(base / "src"), str(base / "store"), str(base / "ckpt")
+
+    events = views.table("events")
+    # two arrival files -> two micro-batches
+    events.where("event_id % 2 = 0").coalesce(1).write.parquet(
+        src_dir, mode="overwrite"
+    )
+    events.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src_dir)
+
+    # one file per micro-batch: the second batch MUST take the
+    # merge-into-existing-store path, not the bootstrap path
+    stream = read_event_stream(views, src_dir, maxFilesPerTrigger=1)
+    query = rollup_refresh_stream(
+        stream, store_path=store, checkpoint_path=ckpt
+    )
+    query.awaitTermination(120)
+
+    # prove the merge path ran: at least two committed micro-batches
+    assert len(os.listdir(os.path.join(ckpt, "commits"))) >= 2
+
+    stored = finalize_rollup(views.read.parquet(store), grain="day")
+    expected = finalize_rollup(
+        rollup_partials(
+            events, ts_col="ts", key_cols=["event_type"], value_col="value",
+            grain="day",
+        ),
+        grain="day",
+    )
+    key = lambda r: (r.event_type, r.bucket_ts)  # noqa: E731
+    got = {key(r): (r.n, r.total, r.vmin, r.vmax) for r in stored.collect()}
+    want = {key(r): (r.n, r.total, r.vmin, r.vmax) for r in expected.collect()}
+    assert got == want
