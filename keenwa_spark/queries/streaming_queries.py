@@ -304,3 +304,58 @@ def st_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@df_query(
+    "st_rollup_refresh",
+    oracle="""
+    SELECT
+      event_type,
+      strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        AS bucket,
+      COUNT(value) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+      MIN(value) AS vmin,
+      MAX(value) AS vmax
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    ORDER BY event_type, bucket
+    """,
+    doc="Streaming continuous-aggregate MAINTENANCE: micro-batches fold "
+    "into a persisted day-grain partials store via foreachBatch + "
+    "rollup_merge (streaming/rollup.py) — O(batch + touched buckets) "
+    "per trigger, history never recomputed — then the store finalizes "
+    "to presented rows. The oracle recomputes the rollup from ALL raw "
+    "events; equality proves the incremental maintenance path exact "
+    "(decimal partials, order-independent) through the streaming "
+    "boundary.",
+    tags=("streaming", "rollup", "incremental"),
+)
+def st_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.operators.rollup import finalize_rollup
+    from keenwa_spark.streaming.rollup import rollup_refresh_stream
+
+    work = tempfile.mkdtemp(prefix="keenwa_st_rollup_")
+    store, ckpt = f"{work}/store", f"{work}/ckpt"
+    try:
+        query = rollup_refresh_stream(
+            _stream_source(spark, sf_dir),
+            store_path=store, checkpoint_path=ckpt, grain="day",
+        )
+        query.awaitTermination(300)
+        final = finalize_rollup(spark.read.parquet(store), grain="day")
+        # materialize before the store directory is removed
+        rows = final.select(
+            "event_type",
+            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n", "total", "vmin", "vmax",
+        ).orderBy("event_type", "bucket")
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
