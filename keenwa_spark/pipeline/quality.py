@@ -278,3 +278,75 @@ def winsorize(
     return joined.withColumn(
         f"{value_col}_w", F.least(F.greatest(v, F.col("q_lo")), F.col("q_hi"))
     )
+
+
+def zscore_scale(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Standardize ``value_col`` per group: z = (v - mean) / stddev,
+    adding ``<value_col>_z``, ``mean``, ``stddev``.
+
+    Moments are EXACT decimal sums (SUM(x), SUM(x*x)) finalized in
+    double — the built-in stddev's streaming double accumulation is
+    partition-order-dependent and cannot be hash-verified
+    cross-engine; this form is order-independent at any partitioning
+    (same discipline as agg_stats_moments). One group aggregate +
+    broadcast join-back, the same plan shape as winsorize. Groups of
+    size 1 (or zero variance) yield NULL z rather than a division
+    blow-up.
+
+    The decimal sums cross into double via a SPLIT cast — integer
+    part, plus the scale-12 fraction as an exact BIGINT divided by
+    1e12 — because a direct high-scale decimal->double CAST is
+    engine-implementation-rounded (measured: Spark and DuckDB differ
+    in the last ulp on SUM(x*x) at scale 12). Every piece of the
+    split is exactly representable, so both engines produce the
+    identical double (the oracle uses the same split)."""
+    x = F.col(value_col).cast("decimal(18,6)")
+    aggs = [
+        F.count(value_col).alias("__n"),
+        F.sum(x).alias("__s1d"),
+        F.sum(x * x).alias("__s2d"),
+    ]
+    split6 = (
+        "(CAST(FLOOR(__s1d) AS DOUBLE)"
+        " + CAST((__s1d - FLOOR(__s1d)) * 1000000 AS BIGINT)"
+        " / CAST(1000000 AS DOUBLE))"
+    )
+    split12 = (
+        "(CAST(FLOOR(__s2d) AS DOUBLE)"
+        " + CAST((__s2d - FLOOR(__s2d)) * 1000000000000 AS BIGINT)"
+        " / CAST(1000000000000 AS DOUBLE))"
+    )
+    if group_col is None:
+        stats = df.agg(*aggs)
+    else:
+        stats = df.groupBy(group_col).agg(*aggs)
+    stats = stats.select(
+        *([group_col] if group_col else []),
+        F.col("__n"),
+        F.expr(split6).alias("__s1"),
+        F.expr(split12).alias("__s2"),
+    )
+    if group_col is None:
+        joined = df.crossJoin(F.broadcast(stats))
+    else:
+        joined = df.join(F.broadcast(stats), group_col)
+    mean = F.col("__s1") / F.col("__n")
+    var = (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n")) / (
+        F.col("__n") - 1
+    )
+    std = F.sqrt(var)
+    return (
+        joined.withColumn("mean", mean)
+        .withColumn("stddev", std)
+        .withColumn(
+            f"{value_col}_z",
+            F.when(
+                std > 0, (F.col(value_col).cast("double") - F.col("mean")) / F.col("stddev")
+            ),
+        )
+        .drop("__n", "__s1", "__s2")
+    )

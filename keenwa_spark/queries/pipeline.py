@@ -1948,6 +1948,57 @@ def pl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "pl_feature_scale",
+    oracle="""
+    WITH md AS (
+      SELECT event_type,
+             COUNT(value) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s1d,
+             SUM(CAST(value AS DECIMAL(18,6))
+                 * CAST(value AS DECIMAL(18,6))) AS s2d
+      FROM events GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n,
+             (CAST(FLOOR(s1d) AS DOUBLE)
+              + CAST((s1d - FLOOR(s1d)) * 1000000 AS BIGINT)
+                / CAST(1000000 AS DOUBLE)) AS s1,
+             (CAST(FLOOR(s2d) AS DOUBLE)
+              + CAST((s2d - FLOOR(s2d)) * 1000000000000 AS BIGINT)
+                / CAST(1000000000000 AS DOUBLE)) AS s2
+      FROM md
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           m.s1 / m.n AS mean,
+           sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) AS stddev,
+           CASE WHEN sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) > 0
+                THEN (CAST(e.value AS DOUBLE) - m.s1 / m.n)
+                     / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))
+           END AS value_z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    ORDER BY e.event_id
+    """,
+    doc="Per-group z-score standardization of a numeric feature: "
+    "moments as EXACT decimal sums (order-independent at any "
+    "partitioning — built-in stddev's double streaming accumulation "
+    "is not hash-verifiable), crossed into double via the SPLIT cast "
+    "(integer part + exact scale-fraction BIGINT / 1e12 — a direct "
+    "high-scale decimal->double CAST rounds differently per engine, "
+    "measured 1-ulp on SUM(x*x)), broadcast joined-back; "
+    "zero-variance groups yield NULL z "
+    "(pipeline/quality.py zscore_scale).",
+    tags=("pipeline", "quality", "scaling"),
+)
+def pl_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.quality import zscore_scale
+
+    out = zscore_scale(spark.table("events"), value_col="value", group_col="event_type")
+    return out.select(
+        "event_id", "event_type", "value", "mean", "stddev", "value_z"
+    ).orderBy("event_id")
+
+
+@df_query(
     "pl_chunk_pack_pipeline",
     oracle=f"""
     WITH w AS (

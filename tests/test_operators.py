@@ -218,3 +218,27 @@ class TestWinsorize:
 
         with _pytest.raises(ValueError):
             winsorize(df, value_col="v", lower_q=0.9, upper_q=0.1)
+
+
+class TestZscoreScale:
+    def test_standardizes_per_group(self, spark):
+        from keenwa_spark.pipeline.quality import zscore_scale
+
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0), ("b", 10.0)]
+        df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+        out = zscore_scale(df, value_col="v", group_col="g").collect()
+        a = sorted((r.v, r.v_z) for r in out if r.g == "a")
+        assert a[0][1] == pytest.approx(-1.0)
+        assert a[1][1] == pytest.approx(0.0)
+        assert a[2][1] == pytest.approx(1.0)
+        # zero-variance group: NULL z, not a division error
+        assert all(r.v_z is None for r in out if r.g == "b")
+
+    def test_global_mode(self, spark):
+        from keenwa_spark.pipeline.quality import zscore_scale
+
+        df = spark.createDataFrame([(float(v),) for v in range(5)], "v DOUBLE")
+        out = zscore_scale(df, value_col="v").collect()
+        zs = sorted(r.v_z for r in out)
+        assert zs[2] == pytest.approx(0.0)
+        assert zs[0] == pytest.approx(-zs[-1])

@@ -99,3 +99,43 @@ def test_python_hash_matches_engines():
         expect = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
         # mirror of spark_hash64 / duck_hash64 semantics
         assert 0 <= expect < (1 << 32)
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_any_pixels(w, h, channels, data):
+    """encode->decode is the identity for arbitrary pixel buffers at
+    every supported geometry/channel count (driver-side property — the
+    distributed path reuses the same codec)."""
+    from keenwa_spark.pipeline.png import decode_png, encode_png
+
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+    )
+    got = decode_png(encode_png(w, h, channels, pixels))
+    assert got == (w, h, channels, pixels)
+
+
+@given(junk=st.binary(max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_png_decoder_total_on_junk(junk):
+    """Arbitrary bytes either decode or raise PngError — never a
+    different exception (the posture decode_real's 'invalid' rows
+    depend on)."""
+    from keenwa_spark.pipeline.png import PngError, decode_png
+
+    try:
+        decode_png(junk)
+    except PngError:
+        pass
