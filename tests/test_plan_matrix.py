@@ -192,6 +192,50 @@ class TestBucketingRegimes:
         assert "Exchange" in plan
 
 
+class TestRuntimeBloomFilterRegimes:
+    """Runtime bloom-filter join pruning (Spark's runtime-filter
+    injection): a selective filter on the creation side plants a
+    bloom_filter_agg whose might_contain() prunes the big application
+    side BEFORE the join shuffle — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~matching
+    fraction. On by default but gated behind a 10GB application-side
+    scan threshold, so test-scale scans need the threshold lowered to
+    see the injection; the regime matrix pins BOTH directions."""
+
+    SQL = """
+        SELECT l.l_orderkey, o.o_totalprice
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice > 400000
+    """
+    #: thresholds sized so the test-scale parquet qualifies; broadcast
+    #: disabled because BHJ plans skip the bloom path entirely
+    INJECT = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+
+    def _optimized(self, views):
+        return views.sql(self.SQL)._jdf.queryExecution().optimizedPlan().toString()
+
+    def test_selective_join_injects_bloom_filter(self, views):
+        with regime(views, **self.INJECT):
+            plan = self._optimized(views)
+        assert "bloom_filter_agg" in plan, plan[:400]
+        assert "might_contain" in plan
+        # the filter lands on the application (fact) side's key
+        assert "might_contain" in plan.split("Join Inner")[1]
+
+    def test_disabled_regime_removes_injection(self, views):
+        confs = dict(self.INJECT)
+        confs["spark.sql.optimizer.runtime.bloomFilter.enabled"] = "false"
+        with regime(views, **confs):
+            plan = self._optimized(views)
+        assert "bloom_filter_agg" not in plan
+        assert "might_contain" not in plan
+
+
 class TestCboStatsJoinReorder:
     """ANALYZE-computed statistics flip the join ORDER under CBO — the
     analog of the reference's stats-driven Cascades choices (reference
