@@ -9,6 +9,14 @@ aggregate is maintained at O(batch + touched buckets) cost and NEVER
 recomputes history, while any reader can ``finalize_rollup`` the
 stored partials into presented rows at any moment.
 
+Exactly-once: ``foreachBatch`` is AT-LEAST-once — after a failure a
+micro-batch can be REPLAYED with the same batch_id, and a naive merge
+would double-count its rows. The refresh therefore records the last
+merged batch_id next to the store and SKIPS any batch_id it has
+already committed (the standard idempotent-foreachBatch recipe); the
+batch_id file moves with the same directory swap as the data, so a
+crash between write and swap replays cleanly.
+
 Storage caveat, stated honestly: the swap below is
 write-new-directory-then-rename — atomic enough for a single-writer
 demo and tests, NOT transactional under concurrent readers/writers.
@@ -42,8 +50,16 @@ def rollup_refresh_stream(
     caller awaits termination then reads/finalizes the store."""
     key_cols = key_cols if key_cols is not None else ["event_type"]
 
+    marker = f"{store_path}.last_batch"
+
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # idempotence: a replayed micro-batch (same batch_id after a
+        # failure) must not merge twice
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return
         delta = rollup_partials(
             batch_df, ts_col=ts_col, key_cols=key_cols,
             value_col=value_col, grain=grain,
@@ -58,6 +74,8 @@ def rollup_refresh_stream(
         if os.path.exists(store_path):
             shutil.rmtree(store_path)
         os.rename(tmp, store_path)
+        with open(marker, "w") as f:
+            f.write(str(batch_id))
 
     return (
         stream_df.writeStream.foreachBatch(refresh)

@@ -252,6 +252,17 @@ def test_rollup_refresh_stream_matches_batch(views, tmp_path_factory):
     # prove the merge path ran: at least two committed micro-batches
     assert len(os.listdir(os.path.join(ckpt, "commits"))) >= 2
 
+    # idempotence under foreachBatch's at-least-once: replaying the
+    # whole stream from a FRESH checkpoint re-presents batch_ids 0..1,
+    # which the store's batch marker must skip — totals unchanged
+    before = views.read.parquet(store).count()
+    replay = rollup_refresh_stream(
+        read_event_stream(views, src_dir, maxFilesPerTrigger=1),
+        store_path=store, checkpoint_path=str(base / "ckpt2"),
+    )
+    replay.awaitTermination(120)
+    assert views.read.parquet(store).count() == before
+
     stored = finalize_rollup(views.read.parquet(store), grain="day")
     expected = finalize_rollup(
         rollup_partials(
