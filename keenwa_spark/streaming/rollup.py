@@ -13,9 +13,13 @@ Exactly-once: ``foreachBatch`` is AT-LEAST-once — after a failure a
 micro-batch can be REPLAYED with the same batch_id, and a naive merge
 would double-count its rows. The refresh therefore records the last
 merged batch_id next to the store and SKIPS any batch_id it has
-already committed (the standard idempotent-foreachBatch recipe); the
-batch_id file moves with the same directory swap as the data, so a
-crash between write and swap replays cleanly.
+already committed (the standard idempotent-foreachBatch recipe).
+batch_ids are only meaningful WITHIN one checkpoint lineage, so a
+store is bound to its checkpointLocation for its lifetime: pointing a
+fresh checkpoint at an existing store re-delivers old data under
+restarted batch_ids (which the marker happens to skip while ids stay
+at-or-below it, but NEW data arriving under small ids would be
+wrongly skipped too). Rebuild store and checkpoint together.
 
 Storage caveat, stated honestly: the swap below is
 write-new-directory-then-rename — atomic enough for a single-writer

@@ -252,9 +252,12 @@ def test_rollup_refresh_stream_matches_batch(views, tmp_path_factory):
     # prove the merge path ran: at least two committed micro-batches
     assert len(os.listdir(os.path.join(ckpt, "commits"))) >= 2
 
-    # idempotence under foreachBatch's at-least-once: replaying the
-    # whole stream from a FRESH checkpoint re-presents batch_ids 0..1,
-    # which the store's batch marker must skip — totals unchanged
+    # idempotence under foreachBatch's at-least-once: a fresh
+    # checkpoint re-presents the same files as batch_ids 0..1 — the
+    # same shape as a crash-window replay within a lineage — and the
+    # store's batch marker must skip them, leaving totals unchanged
+    # (real usage keeps store+checkpoint paired; streaming/rollup.py
+    # docstring spells out the lineage binding)
     before = views.read.parquet(store).count()
     replay = rollup_refresh_stream(
         read_event_stream(views, src_dir, maxFilesPerTrigger=1),
