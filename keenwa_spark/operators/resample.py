@@ -44,10 +44,15 @@ def time_resample(
     LAST observation in it (deterministic under (ts, id) order) and
     empty buckets forward-filled from the previous bucket.
 
-    NULL-valued observations are dropped up front: they supply neither
-    a bucket value nor an n_obs count (pandas ``resample().last()``
-    NaN semantics), so ``n_obs > 0`` always means ``value`` came from
-    inside the bucket, never a forward-fill masked by a NULL last row.
+    NULL-valued observations supply neither a bucket value nor an
+    n_obs count (pandas ``resample().last()`` NaN semantics), so
+    ``n_obs > 0`` always means ``value`` came from inside the bucket,
+    never a forward-fill masked by a NULL last row. The GRID EXTENT,
+    however, is computed from ALL observations — pandas keeps the
+    index span through NaN rows — so leading/trailing NULL-only
+    buckets are still emitted (as gaps), and a key whose observations
+    are all NULL-valued yields its full grid of n_obs=0 rows with
+    NULL values.
 
     Output: (key, bucket_ts TIMESTAMP, value DOUBLE, n_obs BIGINT) —
     n_obs = value-bearing observations inside the bucket (0 for
@@ -58,7 +63,7 @@ def time_resample(
         raise ValueError(f"step_seconds must be positive, got {step}")
     step_us = step * 1_000_000
 
-    bucketed = df.where(F.col(value_col).isNotNull()).select(
+    all_bucketed = df.select(
         F.col(key_col),
         (F.floor(F.unix_micros(F.col(ts_col)) / step_us) * step_us).alias(
             "__bucket_us"
@@ -67,13 +72,15 @@ def time_resample(
         F.col(id_col),
         F.col(value_col).cast("double").alias("__v"),
     )
+    bucketed = all_bucketed.where(F.col("__v").isNotNull())
     # last observation per bucket: MAX over (ts, id, value) structs —
     # lexicographic, total because (ts, id) is unique
     per_bucket = bucketed.groupBy(key_col, "__bucket_us").agg(
         F.max(F.struct(ts_col, id_col, "__v"))["__v"].alias("__last_v"),
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
     )
-    bounds = bucketed.groupBy(key_col).agg(
+    # extent from ALL observations, value-bearing or not
+    bounds = all_bucketed.groupBy(key_col).agg(
         F.min("__bucket_us").alias("__lo"), F.max("__bucket_us").alias("__hi")
     )
     grid = bounds.select(

@@ -127,6 +127,8 @@ def _decode_real_one(payload: bytes) -> tuple[int, int, int, str, float]:
         w, h, ch, pixels = decode_png(payload)
     except PngError:
         return 0, 0, 0, "invalid", 0.0
+    if w == 0 or h == 0:  # defense in depth; decode_png rejects these
+        return 0, 0, 0, "invalid", 0.0
     if ch in (3, 4):  # Rec.601 luma over RGB(A) pixels
         luma = (
             sum(
@@ -234,6 +236,14 @@ def ahash_near_dup_pairs(
     an all-pairs crossing; the exact popcount verification (xor +
     bit_count, pure JVM) then removes band false-positives. Scale
     cost: one shuffle on the band key over 12-byte rows."""
+    if not 0 <= max_hamming <= 3:
+        # 4 bands of 16 bits pigeonhole-guarantee a shared band only
+        # up to hamming 3; a larger threshold would silently miss
+        # qualifying pairs, so reject it loudly
+        raise ValueError(
+            f"max_hamming must be in [0, 3] for the 4x16-bit banding, "
+            f"got {max_hamming}"
+        )
     bands = fingerprints.select(
         F.col("doc_id"),
         F.col("ahash"),

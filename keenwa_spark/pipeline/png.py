@@ -39,7 +39,16 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, raw pixel bytes row-major) from a PNG
-    byte string; raises PngError on anything out of scope."""
+    byte string; raises PngError on anything out of scope — including
+    truncated chunks and corrupt compressed data (struct/zlib errors
+    are converted, so callers' PngError guards are total)."""
+    try:
+        return _decode_png(data)
+    except (struct.error, zlib.error, IndexError, OverflowError, MemoryError) as e:
+        raise PngError(f"corrupt payload: {e}") from e
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if not data.startswith(_SIGNATURE):
         raise PngError("bad signature")
     pos = len(_SIGNATURE)
@@ -61,6 +70,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise PngError(f"unsupported color type {color}")
             if interlace:
                 raise PngError("interlaced PNG not supported")
+            if width <= 0 or height <= 0:
+                raise PngError(f"invalid dimensions {width}x{height}")
             channels = _CHANNELS[color]
         elif ctype == b"IDAT":
             idat.extend(body)

@@ -263,18 +263,16 @@ def winsorize(
     if not 0.0 <= lower_q < upper_q <= 1.0:
         raise ValueError(f"need 0 <= lower_q < upper_q <= 1, got {lower_q}, {upper_q}")
     v = F.col(value_col).cast("double")
+    # column-expression percentiles — the column name stays data, not
+    # interpolated SQL text (same discipline as cluster_keep_by_priority)
+    aggs = [
+        F.percentile(F.col(value_col), F.lit(float(lower_q))).alias("q_lo"),
+        F.percentile(F.col(value_col), F.lit(float(upper_q))).alias("q_hi"),
+    ]
     if group_col is None:
-        bounds = df.agg(
-            F.expr(f"percentile({value_col}, {lower_q!r})").alias("q_lo"),
-            F.expr(f"percentile({value_col}, {upper_q!r})").alias("q_hi"),
-        )
-        joined = df.crossJoin(F.broadcast(bounds))
+        joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
     else:
-        bounds = df.groupBy(group_col).agg(
-            F.expr(f"percentile({value_col}, {lower_q!r})").alias("q_lo"),
-            F.expr(f"percentile({value_col}, {upper_q!r})").alias("q_hi"),
-        )
-        joined = df.join(F.broadcast(bounds), group_col)
+        joined = df.join(F.broadcast(df.groupBy(group_col).agg(*aggs)), group_col)
     return joined.withColumn(
         f"{value_col}_w", F.least(F.greatest(v, F.col("q_lo")), F.col("q_hi"))
     )
@@ -335,8 +333,13 @@ def zscore_scale(
     else:
         joined = df.join(F.broadcast(stats), group_col)
     mean = F.col("__s1") / F.col("__n")
-    var = (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n")) / (
-        F.col("__n") - 1
+    # n > 1 guard: for a singleton group the 0/0 divide is NULL on
+    # Spark but NaN on IEEE-strict engines (DuckDB) — the explicit
+    # CASE makes stddev NULL on BOTH, keeping the oracle hash-equal
+    var = F.when(
+        F.col("__n") > 1,
+        (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n"))
+        / (F.col("__n") - 1),
     )
     std = F.sqrt(var)
     return (

@@ -119,9 +119,12 @@ def render_plan(df: DataFrame, max_lines: int = 200) -> str:
     """keenwa-style plan text for ``df``'s analyzed logical plan."""
     plan = df._jdf.queryExecution().analyzed()  # type: ignore[attr-defined]
     lines: list[str] = []
+    dropped = False
 
     def walk(node, depth: int, label: str) -> None:
+        nonlocal dropped
         if len(lines) >= max_lines:
+            dropped = True
             return
         name = node.nodeName()
         children = _seq(node.children())
@@ -184,6 +187,6 @@ def render_plan(df: DataFrame, max_lines: int = 200) -> str:
                 walk(c, depth + 1, f"input[{i}]: ")
 
     walk(plan, 0, "")
-    if len(lines) >= max_lines:
+    if dropped:
         lines.append("... (truncated)")
     return "\n".join(lines)

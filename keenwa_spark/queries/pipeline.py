@@ -1970,8 +1970,11 @@ def pl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.event_type, e.value,
            m.s1 / m.n AS mean,
-           sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) AS stddev,
-           CASE WHEN sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) > 0
+           CASE WHEN m.n > 1
+                THEN sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))
+           END AS stddev,
+           CASE WHEN m.n > 1
+                 AND sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)) > 0
                 THEN (CAST(e.value AS DOUBLE) - m.s1 / m.n)
                      / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))
            END AS value_z

@@ -347,7 +347,11 @@ def st_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             _stream_source(spark, sf_dir),
             store_path=store, checkpoint_path=ckpt, grain="day",
         )
-        query.awaitTermination(300)
+        # awaitTermination returns False on timeout WITHOUT raising —
+        # finalizing then would silently present a half-built store
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError("st_rollup_refresh stream did not drain in 300s")
         final = finalize_rollup(spark.read.parquet(store), grain="day")
         # materialize before the store directory is removed
         rows = final.select(

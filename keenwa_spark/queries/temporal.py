@@ -288,7 +288,7 @@ def op_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
              ts, event_id, CAST(value AS DOUBLE) AS v
-      FROM events WHERE user_id <= 30 AND value IS NOT NULL
+      FROM events WHERE user_id <= 30
     ),
     per_bucket AS (
       SELECT user_id, bucket_us, v AS last_v, n_obs FROM (
@@ -296,7 +296,7 @@ def op_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
                                   ORDER BY ts DESC, event_id DESC) AS rn,
                COUNT(*) OVER (PARTITION BY user_id, bucket_us) AS n_obs
-        FROM obs) x WHERE rn = 1
+        FROM obs WHERE v IS NOT NULL) x WHERE rn = 1
     ),
     bounds AS (
       SELECT user_id, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM obs

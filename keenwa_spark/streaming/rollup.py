@@ -12,8 +12,10 @@ stored partials into presented rows at any moment.
 Exactly-once: ``foreachBatch`` is AT-LEAST-once — after a failure a
 micro-batch can be REPLAYED with the same batch_id, and a naive merge
 would double-count its rows. The refresh therefore records the last
-merged batch_id next to the store and SKIPS any batch_id it has
-already committed (the standard idempotent-foreachBatch recipe).
+merged batch_id INSIDE the store directory (swapped atomically with
+the data, so no crash window separates them) and SKIPS any batch_id
+it has already committed (the standard idempotent-foreachBatch
+recipe).
 batch_ids are only meaningful WITHIN one checkpoint lineage, so a
 store is bound to its checkpointLocation for its lifetime: pointing a
 fresh checkpoint at an existing store re-delivers old data under
@@ -54,12 +56,15 @@ def rollup_refresh_stream(
     caller awaits termination then reads/finalizes the store."""
     key_cols = key_cols if key_cols is not None else ["event_type"]
 
-    marker = f"{store_path}.last_batch"
-
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # idempotence: a replayed micro-batch (same batch_id after a
-        # failure) must not merge twice
+        # failure) must not merge twice. The marker lives INSIDE the
+        # store directory (underscore-prefixed files are invisible to
+        # the parquet reader) so data and marker move in the SAME
+        # directory swap — there is no crash window where the data is
+        # committed but the marker is not.
+        marker = os.path.join(store_path, "_last_batch")
         if os.path.exists(marker):
             with open(marker) as f:
                 if batch_id <= int(f.read().strip()):
@@ -75,11 +80,11 @@ def rollup_refresh_stream(
             merged = delta
         tmp = f"{store_path}.tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch"), "w") as f:
+            f.write(str(batch_id))
         if os.path.exists(store_path):
             shutil.rmtree(store_path)
         os.rename(tmp, store_path)
-        with open(marker, "w") as f:
-            f.write(str(batch_id))
 
     return (
         stream_df.writeStream.foreachBatch(refresh)

@@ -242,3 +242,16 @@ class TestZscoreScale:
         zs = sorted(r.v_z for r in out)
         assert zs[2] == pytest.approx(0.0)
         assert zs[0] == pytest.approx(-zs[-1])
+
+    def test_singleton_group_yields_null_not_nan(self, spark):
+        """n=1: 0/0 must be a guarded NULL (cross-engine), never NaN."""
+        import math
+
+        from keenwa_spark.pipeline.quality import zscore_scale
+
+        df = spark.createDataFrame([("solo", 7.0)], "g STRING, v DOUBLE")
+        r = zscore_scale(df, value_col="v", group_col="g").first()
+        assert r.stddev is None and not (
+            isinstance(r.stddev, float) and math.isnan(r.stddev)
+        )
+        assert r.v_z is None

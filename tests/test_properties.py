@@ -127,15 +127,58 @@ def test_png_roundtrip_any_pixels(w, h, channels, data):
     assert got == (w, h, channels, pixels)
 
 
-@given(junk=st.binary(max_size=64))
-@settings(max_examples=60, deadline=None)
-def test_png_decoder_total_on_junk(junk):
-    """Arbitrary bytes either decode or raise PngError — never a
-    different exception (the posture decode_real's 'invalid' rows
-    depend on)."""
+@given(junk=st.binary(max_size=64), with_sig=st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_png_decoder_total_on_junk(junk, with_sig):
+    """Arbitrary bytes — including ones behind a VALID signature, the
+    truncated-chunk/corrupt-IDAT regime — either decode or raise
+    PngError, never a different exception (the posture decode_real's
+    'invalid' rows depend on)."""
     from keenwa_spark.pipeline.png import PngError, decode_png
 
+    data = (b"\x89PNG\r\n\x1a\n" + junk) if with_sig else junk
     try:
-        decode_png(junk)
+        decode_png(data)
     except PngError:
         pass
+
+
+def test_png_decoder_pngerror_on_truncated_and_corrupt():
+    """The two concrete escapes a review found: truncated IHDR body
+    (struct.error) and non-zlib IDAT bytes (zlib.error) must surface
+    as PngError."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from keenwa_spark.pipeline.png import PngError, decode_png
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    truncated = sig + struct.pack(">I", 13) + b"IHDR" + b"\x00\x00"
+    with pytest.raises(PngError):
+        decode_png(truncated)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    bad_idat = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", b"this is not zlib data")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError):
+        decode_png(bad_idat)
+    # zero-dimension header is rejected, not decoded to an empty image
+    zero_dim = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError):
+        decode_png(zero_dim)

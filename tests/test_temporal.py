@@ -446,6 +446,12 @@ class TestTimeResample:
             # gap (n_obs 0, forward-filled)
             (3, 1, 70, None),
             (4, 1, 125, 30.0),
+            # TRAILING NULL-only bucket: extends the grid (pandas
+            # keeps the index span through NaN rows), filled from 30.0
+            (5, 1, 185, None),
+            # key 2: ALL observations NULL-valued -> full grid of
+            # n_obs=0 rows with NULL value (never silently absent)
+            (6, 2, 10, None),
         ]
         df = spark.createDataFrame(
             rows, "event_id BIGINT, user_id BIGINT, ts_s BIGINT, value DOUBLE"
@@ -464,6 +470,8 @@ class TestTimeResample:
         assert got[(1, "00")] == (10.0, 1)   # NULL obs not counted
         assert got[(1, "01")] == (10.0, 0)   # NULL-only bucket is a gap
         assert got[(1, "02")] == (30.0, 1)
+        assert got[(1, "03")] == (30.0, 0)   # trailing NULL keeps extent
+        assert got[(2, "00")] == (None, 0)   # all-NULL key still emitted
 
     def test_bad_step_raises(self, spark):
         from keenwa_spark.operators.resample import time_resample
