@@ -47,11 +47,30 @@ def read_csv(
 
 
 def read_json(
-    spark: SparkSession, path: str, schema: str | None = None, multiline: bool = False
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    multiline: bool = False,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """JSON lines (or multiline documents). Same explicit-schema rule
-    as CSV: schema inference is a full pre-pass."""
+    as CSV: schema inference is a full pre-pass.
+
+    ``corrupt_col`` opts into quarantine-style ingestion: malformed
+    lines land whole in that STRING column (all data columns NULL)
+    instead of failing the job or silently vanishing — on a crawl-
+    scale corpus a handful of broken records must never kill the
+    read, and quarantined originals let the pipeline count/inspect
+    them (the same posture as decode_real's 'invalid' rows). The
+    column must also be declared in ``schema``; Spark only populates
+    it under PERMISSIVE mode with an explicit schema."""
     reader = spark.read.option("multiLine", str(multiline).lower())
+    if corrupt_col:
+        if not schema:
+            raise ValueError("corrupt_col requires an explicit schema")
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)

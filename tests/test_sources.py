@@ -190,3 +190,35 @@ def test_zorder_layout_narrows_file_stats(spark, tmp_path):
     assert avg_v < 0.6, spans_v
     # round-trip integrity
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_json_corrupt_records_quarantined(spark, tmp_path):
+    """Malformed JSONL lines land whole in the corrupt column (data
+    columns NULL) — the read survives and the pipeline can count or
+    inspect the quarantined originals."""
+    from keenwa_spark.sources import read_json
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": "not-a-number", "text": 3}\n'
+    )
+    df = read_json(
+        spark,
+        str(p),
+        schema="doc_id BIGINT, text STRING, _bad STRING",
+        corrupt_col="_bad",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._bad is None]
+    bad = [r for r in rows if r._bad is not None]
+    assert {r.doc_id for r in good} == {1, 2}
+    assert len(bad) >= 1
+    assert any("not json" in r._bad for r in bad)
+    # requires an explicit schema — enforced loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema"):
+        read_json(spark, str(p), corrupt_col="_bad")
