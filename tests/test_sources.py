@@ -222,3 +222,20 @@ def test_json_corrupt_records_quarantined(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="schema"):
         read_json(spark, str(p), corrupt_col="_bad")
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended files with a widened schema read back as the union
+    under merge_schema=True: old rows NULL-extend, pruning still works."""
+    from keenwa_spark.sources import read_parquet
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "doc_id BIGINT, text STRING").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id BIGINT, text STRING, lang STRING"
+    ).write.mode("append").parquet(p)
+
+    merged = read_parquet(spark, p, merge_schema=True)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r.doc_id: r.lang for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
