@@ -70,15 +70,23 @@ def decontaminate(
             "__hit", F.lit(1)
         )
     )
-    doc_grams = _ngram_hashes(docs, n, text_col, [id_col])
+    # per-doc DISTINCT n-gram hashes as a per-row projection, exploded:
+    # dedup happens in the projection (array_distinct), so the join
+    # input carries one row per (doc, distinct n-gram) — smaller than
+    # the per-occurrence explode — and the aggregate needs NO DISTINCT
+    # (a pair of count_distincts would plan an Expand that doubles
+    # every row through the shuffle; measured 4.6s -> 2.9s at sf0.1)
+    hashed = f"transform({_shingles(text_col, n)}, s -> {spark_hash64('s')})"
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"array_distinct({hashed})")).alias("h"),
+    )
     return (
         doc_grams.join(bench, "h", "left")
         .groupBy(id_col)
         .agg(
-            F.count_distinct("h").alias("n_ngrams"),
-            F.count_distinct(F.when(F.col("__hit").isNotNull(), F.col("h"))).alias(
-                "n_hits"
-            ),
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("__hit").alias("n_hits"),
         )
         .withColumn("contaminated", F.col("n_hits") >= min_hits)
     )
