@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from keenwa_spark.operators.asof import asof_join
 from keenwa_spark.operators.range_join import range_join
 from keenwa_spark.operators.rollup import time_rollup
-from keenwa_spark.queries import df_query
+from keenwa_spark.queries import df_query, sql_query
 
 
 @df_query(
@@ -384,3 +384,32 @@ def op_asof_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority_right").alias("priority_at_event"),
         F.col("o_orderkey_right").alias("asof_orderkey"),
     ).orderBy("event_id")
+
+_TIME_RANGE_BODY = """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY {epoch}(ts)
+             RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_3d,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY {epoch}(ts)
+             RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_3d
+    FROM events WHERE user_id <= 20
+    ORDER BY user_id, event_id
+"""
+
+sql_query(
+    "win_time_range_rolling",
+    _TIME_RANGE_BODY.format(epoch="unix_micros"),
+    oracle=_TIME_RANGE_BODY.format(epoch="epoch_us"),
+    doc="Rolling TIME-window aggregate: trailing 3-day sum/count per "
+    "user via a RANGE frame over the epoch-microsecond order key — "
+    "the moving-window metric every time-series feature pipeline "
+    "needs, as ONE window pass (one user_id shuffle; the range frame "
+    "slides monotonically, never re-scanning the partition per row). "
+    "Epoch numbers (unix_micros/epoch_us) make the frame bound "
+    "engine-portable; the windowed SUM rides DECIMAL so the sliding "
+    "accumulation is order-exact cross-engine.",
+    tags=("window", "temporal", "superset"),
+)

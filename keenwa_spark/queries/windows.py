@@ -204,31 +204,3 @@ sql_query(
     tags=("window",),
 )
 
-_TIME_RANGE_BODY = """
-    SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
-             PARTITION BY user_id ORDER BY {epoch}(ts)
-             RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS rolling_3d,
-           CAST(COUNT(*) OVER (
-             PARTITION BY user_id ORDER BY {epoch}(ts)
-             RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS n_3d
-    FROM events WHERE user_id <= 20
-    ORDER BY user_id, event_id
-"""
-
-sql_query(
-    "win_time_range_rolling",
-    _TIME_RANGE_BODY.format(epoch="unix_micros"),
-    oracle=_TIME_RANGE_BODY.format(epoch="epoch_us"),
-    doc="Rolling TIME-window aggregate: trailing 3-day sum/count per "
-    "user via a RANGE frame over the epoch-microsecond order key — "
-    "the moving-window metric every time-series feature pipeline "
-    "needs, as ONE window pass (one user_id shuffle; the range frame "
-    "slides monotonically, never re-scanning the partition per row). "
-    "Epoch numbers (unix_micros/epoch_us) make the frame bound "
-    "engine-portable; the windowed SUM rides DECIMAL so the sliding "
-    "accumulation is order-exact cross-engine.",
-    tags=("window", "temporal", "superset"),
-)
