@@ -46,6 +46,11 @@ NODE_NAMES = {
     "Sort": "LogicalSort",
     "Generate": "LogicalGenerate",
     "Expand": "LogicalExpand",
+    # CTEs: the reference inlines non-recursive CTEs; Catalyst keeps a
+    # def/ref structure — presented compactly under these names
+    "WithCTE": "LogicalWithCTE",
+    "CTERelationDef": "CTEDef",
+    "CTERelationRef": "CTERef",
 }
 
 #: id suffixes in Catalyst strings: col#123, col#123L, sum(x)#45
@@ -77,10 +82,14 @@ def _detail(node, name: str) -> str:
             out += f" on={cond}"
         return out
     if name == "LogicalAggregate":
-        # argString: "[keys], [aggrs]" — keep as groups/aggrs
-        m = re.match(r"\[(.*?)\], \[(.*)\]$", arg)
+        # argString: "[keys], [aggrs]" (grouped) or just "[aggrs]"
+        # (global aggregate omits the empty key list entirely)
+        m = re.match(r"\[(.*?)\], \[(.*?)\](?:, |$)", arg)
         if m:
             return f"groups=[{m.group(1)}] aggrs=[{m.group(2)}]"
+        m = re.match(r"\[(.*)\]$", arg)
+        if m:
+            return f"groups=[] aggrs=[{m.group(1)}]"
         return arg
     if name == "LogicalProjection":
         return f"exprs: [{arg.strip('[]')}]"
@@ -112,6 +121,15 @@ def _detail(node, name: str) -> str:
         return f"ordering=[{m.group(1)}]" if m else arg
     if name == "LogicalValues":
         return ""
+    if name == "LogicalWithCTE":
+        return ""
+    if name == "CTEDef":
+        # argString: "<id>, <underSubquery>"
+        return f"id={arg.split(',')[0]}"
+    if name == "CTERef":
+        # argString: "<id>, <resolved>, [cols], <isStreaming>, ..."
+        m = re.match(r"(\d+), \w+, \[(.*?)\]", arg)
+        return f"id={m.group(1)} cols=[{m.group(2)}]" if m else arg
     return arg
 
 
@@ -177,6 +195,11 @@ def render_plan(df: DataFrame, max_lines: int = 200) -> str:
         detail = _detail(node, mapped)
         pad = "  " * depth
         lines.append(f"{pad}{label}{mapped}" + (f" {detail}" if detail else ""))
+        # subquery plans referenced from this node's expressions render
+        # as labeled sub-trees — the reference's SubQueriesFormatter
+        # presentation (format.rs), not an opaque expression token
+        for i, sq in enumerate(_seq(node.subqueries())):
+            walk(sq, depth + 1, f"subquery[{i}]: ")
         if mapped == "LogicalJoin" and len(children) == 2:
             walk(children[0], depth + 1, "left: ")
             walk(children[1], depth + 1, "right: ")

@@ -131,6 +131,39 @@ def test_window_renders_as_window_aggregate(views):
     assert "order=[o_totalprice DESC NULLS LAST]" in text
 
 
+def test_subquery_renders_as_subtree(views):
+    """Subquery plans render as labeled sub-trees (the reference's
+    SubQueriesFormatter presentation), with correlation visible as
+    outer(...)."""
+    text = render_plan(
+        views.sql(
+            "SELECT c_name FROM customer WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        )
+    )
+    assert "subquery[0]: LogicalProjection" in text
+    assert "outer(c_custkey)" in text
+    # the subquery tree is indented under the filter that owns it
+    filter_line = next(l for l in text.split("\n") if "LogicalSelect" in l)
+    sub_line = next(l for l in text.split("\n") if "subquery[0]" in l)
+    assert len(sub_line) - len(sub_line.lstrip()) > len(filter_line) - len(
+        filter_line.lstrip()
+    )
+
+
+def test_cte_renders_def_and_ref(views):
+    text = render_plan(
+        views.sql(
+            "WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 1000) "
+            "SELECT count(*) AS n FROM big"
+        )
+    )
+    assert text.startswith("LogicalWithCTE")
+    assert "CTEDef id=0" in text
+    assert "CTERef id=0 cols=[o_custkey]" in text
+    assert "groups=[] aggrs=[count(1) AS n]" in text
+
+
 def test_engine_explain_keenwa(engine):
     """The Engine surface renders keenwa-style text for SQL strings
     (dialect-gated) and for built DataFrames."""
