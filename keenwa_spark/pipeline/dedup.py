@@ -128,11 +128,7 @@ def minhash_signatures(
         F.expr(f"split({normalized_text(text_col)}, ' ')").alias("w"),
     ).filter(F.size("w") >= n)
     # element-access gram construction — see _shingles (slice() was 8x)
-    elems = ", ".join(f"w[i + {j}]" for j in range(n))
-    shingles = (
-        f"transform(sequence(0, size(w) - {n}), "
-        f"i -> concat_ws(' ', {elems}))"
-    )
+    shingles = _shingles_of_words("w", n)
     hashed = f"transform({shingles}, s -> {spark_hash64('s')})"
     init = f"array_repeat(CAST({MINHASH_P} AS BIGINT), {len(MINHASH_AB)})"
     steps = ", ".join(
@@ -315,7 +311,12 @@ def lsh_verified_pairs(
     cands = (
         minhash_lsh_pairs(df, id_col, text_col, bands=bands, max_bucket=max_bucket)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        # lazy persist (not an eager localCheckpoint): construction
+        # stays a pure transformation, the cache is lineage-recoverable
+        # on executor loss, and within the single downstream action the
+        # candidate job still runs once (the broadcast semi-filter
+        # materializes it before the final pair joins reuse it)
+        .persist()
     )
     cand_ids = cands.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)

@@ -83,8 +83,12 @@ def _detail(node, name: str) -> str:
         return out
     if name == "LogicalAggregate":
         # argString: "[keys], [aggrs]" (grouped) or just "[aggrs]"
-        # (global aggregate omits the empty key list entirely)
-        m = re.match(r"\[(.*?)\], \[(.*?)\](?:, |$)", arg)
+        # (global aggregate omits the empty key list entirely). The
+        # aggrs group is GREEDY to the final bracket: aggregate lists
+        # legitimately contain "], " inside bracketed auto-aliases
+        # (e.g. "arr[0] AS arr[0], count(1)"), which a lazy match
+        # would truncate at.
+        m = re.match(r"\[(.*?)\], \[(.*)\]$", arg)
         if m:
             return f"groups=[{m.group(1)}] aggrs=[{m.group(2)}]"
         m = re.match(r"\[(.*)\]$", arg)

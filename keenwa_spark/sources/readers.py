@@ -11,6 +11,13 @@ from pyspark.sql import DataFrame, SparkSession
 from keenwa_spark.errors import ArgumentError
 
 
+def _ddl_field_names(schema: str) -> list[str]:
+    """Field names of a DDL schema string (engine's own parser)."""
+    from pyspark.sql.types import StructType
+
+    return [f.name for f in StructType.fromDDL(schema).fields]
+
+
 def read_parquet(
     spark: SparkSession,
     path: str,
@@ -68,6 +75,14 @@ def read_json(
     if corrupt_col:
         if not schema:
             raise ValueError("corrupt_col requires an explicit schema")
+        if corrupt_col not in _ddl_field_names(schema):
+            # without the column in the schema, PERMISSIVE mode emits
+            # all-NULL rows for malformed lines and nothing is
+            # quarantined — the silent failure this flag exists to
+            # prevent, so reject it loudly
+            raise ValueError(
+                f"corrupt_col {corrupt_col!r} must be declared in the schema"
+            )
         reader = reader.option("mode", "PERMISSIVE").option(
             "columnNameOfCorruptRecord", corrupt_col
         )

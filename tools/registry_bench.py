@@ -42,12 +42,14 @@ def main() -> None:
             failed.append(f"{name}: {type(e).__name__}: {e}")
     for name, t in sorted(times.items(), key=lambda kv: -kv[1]):
         print(f"{t:8.2f}s  {name}")
-    total = sum(times.values())
-    print(
-        f"\n# {len(times)} queries, total {total:.1f}s, "
-        f"slowest {max(times, key=times.get)} "
-        f"{max(times.values()):.2f}s, failed {len(failed)}"
-    )
+    if times:
+        print(
+            f"\n# {len(times)} queries, total {sum(times.values()):.1f}s, "
+            f"slowest {max(times, key=times.get)} "
+            f"{max(times.values()):.2f}s, failed {len(failed)}"
+        )
+    else:
+        print(f"\n# 0 queries timed, failed {len(failed)}")
     for f in failed:
         print("FAILED", f)
 
