@@ -9,14 +9,20 @@ thresholds, incremental state joins).
 from keenwa_spark.operators.skew import salted_join
 from keenwa_spark.operators.incremental import incremental_exact_dedup, incremental_minhash_dedup
 from keenwa_spark.operators.asof import asof_join
+from keenwa_spark.operators.cdc import merge_upsert, snapshot_diff
+from keenwa_spark.operators.islands import gaps_islands, scd2_compress
 from keenwa_spark.operators.range_join import range_join
 from keenwa_spark.operators.rollup import time_rollup
 
 __all__ = [
     "asof_join",
+    "gaps_islands",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
+    "merge_upsert",
     "range_join",
     "salted_join",
+    "scd2_compress",
+    "snapshot_diff",
     "time_rollup",
 ]

@@ -1,0 +1,156 @@
+"""Change-data-capture operators: snapshot diff and MERGE-style upsert.
+
+Beyond-reference surface (keenwa is a pure query optimizer with no DML
+or state maintenance — reference ``src/sql/parser`` rejects DML, see
+``keenwa_spark/dialect.py`` reject matrix). These are the two
+state-maintenance primitives every snapshot-based ingestion pipeline
+needs: *what changed between two materialized states* (``snapshot_diff``)
+and *apply a keyed delta onto a base state* (``merge_upsert`` — the
+``MERGE INTO`` analog for an engine whose tables are immutable files).
+
+Scale design (100 TB): both operators are a single keyed full-outer
+join — one shuffle per side on the key, no windows, no skew surface
+beyond the key distribution itself (AQE skew-join applies). When the
+base state is written bucketed by the key (``sources/bucketing.py``)
+the base side's Exchange disappears and only the (much smaller) delta
+shuffles — the standard incremental-maintenance layout. Change
+classification is pure codegen (``CASE`` over null-ness and value
+comparison); nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Diff two keyed snapshots of the same logical table.
+
+    Returns one row per key present in either snapshot with
+    ``change_type`` ∈ {'insert', 'delete', 'update', 'unchanged'}
+    ('unchanged' only when ``include_unchanged``), the key columns, and
+    ``old_<c>`` / ``new_<c>`` for every compared column.
+
+    Null-safe: a compared column differing only in null-ness counts as
+    an update (``<=>`` comparison, not ``=``).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    missing = [c for c in compare_cols if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"compare columns missing from a snapshot: {missing}")
+
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    cond = [F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}")) for k in keys]
+    j = o.join(n, on=cond, how="full_outer")
+
+    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(~in_old, F.lit("insert"))
+        .when(~in_new, F.lit("delete"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"__nk_{k}"), F.col(f"__ok_{k}")).alias(k)
+            for k in keys
+        ],
+        change.alias("change_type"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.where(F.col("change_type") != "unchanged")
+    return out
+
+
+def merge_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    combine: dict[str, str] | None = None,
+) -> DataFrame:
+    """Apply a keyed ``delta`` onto ``base`` (MERGE INTO analog).
+
+    For every non-key column present in both sides, the merged value
+    is, per ``combine[col]``:
+
+    - ``'replace'`` (default): delta's value when the key matched,
+      else base's (WHEN MATCHED THEN UPDATE SET col = delta.col);
+    - ``'sum'``: base + delta treating a missing side as zero — the
+      additive-partial merge used for incremental aggregates;
+    - ``'greatest'`` / ``'least'``: null-skipping extremum of the two.
+
+    Keys only in delta are inserted, keys only in base are kept
+    untouched (full-outer semantics; there is no WHEN MATCHED DELETE —
+    express deletions as an anti-join before merging).
+    """
+    value_cols = [c for c in base.columns if c not in keys]
+    extra = [c for c in delta.columns if c not in keys and c not in value_cols]
+    if extra:
+        raise ValueError(f"delta has columns not in base: {extra}")
+    combine = dict(combine or {})
+    unknown = set(combine) - set(value_cols)
+    if unknown:
+        raise ValueError(f"combine refers to non-value columns: {sorted(unknown)}")
+
+    b = base.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        *[F.col(c).alias(f"__b_{c}") for c in value_cols],
+    )
+    d = delta.select(
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        *[F.col(c).alias(f"__d_{c}") for c in delta.columns if c not in keys],
+    )
+    cond = [F.col(f"__bk_{k}").eqNullSafe(F.col(f"__dk_{k}")) for k in keys]
+    j = b.join(d, on=cond, how="full_outer")
+
+    matched = F.col(f"__dk_{keys[0]}").isNotNull()
+    merged = []
+    for c in value_cols:
+        if f"__d_{c}" not in j.columns:
+            merged.append(F.col(f"__b_{c}").alias(c))
+            continue
+        how = combine.get(c, "replace")
+        bcol, dcol = F.col(f"__b_{c}"), F.col(f"__d_{c}")
+        if how == "replace":
+            expr = F.when(matched, dcol).otherwise(bcol)
+        elif how == "sum":
+            # null-skipping add (SUM semantics): both-null stays null
+            expr = F.when(
+                bcol.isNull() & dcol.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(bcol, F.lit(0)) + F.coalesce(dcol, F.lit(0)))
+        elif how == "greatest":
+            expr = F.greatest(bcol, dcol)
+        elif how == "least":
+            expr = F.least(bcol, dcol)
+        else:
+            raise ValueError(f"unknown combine strategy {how!r} for {c!r}")
+        merged.append(expr.alias(c))
+
+    return j.select(
+        *[
+            F.coalesce(F.col(f"__bk_{k}"), F.col(f"__dk_{k}")).alias(k)
+            for k in keys
+        ],
+        *merged,
+    )

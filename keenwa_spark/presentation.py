@@ -216,4 +216,22 @@ def render_plan(df: DataFrame, max_lines: int = 200) -> str:
     walk(plan, 0, "")
     if dropped:
         lines.append("... (truncated)")
-    return "\n".join(lines)
+    text = "\n".join(lines)
+    # Catalyst's CTERelationDef ids come from a SESSION-GLOBAL counter,
+    # so the raw numbers depend on how many CTE queries ran before this
+    # one. Normalize to per-plan indices (0, 1, ...) in order of first
+    # appearance so the text is stable — matching the reference's
+    # per-plan CTE numbering (src/operators/format.rs renders local
+    # binding names, never global ids).
+    raw_ids = []
+    for m in re.finditer(r"\bCTE(?:Def|Ref) id=(\d+)", text):
+        if m.group(1) not in raw_ids:
+            raw_ids.append(m.group(1))
+    if raw_ids:
+        remap = {raw: str(i) for i, raw in enumerate(raw_ids)}
+        text = re.sub(
+            r"\b(CTE(?:Def|Ref) id=)(\d+)",
+            lambda m: m.group(1) + remap[m.group(2)],
+            text,
+        )
+    return text

@@ -413,3 +413,266 @@ sql_query(
     "accumulation is order-exact cross-engine.",
     tags=("window", "temporal", "superset"),
 )
+
+
+# ---------------------------------------------------------------------------
+# CDC / state maintenance (operators/cdc.py) and run compression
+# (operators/islands.py) — round-5 additions.
+
+_SNAP_STATE = """
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+         strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day
+  FROM events
+  WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'
+  GROUP BY user_id
+"""
+
+
+@df_query(
+    "op_snapshot_diff",
+    oracle=f"""
+    WITH o AS ({_SNAP_STATE.format(lo='2024-01-06 00:00:00', hi='2024-01-16 00:00:00')}),
+         n AS ({_SNAP_STATE.format(lo='2024-01-21 00:00:00', hi='2024-01-31 00:00:00')})
+    SELECT
+      COALESCE(n.user_id, o.user_id) AS user_id,
+      CASE WHEN o.user_id IS NULL THEN 'insert'
+           WHEN n.user_id IS NULL THEN 'delete'
+           WHEN o.n_events = n.n_events AND o.total_value = n.total_value
+                AND o.last_day = n.last_day THEN 'unchanged'
+           ELSE 'update' END AS change_type,
+      o.n_events AS old_n_events,
+      o.total_value AS old_total_value,
+      o.last_day AS old_last_day,
+      n.n_events AS new_n_events,
+      n.total_value AS new_total_value,
+      n.last_day AS new_last_day
+    FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+    WHERE NOT (o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+               AND o.n_events = n.n_events AND o.total_value = n.total_value
+               AND o.last_day = n.last_day)
+    ORDER BY user_id
+    """,
+    doc="CDC snapshot diff: the trailing-10-day per-user activity "
+    "state at Jan 16 vs Jan 31, classified insert/delete/update "
+    "(operators/cdc.py snapshot_diff — one keyed full-outer join, "
+    "null-safe compare in codegen); oracle recomputes both states and "
+    "the CASE classification in DuckDB.",
+    tags=("temporal", "cdc"),
+)
+def op_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.cdc import snapshot_diff
+
+    events = spark.table("events")
+
+    def state(lo: str, hi: str) -> DataFrame:
+        return (
+            events.where(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+                F.date_format(F.max(F.to_date("ts")), "yyyy-MM-dd").alias("last_day"),
+            )
+        )
+
+    old = state("2024-01-06 00:00:00", "2024-01-16 00:00:00")
+    new = state("2024-01-21 00:00:00", "2024-01-31 00:00:00")
+    return snapshot_diff(old, new, keys=["user_id"]).orderBy("user_id")
+
+
+@df_query(
+    "op_merge_upsert",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-31 00:00:00'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="MERGE INTO analog: per-user lifetime state maintained by "
+    "upserting a 10-day delta onto the prior base (operators/cdc.py "
+    "merge_upsert: n_events/total_value combine='sum' over exact "
+    "decimal partials, last_day 'greatest'; single keyed full-outer "
+    "join). The oracle is the strongest possible: a direct recompute "
+    "over the full period — merged state must equal recomputed state "
+    "bit-for-bit.",
+    tags=("temporal", "cdc"),
+)
+def op_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.cdc import merge_upsert
+
+    events = spark.table("events")
+
+    def state(lo: str | None, hi: str) -> DataFrame:
+        cond = F.col("ts") < F.lit(hi).cast("timestamp")
+        if lo is not None:
+            cond = cond & (F.col("ts") >= F.lit(lo).cast("timestamp"))
+        return (
+            events.where(cond)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                # keep DECIMAL through the merge so base+delta is exact
+                F.sum(F.col("value").cast("decimal(18,6)")).alias(
+                    "total_value"
+                ),
+                F.date_format(F.max(F.to_date("ts")), "yyyy-MM-dd").alias("last_day"),
+            )
+        )
+
+    base = state(None, "2024-01-21 00:00:00")
+    delta = state("2024-01-21 00:00:00", "2024-01-31 00:00:00")
+    merged = merge_upsert(
+        base,
+        delta,
+        keys=["user_id"],
+        combine={
+            "n_events": "sum",
+            "total_value": "sum",
+            "last_day": "greatest",
+        },
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "last_day",
+    ).orderBy("user_id")
+
+
+@df_query(
+    "op_activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS day_no
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, day_no,
+             day_no - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_no) AS grp
+      FROM days
+    )
+    SELECT user_id,
+           MIN(day_no) AS island_start,
+           MAX(day_no) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS island_len
+    FROM g
+    GROUP BY user_id, grp
+    ORDER BY user_id, island_start
+    """,
+    doc="Gaps-and-islands: each user's maximal streaks of consecutive "
+    "active days (operators/islands.py gaps_islands — the seq-minus-"
+    "row_number linear plan, ONE user_id shuffle, no self-join); "
+    "oracle is the same idiom in DuckDB SQL.",
+    tags=("temporal", "islands"),
+)
+def op_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.islands import gaps_islands
+
+    days = (
+        spark.table("events")
+        .select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("2024-01-01").cast("date")
+            ).alias("day_no"),
+        )
+        .distinct()
+    )
+    return gaps_islands(days, keys=["user_id"], seq_col="day_no").orderBy(
+        "user_id", "island_start"
+    )
+
+
+@df_query(
+    "op_scd2_intervals",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    dom AS (
+      SELECT user_id, day, event_type AS dominant
+      FROM (
+        SELECT user_id, day, event_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, day
+                 ORDER BY cnt DESC, event_type ASC
+               ) AS rn
+        FROM daily
+      ) WHERE rn = 1
+    ),
+    flagged AS (
+      SELECT user_id, day, dominant,
+             CASE WHEN LAG(dominant) OVER (
+               PARTITION BY user_id ORDER BY day
+             ) IS DISTINCT FROM dominant THEN 1 ELSE 0 END AS chg
+      FROM dom
+    ),
+    runs AS (
+      SELECT user_id, day, dominant,
+             SUM(chg) OVER (
+               PARTITION BY user_id ORDER BY day
+             ) AS run
+      FROM flagged
+    ),
+    per_run AS (
+      SELECT user_id, dominant, run,
+             MIN(day) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM runs GROUP BY user_id, dominant, run
+    )
+    SELECT user_id, dominant,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from
+           ), '%Y-%m-%d') AS valid_to,
+           n_obs
+    FROM per_run
+    ORDER BY user_id, valid_from
+    """,
+    doc="SCD2 construction: each user's daily dominant event_type "
+    "(deterministic count-then-name tie-break) compressed into "
+    "validity intervals [valid_from, valid_to) that change only when "
+    "the attribute changes — NULL valid_to marks the open run "
+    "(operators/islands.py scd2_compress: lag-flag, running-sum run "
+    "ids, lead for interval ends — all windows share one user_id "
+    "partitioning); oracle replays the identical window chain in "
+    "DuckDB.",
+    tags=("temporal", "islands", "scd2"),
+)
+def op_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.islands import scd2_compress
+    from pyspark.sql import Window
+
+    daily = (
+        spark.table("events")
+        .groupBy("user_id", F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    dom = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "day", F.col("event_type").alias("dominant"))
+    )
+    return scd2_compress(
+        dom, keys=["user_id"], ts_col="day", attr_cols=["dominant"]
+    ).select(
+        "user_id",
+        "dominant",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "n_obs",
+    ).orderBy("user_id", "valid_from")

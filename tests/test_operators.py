@@ -255,3 +255,162 @@ class TestZscoreScale:
             isinstance(r.stddev, float) and math.isnan(r.stddev)
         )
         assert r.v_z is None
+
+
+class TestSnapshotDiff:
+    def _mk(self, spark, rows, cols=("k", "v", "w")):
+        return spark.createDataFrame(rows, list(cols))
+
+    def test_classifies_all_change_types(self, spark):
+        from keenwa_spark.operators import snapshot_diff
+
+        old = self._mk(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)])
+        new = self._mk(spark, [(2, "b", 20), (3, "X", 30), (4, "d", 40)])
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(old, new, keys=["k"]).collect()
+        }
+        assert got == {1: "delete", 3: "update", 4: "insert"}
+
+    def test_null_to_value_is_update(self, spark):
+        from keenwa_spark.operators import snapshot_diff
+
+        old = spark.createDataFrame([(1, None, 1)], "k int, v string, w int")
+        new = spark.createDataFrame([(1, "x", 1)], "k int, v string, w int")
+        rows = snapshot_diff(old, new, keys=["k"]).collect()
+        assert len(rows) == 1 and rows[0]["change_type"] == "update"
+        assert rows[0]["old_v"] is None and rows[0]["new_v"] == "x"
+
+    def test_include_unchanged_and_compare_subset(self, spark):
+        from keenwa_spark.operators import snapshot_diff
+
+        old = self._mk(spark, [(1, "a", 10)])
+        new = self._mk(spark, [(1, "a", 99)])
+        # compare only v: the w change is invisible -> unchanged
+        rows = snapshot_diff(
+            old, new, keys=["k"], compare_cols=["v"], include_unchanged=True
+        ).collect()
+        assert rows[0]["change_type"] == "unchanged"
+
+    def test_rejects_missing_compare_col(self, spark):
+        from keenwa_spark.operators import snapshot_diff
+
+        old = self._mk(spark, [(1, "a", 1)])
+        new = self._mk(spark, [(1, "a", 1)])
+        with pytest.raises(ValueError):
+            snapshot_diff(old, new, keys=["k"], compare_cols=["nope"])
+
+
+class TestMergeUpsert:
+    def test_strategies(self, spark):
+        from keenwa_spark.operators import merge_upsert
+
+        base = spark.createDataFrame(
+            [(1, 10, 5, "a"), (2, 20, 6, "b")], ["k", "n", "hi", "tag"]
+        )
+        delta = spark.createDataFrame(
+            [(2, 7, 9, "B"), (3, 1, 2, "c")], ["k", "n", "hi", "tag"]
+        )
+        got = {
+            r["k"]: (r["n"], r["hi"], r["tag"])
+            for r in merge_upsert(
+                base, delta, keys=["k"],
+                combine={"n": "sum", "hi": "greatest"},
+            ).collect()
+        }
+        # 1: base kept; 2: n summed, hi greatest, tag replaced; 3: inserted
+        assert got == {1: (10, 5, "a"), 2: (27, 9, "B"), 3: (1, 2, "c")}
+
+    def test_sum_null_semantics(self, spark):
+        from keenwa_spark.operators import merge_upsert
+
+        base = spark.createDataFrame([(1, None), (2, None)], "k int, n int")
+        delta = spark.createDataFrame([(1, 5)], "k int, n int")
+        got = {
+            r["k"]: r["n"]
+            for r in merge_upsert(
+                base, delta, keys=["k"], combine={"n": "sum"}
+            ).collect()
+        }
+        # null+5 -> 5 (SUM semantics); both-null -> stays null, not 0
+        assert got == {1: 5, 2: None}
+
+    def test_rejects_unknown_column_and_strategy(self, spark):
+        from keenwa_spark.operators import merge_upsert
+
+        base = spark.createDataFrame([(1, 1)], ["k", "n"])
+        delta = spark.createDataFrame([(1, 1, 2)], ["k", "n", "extra"])
+        with pytest.raises(ValueError):
+            merge_upsert(base, delta, keys=["k"])
+        with pytest.raises(ValueError):
+            merge_upsert(
+                base, spark.createDataFrame([(1, 1)], ["k", "n"]),
+                keys=["k"], combine={"n": "median"},
+            )
+
+
+class TestIslands:
+    def test_gaps_islands_basic(self, spark):
+        from keenwa_spark.operators import gaps_islands
+
+        df = spark.createDataFrame(
+            [("u", d) for d in [1, 2, 3, 7, 9, 10]] + [("v", 5)],
+            ["k", "d"],
+        )
+        got = {
+            (r["k"], r["island_start"]): (r["island_end"], r["island_len"])
+            for r in gaps_islands(df, keys=["k"], seq_col="d").collect()
+        }
+        assert got == {
+            ("u", 1): (3, 3),
+            ("u", 7): (7, 1),
+            ("u", 9): (10, 2),
+            ("v", 5): (5, 1),
+        }
+
+    def test_scd2_compress_runs_and_open_interval(self, spark):
+        from keenwa_spark.operators import scd2_compress
+
+        df = spark.createDataFrame(
+            [("u", 1, "a"), ("u", 2, "a"), ("u", 3, "b"),
+             ("u", 4, "b"), ("u", 5, "a")],
+            ["k", "t", "attr"],
+        )
+        rows = sorted(
+            scd2_compress(df, keys=["k"], ts_col="t", attr_cols=["attr"])
+            .collect(),
+            key=lambda r: r["valid_from"],
+        )
+        assert [(r["attr"], r["valid_from"], r["valid_to"], r["n_obs"])
+                for r in rows] == [
+            ("a", 1, 3, 2), ("b", 3, 5, 2), ("a", 5, None, 1),
+        ]
+
+    def test_scd2_null_attribute_transitions(self, spark):
+        from keenwa_spark.operators import scd2_compress
+
+        df = spark.createDataFrame(
+            [("u", 1, None), ("u", 2, None), ("u", 3, "x")],
+            "k string, t int, attr string",
+        )
+        rows = sorted(
+            scd2_compress(df, keys=["k"], ts_col="t", attr_cols=["attr"])
+            .collect(),
+            key=lambda r: r["valid_from"],
+        )
+        # the all-NULL first run still opens an interval (row_number guard)
+        assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in rows] == [
+            (None, 1, 3), ("x", 3, None),
+        ]
+
+    def test_scd2_single_shuffle_plan(self, spark):
+        """All three window passes share one (k) hash partitioning —
+        the physical plan must contain exactly ONE Exchange."""
+        from keenwa_spark.operators import scd2_compress
+
+        df = spark.createDataFrame([("u", 1, "a")], ["k", "t", "attr"])
+        plan = (
+            scd2_compress(df, keys=["k"], ts_col="t", attr_cols=["attr"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") <= 2  # one hash + AQE reuse at most

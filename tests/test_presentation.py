@@ -182,3 +182,27 @@ def test_no_expr_ids_leak(views):
         views.sql("SELECT c_name FROM customer JOIN orders ON c_custkey = o_custkey")
     )
     assert not re.search(r"#\d", text), text
+
+
+def test_cte_ids_are_per_plan_not_session_global(views):
+    """Catalyst numbers CTERelationDefs with a session-global counter;
+    the renderer must normalize to per-plan indices so the text is
+    independent of how many CTE queries ran earlier in the session
+    (this failed order-dependently in the full suite before r5)."""
+    q = (
+        "WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 1000) "
+        "SELECT count(*) AS n FROM big"
+    )
+    views.sql(q).collect()  # burn a global CTE id
+    text = render_plan(views.sql(q))
+    assert "CTEDef id=0" in text
+    assert "CTERef id=0" in text
+    two = render_plan(
+        views.sql(
+            "WITH a AS (SELECT o_custkey FROM orders), "
+            "b AS (SELECT c_custkey FROM customer) "
+            "SELECT (SELECT count(*) FROM a) AS na, "
+            "(SELECT count(*) FROM b) AS nb"
+        )
+    )
+    assert "CTEDef id=0" in two and "CTEDef id=1" in two
