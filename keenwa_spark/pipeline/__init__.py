@@ -40,6 +40,7 @@ from keenwa_spark.pipeline.packing import (
     chunk_documents,
     pack_training_sequences,
 )
+from keenwa_spark.pipeline.expectations import validate_expectations
 from keenwa_spark.pipeline.recall import recall_at_k
 from keenwa_spark.pipeline.text import (
     language_id,
@@ -66,4 +67,5 @@ __all__ = [
     "text_fingerprint",
     "text_stats",
     "token_counts",
+    "validate_expectations",
 ]

@@ -2303,3 +2303,83 @@ def pl_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+
+@df_query(
+    "pl_expectations_report",
+    oracle="""
+    WITH t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders),
+    checks AS (
+      SELECT 'accepted_values' AS check_type, 'o_orderstatus' AS target,
+             CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('O', 'F', 'P')) AS DOUBLE) AS observed,
+             0.0 AS threshold
+      UNION ALL
+      SELECT 'foreign_key', 'o_custkey->customer.c_custkey',
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                     SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey)) AS DOUBLE),
+             0.0
+      UNION ALL
+      SELECT 'not_null', 'o_custkey',
+             CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_custkey IS NULL) AS DOUBLE) / (SELECT n FROM t),
+             0.0
+      UNION ALL
+      SELECT 'unique', 'o_orderkey',
+             CAST((SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+                   FROM orders) AS DOUBLE),
+             0.0
+      UNION ALL
+      SELECT 'value_range', 'o_totalprice',
+             CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_totalprice IS NOT NULL
+                     AND (o_totalprice < 0.0 OR o_totalprice > 600000.0)) AS DOUBLE),
+             0.0
+    )
+    SELECT check_type, target, observed, threshold,
+           observed <= threshold AS passed
+    FROM checks
+    UNION ALL
+    SELECT 'row_count', '__table__', (SELECT n FROM t),
+           CAST(NULL AS DOUBLE), (SELECT n FROM t) >= 1.0
+    ORDER BY check_type, target
+    """,
+    doc="Declarative data-quality expectations on orders: null-rate "
+    "ceiling, key uniqueness, accepted status domain, totalprice "
+    "range, row-count floor, and o_custkey referential integrity "
+    "(pipeline/expectations.py — all row-level checks fused into ONE "
+    "aggregation pass over a single scan; the FK check is one "
+    "broadcast anti-join that counts orphans without materializing "
+    "them). Oracle recomputes every check as independent DuckDB "
+    "subqueries.",
+    tags=("pipeline", "quality", "expectations"),
+)
+def pl_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.expectations import (
+        accepted_values,
+        foreign_key,
+        not_null,
+        row_count,
+        unique,
+        validate_expectations,
+        value_range,
+    )
+
+    orders = spark.table("orders")
+    report = validate_expectations(
+        orders,
+        checks=[
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            value_range("o_totalprice", 0.0, 600000.0),
+            row_count(min_rows=1),
+            foreign_key("o_custkey", "customer", "c_custkey"),
+        ],
+        ref_tables={"customer": spark.table("customer")},
+    )
+    return report.orderBy("check_type", "target")

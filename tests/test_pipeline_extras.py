@@ -409,3 +409,99 @@ def test_negative_samples_properties(spark):
 
     with _pytest.raises(ValueError):
         negative_samples(df, k=0)
+
+
+class TestExpectations:
+    def _report(self, spark, df, checks, refs=None):
+        from keenwa_spark.pipeline.expectations import validate_expectations
+
+        return {
+            (r["check_type"], r["target"]): (
+                r["observed"], r["threshold"], r["passed"]
+            )
+            for r in validate_expectations(df, checks, refs).collect()
+        }
+
+    def test_failing_checks_report_violations(self, spark):
+        from keenwa_spark.pipeline import expectations as E
+
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (1, "b", -2.0), (None, "zz", 50.0)],
+            "k int, status string, v double",
+        )
+        got = self._report(
+            spark,
+            df,
+            [
+                E.not_null("k"),
+                E.unique("k"),
+                E.accepted_values("status", ["a", "b"]),
+                E.value_range("v", 0.0, 10.0),
+                E.row_count(min_rows=5),
+            ],
+        )
+        obs, thr, passed = got[("not_null", "k")]
+        assert not passed and abs(obs - 1 / 3) < 1e-12
+        assert got[("unique", "k")] == (1.0, 0.0, False)  # two k=1 rows
+        assert got[("accepted_values", "status")] == (1.0, 0.0, False)
+        assert got[("value_range", "v")] == (2.0, 0.0, False)
+        obs, thr, passed = got[("row_count", "__table__")]
+        assert (obs, thr, passed) == (3.0, 5.0, False)
+
+    def test_passing_checks_and_null_tolerance(self, spark):
+        from keenwa_spark.pipeline import expectations as E
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "x"), (3, "x"), (4, "x")], "k int, s string"
+        )
+        got = self._report(
+            spark,
+            df,
+            [E.not_null("s", max_null_frac=0.5), E.unique("k"),
+             E.row_count(min_rows=1, max_rows=10)],
+        )
+        assert got[("not_null", "s")] == (0.25, 0.5, True)
+        assert got[("unique", "k")] == (0.0, 0.0, True)
+        obs, thr, passed = got[("row_count", "__table__")]
+        assert passed and thr is None
+
+    def test_foreign_key_orphans(self, spark):
+        from keenwa_spark.pipeline import expectations as E
+
+        fact = spark.createDataFrame(
+            [(1,), (2,), (9,), (None,)], "fk int"
+        )
+        dim = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+        got = self._report(
+            spark, fact,
+            [E.foreign_key("fk", "dim", "id")],
+            refs={"dim": dim},
+        )
+        # 9 is an orphan; NULL fk is not counted (use not_null for that)
+        assert got[("foreign_key", "fk->dim.id")] == (1.0, 0.0, False)
+
+    def test_validation_errors(self, spark):
+        from keenwa_spark.pipeline import expectations as E
+        from keenwa_spark.pipeline.expectations import validate_expectations
+
+        df = spark.createDataFrame([(1,)], "k int")
+        with pytest.raises(ValueError):
+            validate_expectations(df, [])
+        with pytest.raises(ValueError):
+            validate_expectations(df, [E.not_null("missing")])
+        with pytest.raises(ValueError):
+            validate_expectations(df, [E.foreign_key("k", "nope", "id")])
+
+    def test_single_scan_plan(self, spark):
+        """All row-level checks must fuse into one aggregation pass —
+        the plan over a parquet-free local relation should contain no
+        join and exactly one aggregate chain."""
+        from keenwa_spark.pipeline import expectations as E
+        from keenwa_spark.pipeline.expectations import validate_expectations
+
+        df = spark.range(100).selectExpr("id AS k", "id % 7 AS v")
+        rep = validate_expectations(
+            df, [E.not_null("k"), E.value_range("v", 0, 6), E.row_count(min_rows=1)]
+        )
+        plan = rep._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan
