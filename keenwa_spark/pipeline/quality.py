@@ -353,3 +353,59 @@ def zscore_scale(
         )
         .drop("__n", "__s1", "__s2")
     )
+
+
+def quantile_histogram(df: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """Equi-DEPTH histogram: bin edges at exact value quantiles so every
+    bin holds ~1/n_bins of the rows (the height-balanced histogram CBO
+    stats engines keep — robust to skew where equi-width collapses).
+
+    One row per bin: ``bin`` (0-based), ``lo``/``hi`` (quantile edges;
+    NULL for the unbounded first/last edge), ``n`` (rows with
+    lo < value <= ... — a value equal to a cut goes to the bin ABOVE
+    it). Empty bins (possible under heavy ties) are emitted with n=0.
+
+    Scale shape: one exact-percentile aggregate computes ALL cuts in a
+    single pass (at 100 TB swap in approx_percentile — same plan, t-
+    digest partials instead of a sort); the 1-row cut array broadcasts
+    onto the scan and bin assignment is a pure-codegen array filter —
+    no per-row shuffle. The final count is an n_bins-cardinality
+    groupBy; the bin spine joins back so absent bins still appear.
+    NULL values are excluded (profile them with validate_expectations).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    vals = df.select(F.col(col).alias("__v")).where(F.col("__v").isNotNull())
+    probs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    cuts = vals.agg(F.percentile(F.col("__v"), probs).alias("__cuts"))
+
+    binned = (
+        vals.crossJoin(F.broadcast(cuts))
+        .select(
+            F.size(
+                F.filter("__cuts", lambda c: c <= F.col("__v"))
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spine = (
+        cuts.select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+            "__cuts",
+        )
+    )
+    return (
+        spine.join(binned, on="bin", how="left")
+        .select(
+            "bin",
+            F.when(F.col("bin") == 0, F.lit(None).cast("double"))
+            .otherwise(F.element_at("__cuts", F.col("bin")))
+            .alias("lo"),
+            F.when(F.col("bin") == n_bins - 1, F.lit(None).cast("double"))
+            .otherwise(F.element_at("__cuts", F.col("bin") + 1))
+            .alias("hi"),
+            F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
+        )
+        .orderBy("bin")
+    )

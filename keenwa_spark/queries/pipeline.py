@@ -2383,3 +2383,41 @@ def pl_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref_tables={"customer": spark.table("customer")},
     )
     return report.orderBy("check_type", "target")
+
+
+@df_query(
+    "pl_quantile_bins",
+    oracle="""
+    WITH vals AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+    c AS (
+      SELECT quantile_cont(v, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cuts
+      FROM vals
+    ),
+    binned AS (
+      SELECT CAST(len(list_filter(c.cuts, x -> x <= v)) AS INT) AS bin
+      FROM vals, c
+    ),
+    counts AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned GROUP BY bin
+    ),
+    spine AS (SELECT CAST(r AS INT) AS bin FROM range(0, 8) t(r))
+    SELECT s.bin,
+           CASE WHEN s.bin = 0 THEN NULL ELSE c.cuts[s.bin] END AS lo,
+           CASE WHEN s.bin = 7 THEN NULL ELSE c.cuts[s.bin + 1] END AS hi,
+           COALESCE(counts.n, 0) AS n
+    FROM spine s CROSS JOIN c LEFT JOIN counts ON s.bin = counts.bin
+    ORDER BY s.bin
+    """,
+    doc="Equi-depth histogram of events.value in 8 quantile bins "
+    "(pipeline/quality.py quantile_histogram — one exact-percentile "
+    "pass for all cuts, broadcast onto the scan, codegen array-filter "
+    "bin assignment, spine join for empty bins; complements the "
+    "equi-width pl_value_histogram). Oracle replays the identical "
+    "cuts (quantile_cont is bit-equal to Spark's percentile) and "
+    "binning in DuckDB.",
+    tags=("pipeline", "quality", "histogram"),
+)
+def pl_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.quality import quantile_histogram
+
+    return quantile_histogram(spark.table("events"), col="value", n_bins=8)

@@ -505,3 +505,38 @@ class TestExpectations:
         )
         plan = rep._jdf.queryExecution().optimizedPlan().toString()
         assert "Join" not in plan
+
+
+class TestQuantileHistogram:
+    def test_equal_depth_on_uniform_data(self, spark):
+        from keenwa_spark.pipeline.quality import quantile_histogram
+
+        df = spark.range(1, 101).selectExpr("CAST(id AS DOUBLE) AS v")
+        rows = quantile_histogram(df, "v", 4).collect()
+        assert [r["bin"] for r in rows] == [0, 1, 2, 3]
+        assert [r["n"] for r in rows] == [25, 25, 25, 25]
+        assert rows[0]["lo"] is None and rows[3]["hi"] is None
+        # inner edges are the exact quartiles of 1..100
+        assert rows[1]["lo"] == rows[0]["hi"] == 25.75
+        assert rows[2]["lo"] == rows[1]["hi"] == 50.5
+
+    def test_ties_yield_empty_bins_still_emitted(self, spark):
+        from keenwa_spark.pipeline.quality import quantile_histogram
+
+        # 90% identical values: most cuts coincide -> empty bins
+        df = spark.createDataFrame(
+            [(5.0,)] * 90 + [(float(x),) for x in range(10)], "v double"
+        )
+        rows = quantile_histogram(df, "v", 4).collect()
+        assert len(rows) == 4
+        assert sum(r["n"] for r in rows) == 100
+        assert any(r["n"] == 0 for r in rows)
+
+    def test_nulls_excluded_and_validation(self, spark):
+        from keenwa_spark.pipeline.quality import quantile_histogram
+
+        df = spark.createDataFrame([(1.0,), (None,), (2.0,)], "v double")
+        rows = quantile_histogram(df, "v", 2).collect()
+        assert sum(r["n"] for r in rows) == 2
+        with pytest.raises(ValueError):
+            quantile_histogram(df, "v", 1)
