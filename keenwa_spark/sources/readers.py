@@ -96,6 +96,38 @@ def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -
     return df.select(*columns) if columns else df
 
 
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-asset ingestion via Spark's ``binaryFile`` source: one row
+    per file with ``path``, ``modificationTime``, ``length``, and
+    ``content`` (binary) — the entry point that turns an image/audio
+    directory into the opaque-binary-column shape the multimodal
+    pipeline decodes (``pipeline/multimodal.py``).
+
+    ``glob`` filters by filename pattern at LISTING time (e.g.
+    ``*.png``) and ``max_bytes`` pushes a length ceiling into the scan
+    (oversized assets are skipped before their bytes are read) — both
+    prune work before any content crosses the wire. At 100 TB of small
+    files the listing itself is the bottleneck: point this at a
+    manifest-compacted layout (or convert once to parquet with the
+    bytes inline, ``write_parquet``) rather than a raw million-file
+    directory tree.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.where(F.col("length") <= max_bytes)
+    return df
+
+
 def read_table_dir(
     spark: SparkSession, sf_dir: str, table: str, columns: list[str] | None = None
 ) -> DataFrame:

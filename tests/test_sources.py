@@ -239,3 +239,45 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"doc_id", "text", "lang"}
     rows = {r.doc_id: r.lang for r in merged.collect()}
     assert rows == {1: None, 2: "en"}
+
+
+class TestBinaryDir:
+    def test_binary_dir_glob_maxbytes_and_real_decode(self, spark, tmp_path):
+        """binaryFile ingestion feeds the multimodal decode path:
+        glob prunes non-assets at listing time, max_bytes prunes
+        oversized payloads before bytes move, and the surviving rows
+        decode with the real PNG codec."""
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.pipeline.multimodal import decode_real
+        from keenwa_spark.pipeline.png import encode_png
+        from keenwa_spark.sources.readers import read_binary_dir
+
+        d = tmp_path / "assets"
+        d.mkdir()
+        (d / "a.png").write_bytes(encode_png(2, 2, 3, bytes(range(12))))
+        (d / "b.png").write_bytes(encode_png(3, 1, 1, bytes([9, 8, 7])))
+        # incompressible pixels so the file genuinely exceeds max_bytes
+        import hashlib
+
+        px = b"".join(
+            hashlib.sha256(bytes([i])).digest() for i in range(24)
+        )[:768]
+        (d / "big.png").write_bytes(encode_png(16, 16, 3, px))
+        (d / "notes.txt").write_bytes(b"not an image")
+
+        small = read_binary_dir(spark, str(d), glob="*.png", max_bytes=200)
+        names = sorted(
+            r["path"].rsplit("/", 1)[-1] for r in small.select("path").collect()
+        )
+        assert names == ["a.png", "b.png"]  # txt globbed out, big filtered
+
+        decoded = decode_real(
+            small.select(
+                F.monotonically_increasing_id().alias("doc_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        got = {(r["width"], r["height"], r["channels"]) for r in decoded.collect()}
+        assert got == {(2, 2, 3), (3, 1, 1)}
+        assert all(r["format"] == "png" for r in decoded.collect())
