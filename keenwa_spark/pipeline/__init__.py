@@ -44,6 +44,7 @@ from keenwa_spark.pipeline.expectations import validate_expectations
 from keenwa_spark.pipeline.recall import recall_at_k
 from keenwa_spark.pipeline.text import (
     language_id,
+    lm_transition_score,
     redact_pii,
     text_fingerprint,
     text_stats,
@@ -56,6 +57,7 @@ __all__ = [
     "exact_dedup",
     "label_centroids",
     "language_id",
+    "lm_transition_score",
     "lsh_bucket_topk",
     "minhash_lsh_pairs",
     "minhash_signatures",

@@ -273,3 +273,80 @@ def vocab_topk(
         .orderBy(F.col("n").desc(), F.col("word"))
         .limit(k)
     )
+
+
+def lm_transition_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram-LM fluency signal per document.
+
+    Trains a bigram transition model on the corpus itself (context
+    count c1 = occurrences of w1 as a bigram left side, pair count
+    c12 = occurrences of (w1, w2)) and scores each document by its
+    pooled inverse transition probability
+
+        surprisal = SUM(c1 over the doc's bigrams) / SUM(c12)
+
+    — a document whose word transitions are rare relative to their
+    contexts (incoherent, shuffled, boilerplate-spliced text) scores
+    high; fluent text tracking corpus statistics scores near the
+    corpus-average branching factor. The pooled RATIONAL form (two
+    exact BIGINT sums, one final division) is deliberate: a mean of
+    per-bigram log-probabilities would be the textbook perplexity but
+    ln() differs in ulp between engines (see tfidf.py) and a mean of
+    per-pair double ratios is summation-order-dependent — both break
+    bit-exact oracle checks. Swap the marked line for
+    ``avg(ln(c1/c12))`` where cross-engine hashing isn't required.
+
+    Output: (id_col, n_pairs, ctx_total, pair_total, surprisal);
+    single-word/empty docs get n_pairs=0 and NULL surprisal.
+
+    Scale: one explode builds the pair stream; the model is two
+    aggregations OVER THAT SAME stream (no second scan); scoring is a
+    pair-key join back — broadcast when the distinct-bigram model fits
+    (vocab-bounded), shuffle otherwise, AQE decides. All codegen; no
+    Python UDFs.
+    """
+    norm = normalized_text(text_col)
+    w = f"split({norm}, ' ')"
+    pairs_expr = (
+        f"CASE WHEN size({w}) >= 2 THEN transform(sequence(1, size({w}) - 1), "
+        f"i -> struct(element_at({w}, i) AS w1, element_at({w}, i + 1) AS w2)) "
+        f"ELSE array() END"
+    )
+    pairs = df.selectExpr(id_col, f"explode({pairs_expr}) AS p").select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    # model: both counts from the same pair stream (lazy plans re-scan;
+    # at 100 TB persist `pairs` or write it out once)
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    c1 = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    scored = (
+        pairs.join(c12, on=["w1", "w2"])
+        .join(c1, on=["w1"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("c1").cast("bigint").alias("ctx_total"),
+            F.sum("c12").cast("bigint").alias("pair_total"),
+        )
+        .withColumn(
+            "surprisal",  # swap for avg(ln(c1/c12)) off the oracle path
+            F.col("ctx_total").cast("double") / F.col("pair_total"),
+        )
+    )
+    spine = df.select(F.col(id_col)).distinct()
+    return (
+        spine.join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+            "ctx_total",
+            "pair_total",
+            "surprisal",
+        )
+    )

@@ -2421,3 +2421,61 @@ def pl_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.quality import quantile_histogram
 
     return quantile_histogram(spark.table("events"), col="value", n_bins=8)
+
+
+@df_query(
+    "pl_lm_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 2
+                    THEN list_transform(range(1, len(ws)),
+                         i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))
+                    ELSE [] END) AS p
+      FROM toks
+    ),
+    pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM exploded),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM pairs GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM pairs GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(c1.c1) AS BIGINT) AS ctx_total,
+             CAST(SUM(c12.c12) AS BIGINT) AS pair_total
+      FROM pairs p
+      JOIN c12 USING (w1, w2)
+      JOIN c1 USING (w1)
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_pairs, 0) AS n_pairs,
+           ctx_total, pair_total,
+           CAST(ctx_total AS DOUBLE) / pair_total AS surprisal
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN scored USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Bigram-LM fluency scoring: train transition counts on the "
+    "corpus itself, score each doc by pooled inverse transition "
+    "probability (pipeline/text.py lm_transition_score — one explode "
+    "feeds both the model aggregations and the scoring join; the "
+    "rational two-BIGINT-sums form keeps the score bit-exact across "
+    "engines where ln()-based perplexity would diverge in ulp). "
+    "Oracle replays tokenization, model training, and scoring in "
+    "DuckDB.",
+    tags=("pipeline", "text", "quality"),
+)
+def pl_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.text import lm_transition_score
+
+    return lm_transition_score(spark.table("documents")).orderBy("doc_id")

@@ -540,3 +540,36 @@ class TestQuantileHistogram:
         assert sum(r["n"] for r in rows) == 2
         with pytest.raises(ValueError):
             quantile_histogram(df, "v", 1)
+
+
+class TestLmTransitionScore:
+    def test_hand_computed_counts(self, spark):
+        from keenwa_spark.pipeline.text import lm_transition_score
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a c"), (3, "x")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_pairs"], r["ctx_total"], r["pair_total"], r["surprisal"]
+            )
+            for r in lm_transition_score(df).collect()
+        }
+        # model: c12={(a,b):2,(b,a):1,(a,c):1}, c1={a:3,b:1}
+        # doc1 pairs (a,b)x2,(b,a): ctx 3+3+1=7, pair 2+2+1=5
+        assert got[1] == (3, 7, 5, 7 / 5)
+        # doc2's (a,c) is the rare transition: 3/1 -> highest surprisal
+        assert got[2] == (1, 3, 1, 3.0)
+        # single-token doc: no bigrams, NULL score
+        assert got[3] == (0, None, None, None)
+
+    def test_no_python_udfs_in_plan(self, spark):
+        from keenwa_spark.pipeline.text import lm_transition_score
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = (
+            lm_transition_score(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
