@@ -8,6 +8,7 @@ thresholds, incremental state joins).
 
 from keenwa_spark.operators.skew import salted_join
 from keenwa_spark.operators.incremental import incremental_exact_dedup, incremental_minhash_dedup
+from keenwa_spark.operators.anomaly import rolling_zscore_anomaly
 from keenwa_spark.operators.asof import asof_join
 from keenwa_spark.operators.cdc import merge_upsert, snapshot_diff
 from keenwa_spark.operators.islands import gaps_islands, scd2_compress
@@ -21,6 +22,7 @@ __all__ = [
     "incremental_minhash_dedup",
     "merge_upsert",
     "range_join",
+    "rolling_zscore_anomaly",
     "salted_join",
     "scd2_compress",
     "snapshot_diff",

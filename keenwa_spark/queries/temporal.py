@@ -676,3 +676,60 @@ def op_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
         "n_obs",
     ).orderBy("user_id", "valid_from")
+
+
+@df_query(
+    "op_rolling_anomaly",
+    oracle="""
+    WITH scored AS (
+      SELECT user_id, event_id, value,
+             COUNT(value) OVER w AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING)
+    ),
+    calc AS (
+      SELECT user_id, event_id, value,
+             CAST(n AS BIGINT) AS n_hist,
+             s1 / n AS mean,
+             CASE WHEN n >= 5 THEN (s2 - s1 * s1 / n) / (n - 1) END AS var
+      FROM scored
+    )
+    SELECT user_id, event_id, n_hist,
+           CASE WHEN var > 0 THEN mean END AS mean_hist,
+           CASE WHEN var > 0 THEN sqrt(var) END AS std_hist,
+           CASE WHEN var > 0 THEN (value - mean) / sqrt(var) END AS z,
+           COALESCE(CASE WHEN var > 0
+                    THEN abs((value - mean) / sqrt(var)) > 3.0 END,
+                    FALSE) AS is_anomaly
+    FROM calc
+    ORDER BY event_id
+    """,
+    doc="Rolling z-score anomaly detection: each event scored against "
+    "its user's trailing-3-day history, which EXCLUDES the current "
+    "row (RANGE ... 1 PRECEDING) so spikes can't dilute their own "
+    "baseline (operators/anomaly.py — one key shuffle, monotone "
+    "sliding frame, decimal-exact running moments; min 5 prior "
+    "observations). Oracle replays the identical frame and variance "
+    "formula in DuckDB.",
+    tags=("temporal", "anomaly", "window"),
+)
+def op_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.anomaly import rolling_zscore_anomaly
+
+    scored = rolling_zscore_anomaly(
+        spark.table("events").select("user_id", "event_id", "ts", "value"),
+        keys=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        window_seconds=259200,
+        z_threshold=3.0,
+        min_obs=5,
+    )
+    return scored.select(
+        "user_id", "event_id", "n_hist", "mean_hist", "std_hist", "z",
+        "is_anomaly",
+    ).orderBy("event_id")

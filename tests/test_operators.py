@@ -414,3 +414,75 @@ class TestIslands:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange") <= 2  # one hash + AQE reuse at most
+
+
+class TestRollingAnomaly:
+    def _series(self, spark, vals, key="u"):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(key, base + timedelta(seconds=i), float(v))
+             for i, v in enumerate(vals)],
+            "k string, ts timestamp, v double",
+        )
+
+    def _score(self, df, **kw):
+        from keenwa_spark.operators.anomaly import rolling_zscore_anomaly
+
+        defaults = dict(
+            keys=["k"], ts_col="ts", value_col="v",
+            window_seconds=3600, min_obs=5,
+        )
+        defaults.update(kw)
+        return rolling_zscore_anomaly(df, **defaults)
+
+    def test_spike_flagged_history_not_diluted(self, spark):
+        # steady 10s with jitter, then a spike: only the spike flags
+        vals = [10, 11, 9, 10, 11, 9, 10, 100]
+        rows = sorted(
+            self._score(self._series(spark, vals)).collect(),
+            key=lambda r: r["ts"],
+        )
+        assert [r["is_anomaly"] for r in rows[:-1]] == [False] * 7
+        spike = rows[-1]
+        assert spike["is_anomaly"] and spike["z"] > 3
+        # baseline excludes the spike itself: mean stays ~10
+        assert abs(spike["mean_hist"] - 10.0) < 1.0
+        assert spike["n_hist"] == 7
+
+    def test_min_obs_and_constant_history_give_null_z(self, spark):
+        vals = [5, 5, 5, 5, 5, 5, 99]
+        rows = sorted(
+            self._score(self._series(spark, vals)).collect(),
+            key=lambda r: r["ts"],
+        )
+        # first rows: too little history; last row: constant history
+        # (var == 0) — both must yield NULL z and is_anomaly=False,
+        # never a NaN-driven flag
+        assert all(r["z"] is None for r in rows)
+        assert all(r["is_anomaly"] is False for r in rows)
+
+    def test_window_bound_expires_old_history(self, spark):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        rows_in = [("u", base + timedelta(seconds=s), v) for s, v in [
+            (0, 1.0), (10, 2.0), (20, 3.0), (10000, 9.0),
+        ]]
+        spark_df = spark.createDataFrame(
+            rows_in, "k string, ts timestamp, v double"
+        )
+        scored = sorted(
+            self._score(spark_df, window_seconds=60, min_obs=2).collect(),
+            key=lambda r: r["ts"],
+        )
+        # the 10000s row's 60s window holds nothing
+        assert scored[-1]["n_hist"] == 0 and scored[-1]["z"] is None
+
+    def test_validates_args(self, spark):
+        df = self._series(spark, [1, 2, 3])
+        with pytest.raises(ValueError):
+            self._score(df, window_seconds=0)
+        with pytest.raises(ValueError):
+            self._score(df, min_obs=1)
