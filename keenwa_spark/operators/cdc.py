@@ -30,6 +30,7 @@ def snapshot_diff(
     keys: list[str],
     compare_cols: list[str] | None = None,
     include_unchanged: bool = False,
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """Diff two keyed snapshots of the same logical table.
 
@@ -38,8 +39,14 @@ def snapshot_diff(
     ('unchanged' only when ``include_unchanged``), the key columns, and
     ``old_<c>`` / ``new_<c>`` for every compared column.
 
-    Null-safe: a compared column differing only in null-ness counts as
-    an update (``<=>`` comparison, not ``=``).
+    COMPARED columns are always null-safe: differing only in null-ness
+    counts as an update (``<=>``). KEY columns default to plain SQL
+    equality — a NULL-keyed row never matches, so it reports as
+    delete + insert rather than update. Pass ``null_safe_keys=True``
+    to treat NULL keys as one group (matching the GROUP BY that
+    typically produced the snapshots); this costs one extra exchange
+    per side, because Catalyst cannot reuse the inputs' hash
+    partitioning through null-safe join keys (measured: 2x exchanges).
     """
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in keys]
@@ -47,19 +54,29 @@ def snapshot_diff(
     if missing:
         raise ValueError(f"compare columns missing from a snapshot: {missing}")
 
+    # explicit presence markers: with plain-equality keys a NULL-keyed
+    # row keeps NULL key columns even when present, so key-null-ness
+    # cannot signal side membership
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
     )
-    cond = [F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}")) for k in keys]
+    cond = [
+        F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
+        if null_safe_keys
+        else F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        for k in keys
+    ]
     j = o.join(n, on=cond, how="full_outer")
 
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
@@ -88,6 +105,7 @@ def merge_upsert(
     delta: DataFrame,
     keys: list[str],
     combine: dict[str, str] | None = None,
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """Apply a keyed ``delta`` onto ``base`` (MERGE INTO analog).
 
@@ -103,6 +121,11 @@ def merge_upsert(
     Keys only in delta are inserted, keys only in base are kept
     untouched (full-outer semantics; there is no WHEN MATCHED DELETE —
     express deletions as an anti-join before merging).
+
+    Key matching defaults to plain SQL equality (NULL-keyed rows never
+    match — a NULL-keyed delta row inserts alongside any NULL-keyed
+    base row); ``null_safe_keys=True`` merges NULL keys as one group
+    at the cost of an extra exchange per side (see snapshot_diff).
     """
     value_cols = [c for c in base.columns if c not in keys]
     extra = [c for c in delta.columns if c not in keys and c not in value_cols]
@@ -120,11 +143,19 @@ def merge_upsert(
     d = delta.select(
         *[F.col(k).alias(f"__dk_{k}") for k in keys],
         *[F.col(c).alias(f"__d_{c}") for c in delta.columns if c not in keys],
+        # presence marker — key-null-ness can't signal side membership
+        # under plain-equality keys (see snapshot_diff)
+        F.lit(True).alias("__in_delta"),
     )
-    cond = [F.col(f"__bk_{k}").eqNullSafe(F.col(f"__dk_{k}")) for k in keys]
+    cond = [
+        F.col(f"__bk_{k}").eqNullSafe(F.col(f"__dk_{k}"))
+        if null_safe_keys
+        else F.col(f"__bk_{k}") == F.col(f"__dk_{k}")
+        for k in keys
+    ]
     j = b.join(d, on=cond, how="full_outer")
 
-    matched = F.col(f"__dk_{keys[0]}").isNotNull()
+    matched = F.col("__in_delta").isNotNull()
     merged = []
     for c in value_cols:
         if f"__d_{c}" not in j.columns:

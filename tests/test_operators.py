@@ -486,3 +486,62 @@ class TestRollingAnomaly:
             self._score(df, window_seconds=0)
         with pytest.raises(ValueError):
             self._score(df, min_obs=1)
+
+
+class TestCdcNullKeys:
+    def test_plain_keys_null_key_is_delete_plus_insert(self, spark):
+        from keenwa_spark.operators import snapshot_diff
+
+        old = spark.createDataFrame([(None, "a")], "k int, v string")
+        new = spark.createDataFrame([(None, "b")], "k int, v string")
+        got = sorted(
+            r["change_type"]
+            for r in snapshot_diff(old, new, keys=["k"]).collect()
+        )
+        assert got == ["delete", "insert"]
+
+    def test_null_safe_keys_null_key_is_update(self, spark):
+        from keenwa_spark.operators import merge_upsert, snapshot_diff
+
+        old = spark.createDataFrame([(None, "a")], "k int, v string")
+        new = spark.createDataFrame([(None, "b")], "k int, v string")
+        rows = snapshot_diff(
+            old, new, keys=["k"], null_safe_keys=True
+        ).collect()
+        assert len(rows) == 1 and rows[0]["change_type"] == "update"
+
+        base = spark.createDataFrame([(None, 1)], "k int, n int")
+        delta = spark.createDataFrame([(None, 2)], "k int, n int")
+        merged = merge_upsert(
+            base, delta, keys=["k"], combine={"n": "sum"},
+            null_safe_keys=True,
+        ).collect()
+        assert len(merged) == 1 and merged[0]["n"] == 3
+
+    def test_plain_keys_null_delta_row_inserts_its_values(self, spark):
+        from keenwa_spark.operators import merge_upsert
+
+        base = spark.createDataFrame([(1, 10)], "k int, n int")
+        delta = spark.createDataFrame([(None, 7)], "k int, n int")
+        got = {r["k"]: r["n"] for r in merge_upsert(
+            base, delta, keys=["k"]
+        ).collect()}
+        # the NULL-keyed delta row must carry ITS value, not base NULLs
+        assert got == {1: 10, None: 7}
+
+    def test_plain_keys_reuse_aggregate_partitioning(self, views):
+        """The default plain-equality keys must let the full-outer join
+        reuse the groupBy shuffles — null-safe keys measurably double
+        the exchanges (the reason they are opt-in)."""
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.operators import snapshot_diff
+
+        ev = views.table("events")
+        a = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+        b = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+        plain = snapshot_diff(a, b, keys=["user_id"])
+        safe = snapshot_diff(a, b, keys=["user_id"], null_safe_keys=True)
+        n_plain = plain._jdf.queryExecution().executedPlan().toString().count("Exchange")
+        n_safe = safe._jdf.queryExecution().executedPlan().toString().count("Exchange")
+        assert n_plain < n_safe
