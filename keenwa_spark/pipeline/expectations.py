@@ -130,7 +130,11 @@ def validate_expectations(
     one = df.agg(*aggs)
 
     # ---- project the 1-row aggregate into report rows ----
-    spark = df.sparkSession
+    # all non-FK rows come from ONE explode of an array of structs over
+    # the single aggregate row: separate per-check selects unioned
+    # together would RE-DERIVE the aggregation (and re-scan the table)
+    # once per check — lazy plans don't share subtrees
+    row_entries: list = []
     report_parts: list[DataFrame] = []
     n = F.col("__n").cast("double")
     for i, e in enumerate(checks):
@@ -167,14 +171,20 @@ def validate_expectations(
             continue  # handled below with a join
         else:
             raise ValueError(f"unknown expectation kind {e.kind!r}")
-        report_parts.append(
-            one.select(
+        row_entries.append(
+            F.struct(
                 F.lit(e.kind).alias("check_type"),
                 F.lit(e.column or "__table__").alias("target"),
                 obs.cast("double").alias("observed"),
                 thr.cast("double").alias("threshold"),
                 passed.alias("passed"),
             )
+        )
+    if row_entries:
+        report_parts.append(
+            one.select(
+                F.explode(F.array(*row_entries)).alias("__e")
+            ).select("__e.*")
         )
 
     # ---- referential integrity: one anti-join per check ----

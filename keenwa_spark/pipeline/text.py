@@ -276,7 +276,10 @@ def vocab_topk(
 
 
 def lm_transition_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_pairs: bool = True,
 ) -> DataFrame:
     """Corpus-trained bigram-LM fluency signal per document.
 
@@ -317,8 +320,12 @@ def lm_transition_score(
     pairs = df.selectExpr(id_col, f"explode({pairs_expr}) AS p").select(
         id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    # model: both counts from the same pair stream (lazy plans re-scan;
-    # at 100 TB persist `pairs` or write it out once)
+    # the pair stream feeds THREE consumers (c12 model, c1 model, the
+    # scoring join) — an unpersisted lazy plan re-tokenizes the corpus
+    # once per consumer. persist_pairs caches it (at 100 TB write it
+    # to parquet once instead; same dataflow)
+    if persist_pairs:
+        pairs = pairs.persist()
     c12 = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("c12")
     )
