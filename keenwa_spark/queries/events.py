@@ -327,3 +327,92 @@ def ev_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@df_query(
+    "ev_type_cooccurrence",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ),
+    totals AS (
+      SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n_baskets
+      FROM baskets
+    ),
+    singles AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM baskets
+      GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM baskets a
+      JOIN baskets b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.t1, p.t2, p.n_both,
+           s1.n AS n_t1, s2.n AS n_t2, t.n_baskets,
+           CAST(p.n_both * t.n_baskets AS DOUBLE) / (s1.n * s2.n) AS lift
+    FROM pairs p
+    JOIN singles s1 ON s1.event_type = p.t1
+    JOIN singles s2 ON s2.event_type = p.t2
+    CROSS JOIN totals t
+    ORDER BY t1, t2
+    """,
+    doc="Market-basket affinity of event types: baskets are (user, "
+    "day), support counts and lift per type pair. The self-join is "
+    "bounded, never quadratic in events — baskets are DISTINCT (user, "
+    "day, type), so a basket contributes at most C(|types|,2) pairs "
+    "regardless of how many raw events it holds; the per-type totals "
+    "and basket count are broadcast 5-row/1-row sides. Oracle replays "
+    "basket construction, pairing, and lift in DuckDB.",
+    tags=("events", "analytics", "affinity"),
+)
+def ev_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        spark.table("events")
+        .select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .distinct()
+    )
+    totals = baskets.agg(
+        F.countDistinct("user_id", "day").cast("bigint").alias("n_baskets")
+    )
+    singles = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("t1"),
+            F.col("b.event_type").alias("t2"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    s1 = singles.select(
+        F.col("event_type").alias("t1"), F.col("n").alias("n_t1")
+    )
+    s2 = singles.select(
+        F.col("event_type").alias("t2"), F.col("n").alias("n_t2")
+    )
+    return (
+        pairs.join(F.broadcast(s1), "t1")
+        .join(F.broadcast(s2), "t2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "t1", "t2", "n_both", "n_t1", "n_t2", "n_baskets",
+            (
+                (F.col("n_both") * F.col("n_baskets")).cast("double")
+                / (F.col("n_t1") * F.col("n_t2"))
+            ).alias("lift"),
+        )
+        .orderBy("t1", "t2")
+    )
