@@ -363,3 +363,50 @@ def st_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@df_query(
+    "st_anomaly",
+    oracle="""
+    WITH scored AS (
+      SELECT user_id, event_id, value,
+             COUNT(value) OVER w AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CAST(n AS BIGINT) AS n_hist,
+           CASE WHEN n >= 5 AND ((s2 - s1 * s1 / n) / (n - 1)) > 0
+                THEN (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))
+           END AS z,
+           COALESCE(
+             CASE WHEN n >= 5 AND ((s2 - s1 * s1 / n) / (n - 1)) > 0
+                  THEN abs((value - s1 / n)
+                           / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.0
+             END, FALSE) AS is_anomaly
+    FROM scored
+    ORDER BY event_id
+    """,
+    doc="Streaming cross-batch anomaly flags: each event z-scored "
+    "against its user's EXPANDING prior history held as exact integer "
+    "state in applyInPandasWithState (streaming/anomaly.py), drained "
+    "with AvailableNow. The stream result equals the batch expanding "
+    "window (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING) bit-for-bit — "
+    "exact state plus correctly-rounded scoring makes the output "
+    "independent of micro-batch boundaries; the oracle is that batch "
+    "twin in DuckDB.",
+    tags=("streaming", "stateful", "anomaly"),
+)
+def st_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.streaming import run_available_now
+    from keenwa_spark.streaming.anomaly import stream_zscore_anomaly
+
+    out = run_available_now(
+        stream_zscore_anomaly(_stream_source(spark, sf_dir)),
+        output_mode="update",
+    )
+    return out.orderBy("event_id")

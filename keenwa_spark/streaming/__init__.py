@@ -14,6 +14,7 @@ drive everything with ``Trigger.AvailableNow`` so results are finite
 and comparable to the batch twin.
 """
 
+from keenwa_spark.streaming.anomaly import stream_zscore_anomaly
 from keenwa_spark.streaming.events import (
     dedup_stream,
     enrich_stream,
@@ -31,5 +32,6 @@ __all__ = [
     "read_event_stream",
     "run_available_now",
     "session_stats_stream",
+    "stream_zscore_anomaly",
     "windowed_type_counts",
 ]

@@ -101,3 +101,72 @@ def test_state_carries_across_batches(views, tmp_path_factory):
         ).collect()
     }
     assert got == expect
+
+
+def test_stream_anomaly_multi_batch_equals_batch_expanding_window(
+    views, tmp_path_factory
+):
+    """Cross-batch exactness: the anomaly stream fed TWO time-ordered
+    micro-batches must equal the batch expanding-window twin
+    bit-for-bit — the integer state makes batch boundaries invisible."""
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming.anomaly import stream_zscore_anomaly
+    from keenwa_spark.streaming.events import read_event_stream, run_available_now
+
+    base = tmp_path_factory.mktemp("anomaly_stream")
+    src_dir = str(base / "src")
+    events = views.table("events")
+    # time-ordered arrival: first half of January, then the rest
+    # (expanding state needs event-time-ordered batches per key)
+    early = events.where("ts <  TIMESTAMP '2024-01-16 00:00:00'")
+    late = events.where("ts >= TIMESTAMP '2024-01-16 00:00:00'")
+    early.coalesce(1).write.parquet(src_dir, mode="overwrite")
+    import time
+
+    time.sleep(1.1)  # distinct mtimes: file stream orders by mod time
+    late.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = read_event_stream(views, src_dir, maxFilesPerTrigger=1)
+    got = {
+        r["event_id"]: (r["n_hist"], r["z"], r["is_anomaly"])
+        for r in run_available_now(
+            stream_zscore_anomaly(stream), output_mode="update"
+        ).collect()
+    }
+
+    twin = views.sql(
+        """
+        WITH scored AS (
+          SELECT user_id, event_id, value,
+                 COUNT(value) OVER w AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))
+                          * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, CAST(n AS BIGINT) AS n_hist,
+               CASE WHEN n >= 5 AND ((s2 - s1 * s1 / n) / (n - 1)) > 0
+                    THEN (value - s1 / n)
+                         / sqrt((s2 - s1 * s1 / n) / (n - 1))
+               END AS z
+        FROM scored
+        """
+    ).collect()
+    assert len(got) == len(twin) > 0
+    mismatches = [
+        (r["event_id"], got[r["event_id"]], (r["n_hist"], r["z"]))
+        for r in twin
+        if got[r["event_id"]][0] != r["n_hist"]
+        or got[r["event_id"]][1] != r["z"]  # exact, incl. None
+    ]
+    assert mismatches == [], mismatches[:5]
+
+
+def test_stream_anomaly_validates_min_obs(views):
+    from keenwa_spark.streaming.anomaly import stream_zscore_anomaly
+
+    with pytest.raises(ValueError):
+        stream_zscore_anomaly(views.table("events"), min_obs=1)
