@@ -78,6 +78,12 @@ HEADLINE = [
     "pl_ann_cosine_topk",
     "pl_ann_ivf_topk",
     "pl_corpus_curation",
+    # round-5 session additions: CDC full-outer merge, corpus-trained
+    # LM scoring (explode + two model aggs + scoring join), bounded
+    # basket self-join — each a new heavy plan family
+    "op_snapshot_diff",
+    "pl_lm_surprisal",
+    "ev_type_cooccurrence",
 ]
 
 
