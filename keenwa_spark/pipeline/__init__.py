@@ -41,6 +41,11 @@ from keenwa_spark.pipeline.packing import (
     pack_training_sequences,
 )
 from keenwa_spark.pipeline.expectations import validate_expectations
+from keenwa_spark.pipeline.features import (
+    quantile_bucketize,
+    robust_scale,
+    target_encode,
+)
 from keenwa_spark.pipeline.recall import recall_at_k
 from keenwa_spark.pipeline.text import (
     language_id,
@@ -63,9 +68,12 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "pack_training_sequences",
+    "quantile_bucketize",
     "recall_at_k",
     "redact_pii",
+    "robust_scale",
     "simhash_fingerprints",
+    "target_encode",
     "text_fingerprint",
     "text_stats",
     "token_counts",

@@ -2479,3 +2479,120 @@ def pl_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.text import lm_transition_score
 
     return lm_transition_score(spark.table("documents")).orderBy("doc_id")
+
+
+@df_query(
+    "pl_feature_bucketize",
+    oracle="""
+    WITH c AS (
+      SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS cuts
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT e.event_id, e.value,
+           CASE WHEN e.value IS NOT NULL
+                THEN CAST(len(list_filter(c.cuts, x -> x <= e.value)) AS INT)
+           END AS value_bin
+    FROM events e CROSS JOIN c
+    ORDER BY e.event_id
+    """,
+    doc="Equi-depth feature binning (fit/transform twin of "
+    "pl_quantile_bins): each event's value mapped to its 0-based "
+    "quartile bin under exact corpus cuts (pipeline/features.py "
+    "quantile_bucketize — one percentile fit pass, broadcast cuts, "
+    "codegen array-filter transform, zero added shuffles).",
+    tags=("pipeline", "features"),
+)
+def pl_feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.features import quantile_bucketize
+
+    return (
+        quantile_bucketize(
+            spark.table("events").select("event_id", "value"),
+            col="value",
+            n_bins=4,
+        )
+        .select("event_id", "value", "value_bin")
+        .orderBy("event_id")
+    )
+
+
+@df_query(
+    "pl_robust_scale",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.5) AS p50,
+             quantile_cont(value, 0.75) AS p75
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN (s.p75 - s.p25) > 0
+                THEN (e.value - s.p50) / (s.p75 - s.p25)
+           END AS value_robust
+    FROM events e LEFT JOIN s USING (event_type)
+    ORDER BY e.event_id
+    """,
+    doc="Per-group robust scaling (median/IQR — the outlier-resistant "
+    "twin of pl_feature_scale's z-score): one grouped exact-percentile "
+    "fit, broadcast join-back transform (pipeline/features.py "
+    "robust_scale). Spark percentile == DuckDB quantile_cont bit-"
+    "equal, so the scaled doubles hash-match.",
+    tags=("pipeline", "features"),
+)
+def pl_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.features import robust_scale
+
+    return (
+        robust_scale(
+            spark.table("events").select("event_id", "event_type", "value"),
+            col="value",
+            keys=["event_type"],
+        )
+        .select("event_id", "event_type", "value", "value_robust")
+        .orderBy("event_id")
+    )
+
+
+@df_query(
+    "pl_target_encode",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CASE WHEN o.o_totalprice IS NULL THEN s.total / s.n
+                WHEN s.n > 1 THEN (s.total - o.o_totalprice) / (s.n - 1)
+           END AS priority_te
+    FROM orders o LEFT JOIN s USING (o_orderpriority)
+    ORDER BY o.o_orderkey
+    """,
+    doc="Leave-one-out target encoding: each order's priority encoded "
+    "as the mean totalprice of its priority class EXCLUDING its own "
+    "row — the standard guard against target leakage "
+    "(pipeline/features.py target_encode; decimal-exact class sums, "
+    "one broadcast join back, the LOO adjustment is two IEEE ops on "
+    "the exact totals).",
+    tags=("pipeline", "features"),
+)
+def pl_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.features import target_encode
+
+    return (
+        target_encode(
+            spark.table("orders").select(
+                "o_orderkey", "o_orderpriority", "o_totalprice"
+            ),
+            cat_col="o_orderpriority",
+            target_col="o_totalprice",
+            out_col="priority_te",
+            target_scale=2,
+        )
+        .select("o_orderkey", "o_orderpriority", "priority_te")
+        .orderBy("o_orderkey")
+    )

@@ -573,3 +573,80 @@ class TestLmTransitionScore:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+class TestFeatureEncoders:
+    def test_bucketize_matches_histogram_cuts(self, spark):
+        from keenwa_spark.pipeline.features import quantile_bucketize
+
+        df = spark.range(1, 101).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v"
+        )
+        out = quantile_bucketize(df, "v", 4)
+        counts = {
+            r["v_bin"]: r["n"]
+            for r in out.groupBy("v_bin").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
+        # a value exactly on a cut goes to the bin above it
+        q3 = out.where("v = 75.25").collect()
+        assert q3 == [] or all(r["v_bin"] == 3 for r in q3)
+        with pytest.raises(ValueError):
+            quantile_bucketize(df, "v", 1)
+
+    def test_bucketize_null_passthrough(self, spark):
+        from keenwa_spark.pipeline.features import quantile_bucketize
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 3.0)], "k int, v double"
+        )
+        rows = {r["k"]: r["v_bin"] for r in quantile_bucketize(df, "v", 2).collect()}
+        assert rows[2] is None and rows[1] == 0 and rows[3] == 1
+
+    def test_robust_scale_outlier_resistance(self, spark):
+        from keenwa_spark.pipeline.features import robust_scale
+
+        # group a: 1..99 plus one enormous outlier; median/IQR barely move
+        rows = [("a", float(v)) for v in range(1, 100)] + [
+            ("a", 1e9), ("b", 7.0), ("b", 7.0)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {(r["g"], r["v"]): r["v_robust"]
+               for r in robust_scale(df, "v", ["g"]).collect()}
+        # median ~50.5, IQR ~50 -> ordinary values stay near [-1, 1]
+        assert abs(out[("a", 50.0)]) < 0.1
+        assert out[("a", 1e9)] > 1000  # the outlier itself is flagged far out
+        # constant group: IQR 0 -> NULL, not a division blow-up
+        assert out[("b", 7.0)] is None
+
+    def test_target_encode_loo_excludes_own_row(self, spark):
+        from keenwa_spark.pipeline.features import target_encode
+
+        df = spark.createDataFrame(
+            [(1, "x", 10.0), (2, "x", 20.0), (3, "x", 30.0), (4, "y", 5.0)],
+            "id int, cat string, y double",
+        )
+        out = {r["id"]: r["cat_te"] for r in target_encode(
+            df, "cat", "y", out_col="cat_te"
+        ).collect()}
+        # LOO: row 1 encodes mean(20,30)=25; singleton category -> NULL
+        assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
+        assert out[4] is None
+
+    def test_target_encode_plain_mean_and_null_target(self, spark):
+        from keenwa_spark.pipeline.features import target_encode
+
+        df = spark.createDataFrame(
+            [(1, "x", 10.0), (2, "x", None), (3, "x", 20.0)],
+            "id int, cat string, y double",
+        )
+        loo = {r["id"]: r["cat_te"] for r in target_encode(
+            df, "cat", "y", out_col="cat_te"
+        ).collect()}
+        # NULL target leaks nothing: gets the plain category mean
+        assert loo[2] == 15.0 and loo[1] == 20.0
+        plain = {r["id"]: r["cat_te"] for r in target_encode(
+            df, "cat", "y", out_col="cat_te", leave_one_out=False
+        ).collect()}
+        assert plain == {1: 15.0, 2: 15.0, 3: 15.0}
