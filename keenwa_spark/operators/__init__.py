@@ -10,13 +10,14 @@ from keenwa_spark.operators.skew import salted_join
 from keenwa_spark.operators.incremental import incremental_exact_dedup, incremental_minhash_dedup
 from keenwa_spark.operators.anomaly import rolling_zscore_anomaly
 from keenwa_spark.operators.asof import asof_join
-from keenwa_spark.operators.cdc import merge_upsert, snapshot_diff
+from keenwa_spark.operators.cdc import changelog_compact, merge_upsert, snapshot_diff
 from keenwa_spark.operators.islands import gaps_islands, scd2_compress
 from keenwa_spark.operators.range_join import range_join
 from keenwa_spark.operators.rollup import time_rollup
 
 __all__ = [
     "asof_join",
+    "changelog_compact",
     "gaps_islands",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",

@@ -733,3 +733,50 @@ def op_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "n_hist", "mean_hist", "std_hist", "z",
         "is_anomaly",
     ).orderBy("event_id")
+
+
+@df_query(
+    "op_changelog_compact",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    doc="Kafka-style log compaction: each user's event stream treated "
+    "as a changelog, compacted to the latest record per key with "
+    "'error' as the tombstone op — keys whose newest record is a "
+    "tombstone disappear (operators/cdc.py changelog_compact: one key "
+    "shuffle + per-partition sort, event_id as the deterministic "
+    "equal-ts tie-break).",
+    tags=("temporal", "cdc"),
+)
+def op_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.cdc import changelog_compact
+
+    compacted = changelog_compact(
+        spark.table("events").select(
+            "user_id", "event_id", "event_type", "value", "ts"
+        ),
+        keys=["user_id"],
+        ts_col="ts",
+        op_col="event_type",
+        tie_cols=["event_id"],
+        delete_op="error",
+    )
+    return compacted.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    ).orderBy("user_id")

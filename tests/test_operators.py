@@ -545,3 +545,33 @@ class TestCdcNullKeys:
         n_plain = plain._jdf.queryExecution().executedPlan().toString().count("Exchange")
         n_safe = safe._jdf.queryExecution().executedPlan().toString().count("Exchange")
         assert n_plain < n_safe
+
+
+class TestChangelogCompact:
+    def test_tombstone_kills_key_and_latest_wins(self, spark):
+        from keenwa_spark.operators.cdc import changelog_compact
+
+        rows = [
+            ("a", 1, "upsert", 10), ("a", 2, "upsert", 20),
+            ("b", 1, "upsert", 5), ("b", 2, "delete", 0),
+            ("c", 1, "delete", 0), ("c", 2, "upsert", 7),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts int, op string, v int")
+        got = {r["k"]: r["v"] for r in changelog_compact(
+            df, keys=["k"], ts_col="ts", op_col="op"
+        ).collect()}
+        # a: latest upsert survives; b: tombstone last -> gone;
+        # c: upsert AFTER the tombstone resurrects with the new value
+        assert got == {"a": 20, "c": 7}
+
+    def test_equal_ts_tiebreak_deterministic(self, spark):
+        from keenwa_spark.operators.cdc import changelog_compact
+
+        rows = [("a", 1, 1, "upsert", 10), ("a", 1, 2, "upsert", 99)]
+        df = spark.createDataFrame(
+            rows, "k string, ts int, seq int, op string, v int"
+        )
+        got = changelog_compact(
+            df, keys=["k"], ts_col="ts", op_col="op", tie_cols=["seq"]
+        ).collect()
+        assert len(got) == 1 and got[0]["v"] == 99  # highest seq wins
