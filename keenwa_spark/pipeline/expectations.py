@@ -54,6 +54,8 @@ def unique(column: str) -> Expectation:
 
 
 def accepted_values(column: str, values: list) -> Expectation:
+    if not values:
+        raise ValueError("accepted_values needs a non-empty domain")
     return Expectation("accepted_values", column=column, values=tuple(values))
 
 

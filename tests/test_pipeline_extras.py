@@ -650,3 +650,10 @@ class TestFeatureEncoders:
             df, "cat", "y", out_col="cat_te", leave_one_out=False
         ).collect()}
         assert plain == {1: 15.0, 2: 15.0, 3: 15.0}
+
+
+def test_accepted_values_rejects_empty_domain():
+    from keenwa_spark.pipeline import expectations as E
+
+    with pytest.raises(ValueError):
+        E.accepted_values("c", [])
