@@ -274,3 +274,25 @@ def ivf_search(
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def ivf_save(spark: SparkSession, cents: Cents, path: str) -> None:
+    """Persist a trained quantizer as parquet — the reusable-index
+    half of the IVF story: train once on a bounded sample, save, and
+    every later ingest/search session loads the SAME cells instead of
+    re-training (retraining would silently re-shuffle cell ids and
+    invalidate any stored assignment). float64 roundtrips parquet
+    bit-exactly, so loaded models assign identically (pinned in
+    tests/test_pipeline_extras.py)."""
+    spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid INT, cv ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def ivf_load(spark: SparkSession, path: str) -> Cents:
+    """Load a quantizer saved by ``ivf_save`` back into the driver-side
+    model shape ``ivf_assign``/``ivf_search`` consume. The model is
+    K x dim doubles — driver-bounded by construction (same budget as
+    training's driver fit)."""
+    rows = spark.read.parquet(path).orderBy("cid").collect()
+    return [(int(r["cid"]), list(r["cv"])) for r in rows]

@@ -657,3 +657,25 @@ def test_accepted_values_rejects_empty_domain():
 
     with pytest.raises(ValueError):
         E.accepted_values("c", [])
+
+
+def test_ivf_model_roundtrip_assigns_identically(views, tmp_path):
+    """Persisted quantizers must reproduce assignments bit-for-bit:
+    float64 survives parquet exactly, so a loaded model is THE model."""
+    from keenwa_spark.pipeline.ivf import (
+        _train, ivf_assign, ivf_load, ivf_save,
+    )
+
+    emb = views.table("embeddings")
+    cents = _train(emb, 4, 1, "vec_id", "embedding", 512)
+    before = {
+        r["vid"]: r["cid"] for r in ivf_assign(emb, cents).collect()
+    }
+    path = str(tmp_path / "ivf_model")
+    ivf_save(views, cents, path)
+    loaded = ivf_load(views, path)
+    assert loaded == cents
+    after = {
+        r["vid"]: r["cid"] for r in ivf_assign(emb, loaded).collect()
+    }
+    assert after == before and len(after) > 0
