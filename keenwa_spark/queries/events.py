@@ -376,6 +376,10 @@ def ev_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("events")
         .select("user_id", F.to_date("ts").alias("day"), "event_type")
         .distinct()
+        # four consumers (totals, singles, both pair sides) — persist
+        # the bounded basket set (|users| x days x |types|) so the raw
+        # scan + distinct shuffle run once, not four times
+        .persist()
     )
     totals = baskets.agg(
         F.countDistinct("user_id", "day").cast("bigint").alias("n_baskets")
