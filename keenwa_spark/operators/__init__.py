@@ -11,6 +11,11 @@ from keenwa_spark.operators.incremental import incremental_exact_dedup, incremen
 from keenwa_spark.operators.anomaly import rolling_zscore_anomaly
 from keenwa_spark.operators.asof import asof_join
 from keenwa_spark.operators.cdc import changelog_compact, merge_upsert, snapshot_diff
+from keenwa_spark.operators.hyperfunctions import (
+    counter_delta,
+    state_durations,
+    time_weighted_avg,
+)
 from keenwa_spark.operators.islands import gaps_islands, scd2_compress
 from keenwa_spark.operators.range_join import range_join
 from keenwa_spark.operators.rollup import time_rollup
@@ -18,6 +23,7 @@ from keenwa_spark.operators.rollup import time_rollup
 __all__ = [
     "asof_join",
     "changelog_compact",
+    "counter_delta",
     "gaps_islands",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
@@ -27,5 +33,7 @@ __all__ = [
     "salted_join",
     "scd2_compress",
     "snapshot_diff",
+    "state_durations",
     "time_rollup",
+    "time_weighted_avg",
 ]

@@ -780,3 +780,131 @@ def op_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     ).orderBy("user_id")
+
+
+@df_query(
+    "op_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value,
+             epoch_us(LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             )) - epoch_us(ts) AS dt
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    agg AS (
+      SELECT user_id,
+             SUM(CAST(value AS DECIMAL(20,6))
+                 * CAST(dt AS DECIMAL(14,0))) AS wvs,
+             CAST(SUM(dt) AS DOUBLE) AS den,
+             CAST(COALESCE(SUM(dt), 0) AS BIGINT) AS duration_us,
+             CAST(COUNT(value) AS BIGINT) AS n_obs
+      FROM seg GROUP BY user_id
+    )
+    SELECT user_id,
+           (CAST(FLOOR(wvs) AS DOUBLE)
+            + CAST((wvs - FLOOR(wvs)) * 1000000 AS BIGINT)
+              / CAST(1000000 AS DOUBLE)) / den AS twa,
+           duration_us, n_obs
+    FROM agg ORDER BY user_id
+    """,
+    doc="Time-weighted average (TimescaleDB time_weight 'LOCF'): each "
+    "observation weighted by how long it stayed the live value — the "
+    "correct mean for irregular telemetry where plain AVG over-weights "
+    "chatty periods (operators/hyperfunctions.py time_weighted_avg — "
+    "one key shuffle, lead window, exact DECIMAL x integer-microsecond "
+    "accumulation, one final double division).",
+    tags=("temporal", "hyperfunction"),
+)
+def op_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.hyperfunctions import time_weighted_avg
+
+    return time_weighted_avg(
+        spark.table("events"),
+        keys=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        method="locf",
+        tie_cols=["event_id"],
+    ).orderBy("user_id")
+
+
+@df_query(
+    "op_state_durations",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, event_type AS state,
+             epoch_us(LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             )) - epoch_us(ts) AS dt
+      FROM events
+    ),
+    per_state AS (
+      SELECT user_id, state,
+             CAST(SUM(dt) AS BIGINT) AS duration_us,
+             CAST(COUNT(*) AS BIGINT) AS n_intervals
+      FROM seg WHERE dt IS NOT NULL GROUP BY user_id, state
+    )
+    SELECT user_id, state, duration_us, n_intervals,
+           CAST(duration_us AS DOUBLE)
+             / CAST(SUM(duration_us) OVER (PARTITION BY user_id) AS DOUBLE)
+             AS share
+    FROM per_state ORDER BY user_id, state
+    """,
+    doc="State-duration accounting (TimescaleDB state_agg): time each "
+    "user spends in each event_type 'state', the state holding until "
+    "the next observation; last open interval excluded "
+    "(operators/hyperfunctions.py state_durations — exact integer-"
+    "microsecond durations plus per-key share).",
+    tags=("temporal", "hyperfunction"),
+)
+def op_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.hyperfunctions import state_durations
+
+    return state_durations(
+        spark.table("events"),
+        keys=["user_id"],
+        ts_col="ts",
+        state_col="event_type",
+        tie_cols=["event_id"],
+    ).orderBy("user_id", "state")
+
+
+@df_query(
+    "op_counter_delta",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             LAG(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN prev IS NULL THEN NULL
+                                  WHEN v >= prev THEN v - prev
+                                  ELSE v END), 0) AS DOUBLE)
+             AS counter_increase,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND v < prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM seg GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Counter-reset aggregation (TimescaleDB counter_agg): total "
+    "increase of a per-user counter where a drop means the counter "
+    "restarted from zero — per pair, the increase is v - prev when "
+    "non-negative, else v (operators/hyperfunctions.py counter_delta "
+    "— exact decimal deltas, reset count carried alongside).",
+    tags=("temporal", "hyperfunction"),
+)
+def op_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.hyperfunctions import counter_delta
+
+    return counter_delta(
+        spark.table("events"),
+        keys=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        tie_cols=["event_id"],
+    ).orderBy("user_id")

@@ -575,3 +575,70 @@ class TestChangelogCompact:
             df, keys=["k"], ts_col="ts", op_col="op", tie_cols=["seq"]
         ).collect()
         assert len(got) == 1 and got[0]["v"] == 99  # highest seq wins
+
+
+class TestHyperfunctions:
+    def _series(self, spark, rows):
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(k, base + timedelta(seconds=s), float(v))
+             for k, s, v in rows],
+            "k string, ts timestamp, v double",
+        )
+
+    def test_twa_locf_weights_by_hold_time(self, spark):
+        from keenwa_spark.operators.hyperfunctions import time_weighted_avg
+
+        # v=10 held 10s, v=20 held 30s, last obs closes the span
+        df = self._series(spark, [("u", 0, 10), ("u", 10, 20), ("u", 40, 7)])
+        r = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]
+        assert r["twa"] == (10 * 10 + 20 * 30) / 40
+        assert r["duration_us"] == 40_000_000 and r["n_obs"] == 3
+        # a chatty-then-idle series: plain AVG would say 12.33, TWA 17.5
+        assert abs(r["twa"] - 17.5) < 1e-12
+
+    def test_twa_linear_trapezoid(self, spark):
+        from keenwa_spark.operators.hyperfunctions import time_weighted_avg
+
+        df = self._series(spark, [("u", 0, 0), ("u", 10, 10)])
+        r = time_weighted_avg(df, ["k"], "ts", "v", method="linear").collect()[0]
+        assert r["twa"] == 5.0  # straight ramp averages its midpoint
+
+    def test_twa_single_obs_and_validation(self, spark):
+        from keenwa_spark.operators.hyperfunctions import time_weighted_avg
+
+        df = self._series(spark, [("u", 0, 42)])
+        r = time_weighted_avg(df, ["k"], "ts", "v").collect()[0]
+        assert r["twa"] is None and r["duration_us"] == 0 and r["n_obs"] == 1
+        with pytest.raises(ValueError):
+            time_weighted_avg(df, ["k"], "ts", "v", method="nearest")
+
+    def test_state_durations_and_share(self, spark):
+        from datetime import datetime, timedelta
+
+        from keenwa_spark.operators.hyperfunctions import state_durations
+
+        base = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("u", base + timedelta(seconds=s), st)
+             for s, st in [(0, "up"), (10, "down"), (15, "up"), (45, "up")]],
+            "k string, ts timestamp, state string",
+        )
+        got = {r["state"]: (r["duration_us"], r["n_intervals"], r["share"])
+               for r in state_durations(df, ["k"], "ts", "state").collect()}
+        # up: [0,10) + [15,45) = 40s; down: [10,15) = 5s; last obs open
+        assert got["up"] == (40_000_000, 2, 40 / 45)
+        assert got["down"] == (5_000_000, 1, 5 / 45)
+
+    def test_counter_delta_handles_resets(self, spark):
+        from keenwa_spark.operators.hyperfunctions import counter_delta
+
+        # 100 -> 150 (+50), reset to 5 (+5), 5 -> 30 (+25)
+        df = self._series(
+            spark, [("u", 0, 100), ("u", 1, 150), ("u", 2, 5), ("u", 3, 30)]
+        )
+        r = counter_delta(df, ["k"], "ts", "v").collect()[0]
+        assert r["counter_increase"] == 80.0
+        assert r["n_resets"] == 1 and r["n_obs"] == 4
