@@ -52,23 +52,42 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, annotated with the columns
-    of the most recent ``right`` row with ``right.ts <= left.ts`` on
-    the same key (NULLs when no such row, or when it is older than
-    ``tolerance_seconds``).
+    of the matching ``right`` row on the same key — the most recent
+    one with ``right.ts <= left.ts`` (``direction='backward'``, the
+    default) or the NEXT one with ``right.ts >= left.ts``
+    (``direction='forward'`` — next-touch attribution, time-to-next-
+    failure). NULLs when no such row, or when it is further away than
+    ``tolerance_seconds``.
 
     ``right_cols`` are the right-side payload columns to carry (default:
     all non-key, non-ts columns), each emitted as ``<col><suffix>``;
     ``<right_ts><suffix>`` is always included.
+
+    Both directions are the SAME single-shuffle union-and-carry plan:
+    forward just negates the struct's leading order key (running max of
+    -epoch = minimum future ts) and iterates the window in descending
+    time order.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in keys and c != right_ts
         ]
 
+    # the struct's leading field is a BIGINT order key: +epoch for
+    # backward (max = most recent past), -epoch for forward (max =
+    # nearest future); equal-ts duplicates fall through to the payload
+    # fields and resolve to the lexicographically greatest
+    sign = 1 if direction == "backward" else -1
     payload = F.struct(
+        (F.lit(sign) * F.unix_micros(F.col(right_ts))).alias("__ord"),
         F.col(right_ts).alias("__ts"),
         *[F.col(c).alias(c) for c in right_cols],
     )
@@ -91,10 +110,15 @@ def asof_join(
     w = (
         Window.partitionBy(*keys)
         # right rows (side 0) sort before left rows at equal ts so the
-        # inclusive (>=) match lands inside the frame; the tiebreak on
+        # inclusive match lands inside the frame; the tiebreak on
         # duplicate right (key, ts) rows is handled by max() below, so
-        # the sort itself stays a cheap two-column order.
-        .orderBy(F.col("__ats").asc(), F.col("__side").asc())
+        # the sort itself stays a cheap two-column order. forward
+        # iterates time DESCENDING (the frame then holds future rows).
+        .orderBy(
+            F.col("__ats").asc() if direction == "backward"
+            else F.col("__ats").desc(),
+            F.col("__side").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Running max of struct(__ts, payload...): greatest right ts in the
@@ -107,9 +131,12 @@ def asof_join(
     )
 
     if tolerance_seconds is not None:
-        within: Column = (
+        gap: Column = (
             F.col(f"{left_ts}").cast("double")
             - F.col("__m.__ts").cast("double")
+        )
+        within: Column = (
+            gap if direction == "backward" else -gap
         ) <= float(tolerance_seconds)
         matched = matched.withColumn(
             "__m", F.when(within, F.col("__m"))

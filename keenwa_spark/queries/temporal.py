@@ -908,3 +908,51 @@ def op_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         tie_cols=["event_id"],
     ).orderBy("user_id")
+
+
+@df_query(
+    "op_asof_forward",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT * FROM events WHERE event_type = 'error'),
+    ranked AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts AS pts,
+             e.event_id AS error_id, e.ts AS ets,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY e.ts ASC, e.event_id DESC
+             ) AS rn
+      FROM p JOIN e ON e.user_id = p.user_id AND e.ts >= p.ts
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           r.error_id AS next_error_id,
+           epoch_us(r.ets) - epoch_us(p.ts) AS wait_us
+    FROM p
+    LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.purchase_id = p.event_id
+    ORDER BY purchase_id
+    """,
+    doc="FORWARD as-of join: each purchase matched to the user's NEXT "
+    "error at-or-after it (time-to-next-failure). Same single-shuffle "
+    "union-and-carry plan as the backward as-of — the struct's leading "
+    "order key is negated epoch, so the running max carries the "
+    "nearest future row (operators/asof.py direction='forward'); "
+    "oracle replays the match as a ranked inequality join in DuckDB.",
+    tags=("temporal", "asof"),
+)
+def op_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.table("events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("next_error_id")
+    )
+    joined = asof_join(
+        purchases, errors, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("next_error_id_right").alias("next_error_id"),
+        (F.unix_micros("ts_right") - F.unix_micros("ts")).alias("wait_us"),
+    ).orderBy("purchase_id")

@@ -481,3 +481,39 @@ class TestTimeResample:
 
         with _pytest.raises(ValueError):
             time_resample(df, "a", "b", "v", 0, "a")
+
+
+class TestAsofForward:
+    def test_forward_matches_next_and_tolerance(self, spark):
+        from datetime import datetime, timedelta
+
+        from keenwa_spark.operators.asof import asof_join
+
+        base = datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [("u", base + timedelta(seconds=10), 1),
+             ("u", base + timedelta(seconds=50), 2)],
+            "k string, ts timestamp, lid int",
+        )
+        right = spark.createDataFrame(
+            [("u", base + timedelta(seconds=10), "at"),     # equal ts: inclusive
+             ("u", base + timedelta(seconds=300), "late")],
+            "k string, ts timestamp, tag string",
+        )
+        got = {r["lid"]: r["tag_right"] for r in asof_join(
+            left, right, on="k", direction="forward"
+        ).collect()}
+        assert got == {1: "at", 2: "late"}
+        # tolerance: row 2's next match is 250s away -> dropped
+        tol = {r["lid"]: r["tag_right"] for r in asof_join(
+            left, right, on="k", direction="forward", tolerance_seconds=60
+        ).collect()}
+        assert tol == {1: "at", 2: None}
+
+    def test_invalid_direction_rejected(self, spark):
+        from keenwa_spark.operators.asof import asof_join
+
+        df = spark.createDataFrame([("u", 1)], "k string, ts int")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            asof_join(df, df, on="k", direction="nearest")
