@@ -13,6 +13,7 @@ from keenwa_spark.operators.asof import asof_join
 from keenwa_spark.operators.cdc import changelog_compact, merge_upsert, snapshot_diff
 from keenwa_spark.operators.hyperfunctions import (
     counter_delta,
+    ohlc_bars,
     state_durations,
     time_weighted_avg,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
     "merge_upsert",
+    "ohlc_bars",
     "range_join",
     "rolling_zscore_anomaly",
     "salted_join",

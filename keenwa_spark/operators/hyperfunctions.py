@@ -187,3 +187,46 @@ def counter_delta(
         F.sum("__r").cast("bigint").alias("n_resets"),
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    grain: str = "hour",
+    tie_cols: list[str] | None = None,
+    value_scale: int = 6,
+) -> DataFrame:
+    """Candlestick downsampling: per (keys, time bucket) the OPEN
+    (first value), HIGH, LOW, CLOSE (last value), observation count,
+    and exact-decimal VOLUME (sum) — the financial-bars shape that
+    also serves any metrics dashboard's downsampled series.
+
+    One groupBy, all five aggregates in a single pass: open/close ride
+    ``min_by``/``max_by`` over a (epoch, tie_cols) struct so
+    first/last are deterministic under equal timestamps. NULL values
+    are excluded.
+    """
+    order = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("__e"),
+        *[F.col(c).alias(c) for c in (tie_cols or [])],
+    )
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(
+            *keys,
+            F.date_trunc(grain, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v.cast(f"decimal(18,{value_scale})"))
+            .cast("double")
+            .alias("volume"),
+        )
+    )

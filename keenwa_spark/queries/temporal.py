@@ -956,3 +956,55 @@ def op_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_error_id_right").alias("next_error_id"),
         (F.unix_micros("ts_right") - F.unix_micros("ts")).alias("wait_us"),
     ).orderBy("purchase_id")
+
+
+@df_query(
+    "op_ohlc_bars",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY epoch_us(ts) ASC, event_id ASC
+             ) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn_d
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM base GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="OHLC candlestick bars per (event_type, hour): open/high/low/"
+    "close/count/volume in ONE aggregation pass — open and close ride "
+    "min_by/max_by over an (epoch, event_id) struct for deterministic "
+    "first/last under equal timestamps (operators/hyperfunctions.py "
+    "ohlc_bars); the oracle replays first/last as ranked windows in "
+    "DuckDB.",
+    tags=("temporal", "hyperfunction", "downsample"),
+)
+def op_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.hyperfunctions import ohlc_bars
+
+    bars = ohlc_bars(
+        spark.table("events"),
+        keys=["event_type"],
+        ts_col="ts",
+        value_col="value",
+        grain="hour",
+        tie_cols=["event_id"],
+    )
+    return bars.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "open", "high", "low", "close", "n", "volume",
+    ).orderBy("event_type", "bucket")

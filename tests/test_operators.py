@@ -642,3 +642,29 @@ class TestHyperfunctions:
         r = counter_delta(df, ["k"], "ts", "v").collect()[0]
         assert r["counter_increase"] == 80.0
         assert r["n_resets"] == 1 and r["n_obs"] == 4
+
+
+def test_ohlc_bars_deterministic_open_close(spark):
+    from datetime import datetime, timedelta
+
+    from keenwa_spark.operators.hyperfunctions import ohlc_bars
+
+    base = datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        ("s", base + timedelta(minutes=1), 1, 10.0),
+        ("s", base + timedelta(minutes=30), 2, 99.0),
+        ("s", base + timedelta(minutes=59), 3, 3.0),
+        # equal-ts pair: higher tie id must win close, lower wins open
+        ("s", base + timedelta(minutes=59), 4, 7.0),
+        ("s", base + timedelta(hours=1, minutes=5), 5, 42.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, i int, v double")
+    got = {
+        str(r["bucket"]): (r["open"], r["high"], r["low"], r["close"],
+                           r["n"], r["volume"])
+        for r in ohlc_bars(
+            df, ["k"], "ts", "v", grain="hour", tie_cols=["i"]
+        ).collect()
+    }
+    assert got["2024-01-01 09:00:00"] == (10.0, 99.0, 3.0, 7.0, 4, 119.0)
+    assert got["2024-01-01 10:00:00"] == (42.0, 42.0, 42.0, 42.0, 1, 42.0)
