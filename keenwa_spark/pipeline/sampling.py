@@ -311,3 +311,59 @@ def negative_samples(
             .select("anchor_id", "j", "negative_id")
         )
     return anchors
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    budget_rows: int = 100_000,
+) -> DataFrame:
+    """Temperature-based mixture rates: sampling share q_i ∝ n_i^alpha
+    — the standard multi-source recipe (alpha=1 keeps natural
+    proportions, alpha=0 forces equal shares, alpha=0.5 is the usual
+    compromise that up-weights small domains without drowning large
+    ones). Returns one row per domain: ``n_docs``, ``weight``
+    (n^alpha), ``q`` (normalized share), and ``rate`` — the per-row
+    keep probability that realizes ``budget_rows`` total expected rows
+    (capped at 1: a domain smaller than its allocation contributes
+    everything it has). Feed ``rate`` into ``mixture_sample``.
+
+    alpha is restricted to {0.0, 0.5, 1.0}: these have exact IEEE
+    forms (1, sqrt, identity) on every engine, while a general
+    ``pow(n, alpha)`` is not correctly-rounded-guaranteed and breaks
+    cross-engine hashing (same reasoning as the ln()-free BM25/LM
+    scores). The share normalizer folds the per-domain weights in
+    SORTED domain order — a parallel SUM of doubles is
+    partition-order-dependent.
+    """
+    if alpha not in (0.0, 0.5, 1.0):
+        raise ValueError(
+            "alpha must be one of 0.0, 0.5, 1.0 (exact cross-engine forms)"
+        )
+    wfn = {0.0: "1.0", 0.5: "sqrt({n})", 1.0: "{n}"}[alpha]
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    fold = counts.agg(
+        F.expr(
+            "aggregate("
+            f"array_sort(collect_list(struct({domain_col} AS d, __n AS n))), "
+            "CAST(0 AS DOUBLE), "
+            f"(acc, x) -> acc + {wfn.format(n='x.n')})"
+        ).alias("__S")
+    )
+    weight = F.expr(wfn.format(n="__n"))
+    q = weight / F.col("__S")
+    return (
+        counts.crossJoin(F.broadcast(fold))
+        .select(
+            domain_col,
+            F.col("__n").cast("bigint").alias("n_docs"),
+            weight.alias("weight"),
+            q.alias("q"),
+            F.least(
+                F.lit(1.0), q * F.lit(float(budget_rows)) / F.col("__n")
+            ).alias("rate"),
+        )
+    )

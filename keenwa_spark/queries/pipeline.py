@@ -2596,3 +2596,41 @@ def pl_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority", "priority_te")
         .orderBy("o_orderkey")
     )
+
+
+@df_query(
+    "pl_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source
+    ),
+    s AS (
+      SELECT list_reduce(list(sqrt(n) ORDER BY source), (a, b) -> a + b) AS S
+      FROM c
+    )
+    SELECT c.source,
+           CAST(c.n AS BIGINT) AS n_docs,
+           sqrt(c.n) AS weight,
+           sqrt(c.n) / s.S AS q,
+           LEAST(1.0, sqrt(c.n) / s.S * 200.0 / c.n) AS rate
+    FROM c CROSS JOIN s
+    ORDER BY c.source
+    """,
+    doc="Temperature-based mixture rates (alpha=0.5): per-source "
+    "sampling shares proportional to sqrt(n) with a 200-row budget — "
+    "the standard recipe that up-weights small domains "
+    "(pipeline/sampling.py temperature_mixture_rates). The share "
+    "normalizer folds weights in SORTED domain order on both engines "
+    "(a parallel double SUM is partition-order-dependent); alpha is "
+    "restricted to {0, 0.5, 1} because those have exact IEEE forms "
+    "while general pow() is not correctly-rounded cross-engine.",
+    tags=("pipeline", "sampling", "mixture"),
+)
+def pl_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sampling import temperature_mixture_rates
+
+    return temperature_mixture_rates(
+        spark.table("documents"), domain_col="source",
+        alpha=0.5, budget_rows=200,
+    ).orderBy("source")

@@ -679,3 +679,44 @@ def test_ivf_model_roundtrip_assigns_identically(views, tmp_path):
         r["vid"]: r["cid"] for r in ivf_assign(emb, loaded).collect()
     }
     assert after == before and len(after) > 0
+
+
+class TestTemperatureMixture:
+    def _rates(self, spark, sizes, alpha, budget):
+        from keenwa_spark.pipeline.sampling import temperature_mixture_rates
+
+        rows = [(d, i) for d, n in sizes.items() for i in range(n)]
+        df = spark.createDataFrame(rows, "src string, i int")
+        return {
+            r["src"]: (r["n_docs"], r["q"], r["rate"])
+            for r in temperature_mixture_rates(
+                df, "src", alpha=alpha, budget_rows=budget
+            ).collect()
+        }
+
+    def test_sqrt_temperature_upweights_small_domains(self, spark):
+        got = self._rates(spark, {"big": 900, "small": 100}, 0.5, 500)
+        import math
+
+        s = math.sqrt(900) + math.sqrt(100)
+        assert got["big"][1] == math.sqrt(900) / s  # q = 0.75
+        assert got["small"][1] == math.sqrt(100) / s
+        # natural share of small is 10%; temperature gives it 25%
+        assert abs(got["small"][1] - 0.25) < 1e-12
+        # rate realizes the budget: small keeps 500*0.25/100 > its
+        # natural 0.5 rate; big is trimmed
+        assert got["small"][2] == 1.0  # capped: allocation 125 > 100 rows
+        assert abs(got["big"][2] - 500 * 0.75 / 900) < 1e-12
+
+    def test_alpha_extremes_and_validation(self, spark):
+        eq = self._rates(spark, {"a": 10, "b": 90}, 0.0, 10)
+        assert eq["a"][1] == eq["b"][1] == 0.5  # equal shares
+        nat = self._rates(spark, {"a": 10, "b": 90}, 1.0, 10)
+        assert nat["b"][1] == 0.9  # natural proportions
+        import pytest as _pytest
+
+        from keenwa_spark.pipeline.sampling import temperature_mixture_rates
+
+        df = spark.createDataFrame([("a", 1)], "src string, i int")
+        with _pytest.raises(ValueError):
+            temperature_mixture_rates(df, "src", alpha=0.7)
