@@ -20,6 +20,7 @@ from keenwa_spark.operators.hyperfunctions import (
 from keenwa_spark.operators.islands import gaps_islands, scd2_compress
 from keenwa_spark.operators.range_join import range_join
 from keenwa_spark.operators.rollup import time_rollup
+from keenwa_spark.operators.sequence import sequence_pattern_count
 
 __all__ = [
     "asof_join",
@@ -34,6 +35,7 @@ __all__ = [
     "rolling_zscore_anomaly",
     "salted_join",
     "scd2_compress",
+    "sequence_pattern_count",
     "snapshot_diff",
     "state_durations",
     "time_rollup",

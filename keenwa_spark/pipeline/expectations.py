@@ -60,6 +60,10 @@ def accepted_values(column: str, values: list) -> Expectation:
 
 
 def value_range(column: str, lo: float, hi: float) -> Expectation:
+    if lo is None or hi is None or lo > hi:
+        # a NULL bound would make the range predicate NULL and the
+        # check pass vacuously — reject instead of silently approving
+        raise ValueError(f"value_range needs lo <= hi, got [{lo}, {hi}]")
     return Expectation("value_range", column=column, lo=lo, hi=hi)
 
 

@@ -420,3 +420,47 @@ def ev_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t1", "t2")
     )
+
+
+@df_query(
+    "ev_sequence_pattern",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, epoch_us(ts) AS e, event_id,
+             CASE event_type
+               WHEN 'view' THEN 'v'
+               WHEN 'click' THEN 'c'
+               WHEN 'purchase' THEN 'p'
+               ELSE '_' END AS c
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, string_agg(c, '' ORDER BY e, event_id) AS s
+      FROM ch GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_matches
+    FROM seq ORDER BY user_id
+    """,
+    doc="MATCH_RECOGNIZE-lite: each user's events encoded as a "
+    "time-ordered character string, funnel occurrences counted by "
+    "regex — 'view, any clicks, then purchase' is vc*p "
+    "(operators/sequence.py sequence_pattern_count: one key shuffle, "
+    "in-array sort with event_id tie-break, JVM regex per key); "
+    "oracle replays the encoding with ordered string_agg and "
+    "regexp_extract_all in DuckDB.",
+    tags=("events", "sequence", "funnel"),
+)
+def ev_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.sequence import sequence_pattern_count
+
+    return sequence_pattern_count(
+        spark.table("events"),
+        keys=["user_id"],
+        ts_col="ts",
+        event_col="event_type",
+        mapping={"view": "v", "click": "c", "purchase": "p"},
+        pattern="vc*p",
+        tie_cols=["event_id"],
+    ).orderBy("user_id")

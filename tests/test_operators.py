@@ -668,3 +668,57 @@ def test_ohlc_bars_deterministic_open_close(spark):
     }
     assert got["2024-01-01 09:00:00"] == (10.0, 99.0, 3.0, 7.0, 4, 119.0)
     assert got["2024-01-01 10:00:00"] == (42.0, 42.0, 42.0, 42.0, 1, 42.0)
+
+
+class TestSequencePattern:
+    def test_funnel_regex_counts_and_tiebreak(self, spark):
+        from datetime import datetime, timedelta
+
+        from keenwa_spark.operators.sequence import sequence_pattern_count
+
+        base = datetime(2024, 1, 1)
+        rows = [
+            # u: v c c p ... v p  -> two matches of vc*p
+            ("u", 0, 1, "view"), ("u", 1, 2, "click"), ("u", 2, 3, "click"),
+            ("u", 3, 4, "purchase"), ("u", 4, 5, "error"),
+            ("u", 5, 6, "view"), ("u", 6, 7, "purchase"),
+            # w: p v  -> zero (order matters)
+            ("w", 0, 8, "purchase"), ("w", 1, 9, "view"),
+        ]
+        df = spark.createDataFrame(
+            [(k, base + timedelta(seconds=s), i, e) for k, s, i, e in rows],
+            "k string, ts timestamp, i long, ev string",
+        )
+        got = {r["k"]: (r["seq_len"], r["n_matches"])
+               for r in sequence_pattern_count(
+                   df, ["k"], "ts", "ev",
+                   mapping={"view": "v", "click": "c", "purchase": "p"},
+                   pattern="vc*p", tie_cols=["i"],
+               ).collect()}
+        assert got == {"u": (7, 2), "w": (2, 0)}
+
+    def test_unmapped_breaks_adjacency_and_validation(self, spark):
+        from datetime import datetime, timedelta
+
+        from keenwa_spark.operators.sequence import sequence_pattern_count
+
+        base = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("u", base, 1, "view"),
+             ("u", base + timedelta(seconds=1), 2, "noise"),
+             ("u", base + timedelta(seconds=2), 3, "purchase")],
+            "k string, ts timestamp, i long, ev string",
+        )
+        kw = dict(keys=["k"], ts_col="ts", event_col="ev", tie_cols=["i"])
+        strict = sequence_pattern_count(
+            df, mapping={"view": "v", "purchase": "p"}, pattern="vp", **kw
+        ).collect()[0]
+        assert strict["n_matches"] == 0  # '_' between v and p
+        lenient = sequence_pattern_count(
+            df, mapping={"view": "v", "purchase": "p"}, pattern="v.p", **kw
+        ).collect()[0]
+        assert lenient["n_matches"] == 1
+        with pytest.raises(ValueError):
+            sequence_pattern_count(
+                df, mapping={"view": "vv"}, pattern="v", **kw
+            )
