@@ -464,3 +464,50 @@ def ev_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern="vc*p",
         tie_cols=["event_id"],
     ).orderBy("user_id")
+
+
+@df_query(
+    "ev_type_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_i
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(n_i) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           1.0 - CAST(SUM(n_i * n_i) AS DOUBLE)
+               / (CAST(SUM(n_i) AS DOUBLE) * CAST(SUM(n_i) AS DOUBLE))
+             AS gini_diversity
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Engagement diversity per user as GINI IMPURITY of the "
+    "event-type distribution (1 - sum p_i^2): 0 = single-type user, "
+    "-> 0.8 = uniform across 5 types. Gini instead of Shannon entropy "
+    "is deliberate — it is a RATIONAL function of exact integer "
+    "counts (two BIGINT sums, one division), so it hash-matches "
+    "cross-engine where entropy's ln() diverges in ulp (same "
+    "discipline as the BM25/LM rational forms). Two map-side-combined "
+    "aggregations over one scan.",
+    tags=("events", "analytics", "diversity"),
+)
+def ev_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        spark.table("events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    )
+    n = F.sum("n_i").cast("bigint")
+    return (
+        c.groupBy("user_id")
+        .agg(
+            n.alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            (
+                F.lit(1.0)
+                - F.sum(F.col("n_i") * F.col("n_i")).cast("double")
+                / (n.cast("double") * n.cast("double"))
+            ).alias("gini_diversity"),
+        )
+        .orderBy("user_id")
+    )

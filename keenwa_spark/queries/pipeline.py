@@ -2634,3 +2634,82 @@ def pl_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents"), domain_col="source",
         alpha=0.5, budget_rows=200,
     ).orderBy("source")
+
+
+@df_query(
+    "pl_rfm_segments",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-01-31')
+                  AS INTEGER) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    rc AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS cuts FROM stats),
+    fc AS (SELECT quantile_cont(frequency,    [0.25, 0.5, 0.75]) AS cuts FROM stats),
+    mc AS (SELECT quantile_cont(monetary,     [0.25, 0.5, 0.75]) AS cuts FROM stats),
+    scored AS (
+      SELECT s.user_id, s.recency_days, s.frequency, s.monetary,
+             3 - CAST(len(list_filter(rc.cuts, x -> x <= s.recency_days)) AS INT) AS r_score,
+             CAST(len(list_filter(fc.cuts, x -> x <= s.frequency)) AS INT) AS f_score,
+             CAST(len(list_filter(mc.cuts, x -> x <= s.monetary)) AS INT) AS m_score
+      FROM stats s CROSS JOIN rc CROSS JOIN fc CROSS JOIN mc
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored ORDER BY user_id
+    """,
+    doc="RFM customer segmentation: per-user recency/frequency/"
+    "monetary quartile scores and the 3-digit segment label — the "
+    "classic lifecycle-marketing operator, composed from the equi-"
+    "depth bucketizer (pipeline/features.py quantile_bucketize; "
+    "recency inverted so higher is better everywhere). Plan: one "
+    "purchase aggregate (persisted — three quantile fits share it), "
+    "three broadcast cut arrays, codegen binning; oracle replays cuts "
+    "and binning in DuckDB.",
+    tags=("pipeline", "features", "rfm"),
+)
+def pl_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.features import quantile_bucketize
+
+    stats = (
+        spark.table("events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit("2024-01-31").cast("date"), F.max(F.to_date("ts"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        # three quantile fits consume this — persist the diamond input
+        .persist()
+    )
+    scored = quantile_bucketize(stats, "recency_days", 4, out_col="__rb")
+    scored = quantile_bucketize(scored, "frequency", 4, out_col="f_score")
+    scored = quantile_bucketize(scored, "monetary", 4, out_col="m_score")
+    return (
+        scored.select(
+            "user_id", "recency_days", "frequency", "monetary",
+            (F.lit(3) - F.col("__rb")).alias("r_score"),
+            "f_score",
+            "m_score",
+        )
+        .withColumn(
+            "segment",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+        .orderBy("user_id")
+    )
