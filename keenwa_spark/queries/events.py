@@ -511,3 +511,63 @@ def ev_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@df_query(
+    "ev_session_window_builtin",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  )) >= 1800000000
+                  OR LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                  ) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessioned
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+    doc="Spark's BUILT-IN session_window aggregation (batch mode, "
+    "30-minute gap) cross-validated against the hand-rolled lag/"
+    "cumsum sessionization: the oracle derives identical sessions in "
+    "DuckDB — including the boundary rule (a gap of EXACTLY the "
+    "timeout starts a new session; session_window ends are exclusive) "
+    "and the gap-padded session_end. One user_id shuffle either way; "
+    "the builtin additionally merges sessions inside the aggregation "
+    "operator, the shape watermarked streaming reuses (st_session_stats).",
+    tags=("events", "sessionize", "window"),
+)
+def ev_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        spark.table("events")
+        .groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(
+                "session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_start"),
+            F.date_format(
+                "session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -720,3 +720,30 @@ class TestTemperatureMixture:
         df = spark.createDataFrame([("a", 1)], "src string, i int")
         with _pytest.raises(ValueError):
             temperature_mixture_rates(df, "src", alpha=0.7)
+
+
+class TestObservedStats:
+    def test_metrics_ride_the_existing_action(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.pipeline.observe import with_observed_stats
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c"), (None, "d")], "k int, v string"
+        )
+        out, obs = with_observed_stats(
+            df,
+            rows=F.count(F.lit(1)),
+            null_keys=F.sum(F.col("k").isNull().cast("long")),
+            max_k=F.max("k"),
+        )
+        # the metrics ride the write — no separate aggregation job
+        out.write.mode("overwrite").parquet(str(tmp_path / "obs_out"))
+        got = obs.get
+        assert got == {"rows": 4, "null_keys": 1, "max_k": 3}
+
+    def test_requires_metrics(self, spark):
+        from keenwa_spark.pipeline.observe import with_observed_stats
+
+        with pytest.raises(ValueError):
+            with_observed_stats(spark.range(1))
