@@ -26,6 +26,7 @@ hash functions in any data path.
 
 from keenwa_spark.pipeline.dedup import (
     exact_dedup,
+    ngram_containment_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -66,6 +67,7 @@ __all__ = [
     "lsh_bucket_topk",
     "minhash_lsh_pairs",
     "minhash_signatures",
+    "ngram_containment_pairs",
     "ngram_jaccard_pairs",
     "pack_training_sequences",
     "quantile_bucketize",

@@ -352,3 +352,51 @@ def lsh_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs: containment(A in B) =
+    |A ∩ B| / |A| — the asymmetric cousin of Jaccard that catches
+    SUBSET duplication (a short doc quoted whole inside a long one, a
+    page embedded in a crawl aggregate), which Jaccard misses because
+    the union is dominated by the longer side. Emits (id_a, id_b,
+    a < b) pairs where EITHER direction reaches ``threshold``, with
+    both directional scores.
+
+    Same inverted-shingle-index plan as ``ngram_jaccard_pairs`` (one
+    shuffle on the shingle digest, pair aggregate, size join-back);
+    at 100 TB run it on LSH candidates only, same caveat.
+    """
+    shingle_sets = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(_shingles(text_col, n))).alias("shingle"),
+        )
+        .select(id_col, F.expr(spark_hash64("shingle")).alias("sh"))
+        .distinct()
+    )
+    sizes = shingle_sets.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = shingle_sets.select(F.col(id_col).alias("id_a"), "sh")
+    b = shingle_sets.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("a_in_b", F.col("n_inter") / F.col("size_a"))
+        .withColumn("b_in_a", F.col("n_inter") / F.col("size_b"))
+        .filter(F.greatest("a_in_b", "b_in_a") >= threshold)
+        .select("id_a", "id_b", "a_in_b", "b_in_a")
+    )

@@ -2713,3 +2713,83 @@ def pl_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@df_query(
+    "pl_ngram_containment",
+    oracle=f"""
+    WITH {{docs_cte}},
+    sets AS (SELECT DISTINCT doc_id, h AS sh FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sets GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sets a JOIN sets b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / sa.set_size AS a_in_b,
+           CAST(n_inter AS DOUBLE) / sb.set_size AS b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE GREATEST(CAST(n_inter AS DOUBLE) / sa.set_size,
+                   CAST(n_inter AS DOUBLE) / sb.set_size) >= 0.4
+    """.format(docs_cte=_duck_docs_cte()),
+    doc="EXACT n-gram CONTAINMENT pairs (|A∩B|/|A| >= 0.4 in either "
+    "direction): the asymmetric dedup signal that catches a short doc "
+    "quoted whole inside a long one — invisible to Jaccard, whose "
+    "union is dominated by the longer side (pipeline/dedup.py "
+    "ngram_containment_pairs; same inverted-index plan as "
+    "pl_ngram_jaccard, candidates-only at scale).",
+    tags=("pipeline", "dedup", "containment"),
+)
+def pl_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        spark.table("documents"), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+@df_query(
+    "pl_embedding_norms",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                            for x in embedding])) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm,
+           quantile_cont(nrm, 0.5) AS median_norm
+    FROM norms GROUP BY label ORDER BY label
+    """,
+    doc="Embedding-norm sanity stats per label (n, min/max/median "
+    "L2 norm): the first check on any embedding table — zero norms, "
+    "norm bimodality, or label-dependent scale all mean the encoder "
+    "or the join upstream is broken. Norm is a sequential array fold "
+    "(deterministic, same order both engines); the summary uses only "
+    "order-independent (min/max) and exact-interpolation (median) "
+    "aggregates — a mean of norms would be partition-order-dependent.",
+    tags=("pipeline", "embeddings", "quality"),
+)
+def pl_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = (
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
+        "CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return (
+        spark.table("embeddings")
+        .select("label", F.expr(norm).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.percentile(F.col("nrm"), F.lit(0.5)).alias("median_norm"),
+        )
+        .orderBy("label")
+    )
