@@ -722,3 +722,93 @@ class TestSequencePattern:
             sequence_pattern_count(
                 df, mapping={"view": "vv"}, pattern="v", **kw
             )
+
+
+class TestRandomizedCrossChecks:
+    """Seeded randomized brute-force cross-checks (the range-join test
+    pattern): small random inputs, operator result vs a straight-line
+    Python reference."""
+
+    def test_gaps_islands_random(self, spark):
+        import random
+
+        from keenwa_spark.operators import gaps_islands
+
+        rnd = random.Random(421)
+        for _ in range(5):
+            data = {
+                k: sorted(rnd.sample(range(30), rnd.randint(1, 12)))
+                for k in ("a", "b", "c")
+            }
+            rows = [(k, d) for k, ds in data.items() for d in ds]
+            got = {
+                (r["k"], r["island_start"], r["island_end"], r["island_len"])
+                for r in gaps_islands(
+                    spark.createDataFrame(rows, "k string, d int"),
+                    keys=["k"], seq_col="d",
+                ).collect()
+            }
+            want = set()
+            for k, ds in data.items():
+                start = prev = ds[0]
+                for d in ds[1:] + [None]:
+                    if d is None or d != prev + 1:
+                        want.add((k, start, prev, prev - start + 1))
+                        start = d
+                    prev = d
+            assert got == want
+
+    def test_merge_upsert_random_equals_recompute(self, spark):
+        import random
+
+        from keenwa_spark.operators import merge_upsert
+
+        rnd = random.Random(77)
+        for _ in range(5):
+            # random event log split at a random point; merged partials
+            # must equal the one-shot aggregate over everything
+            log = [(rnd.randint(0, 6), rnd.randint(1, 100))
+                   for _ in range(rnd.randint(5, 40))]
+            cut = rnd.randint(0, len(log))
+
+            def agg(part):
+                out = {}
+                for k, v in part:
+                    n, s = out.get(k, (0, 0))
+                    out[k] = (n + 1, s + v)
+                return out
+
+            def to_df(d):
+                return spark.createDataFrame(
+                    [(k, n, s) for k, (n, s) in d.items()] or [(None, None, None)],
+                    "k int, n long, s long",
+                ).where("k IS NOT NULL")
+
+            merged = merge_upsert(
+                to_df(agg(log[:cut])), to_df(agg(log[cut:])),
+                keys=["k"], combine={"n": "sum", "s": "sum"},
+            )
+            got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
+            assert got == agg(log)
+
+    def test_changelog_compact_random(self, spark):
+        import random
+
+        from keenwa_spark.operators.cdc import changelog_compact
+
+        rnd = random.Random(99)
+        for _ in range(5):
+            log = [
+                (rnd.randint(0, 4), t, rnd.choice(["up", "up", "del"]), t * 10)
+                for t in range(rnd.randint(3, 25))
+            ]
+            df = spark.createDataFrame(log, "k int, ts int, op string, v int")
+            got = {r["k"]: r["v"] for r in changelog_compact(
+                df, keys=["k"], ts_col="ts", op_col="op",
+                tie_cols=["v"], delete_op="del",
+            ).collect()}
+            last = {}
+            for k, ts, op, v in log:  # ts strictly increasing per row
+                last[k] = (op, v)
+            want = {k: v for k, (op, v) in last.items() if op != "del"}
+            assert got == want
