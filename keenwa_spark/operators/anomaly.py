@@ -44,6 +44,14 @@ def rolling_zscore_anomaly(
 
     ``value_scale`` is the decimal scale used for the exact running
     moments — set it to the value column's actual precision.
+
+    Magnitude bound: the windowed sum of squares rides
+    DECIMAL(38, 2*value_scale), so it holds ~10^(38 - 2*scale) of
+    squared-value mass per frame (scale 6: sum of v^2 up to 1e26 —
+    e.g. 1e6 rows of |v| <= 1e10). Beyond that Spark's non-ANSI sum
+    overflows to NULL and z goes silently NULL; lower ``value_scale``
+    for large-magnitude series (same width choreography as
+    hyperfunctions.time_weighted_avg).
     """
     if window_seconds <= 0:
         raise ValueError("window_seconds must be positive")

@@ -218,6 +218,12 @@ def changelog_compact(
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .where((F.col("__rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
+        # null-safe inequality: a NULL op (malformed record) must KEEP
+        # the key, not silently act as a tombstone the way a plain !=
+        # (NULL -> filtered) would
+        .where(
+            (F.col("__rn") == 1)
+            & ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+        )
         .drop("__rn")
     )

@@ -228,21 +228,14 @@ def simhash_fingerprints(
     return per_doc.select(F.col(id_col), F.expr(fp).alias("simhash"))
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
+def _shingle_pair_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity pairs >= threshold, via an
-    inverted shingle index (shingle -> docs join), never all-pairs.
-
-    At 100 TB this runs on LSH candidate pairs only; standalone mode
-    (here) is for verification at small scale. The intersection join
-    shuffles on the shingle digest; pair counts then aggregate on
-    (id_a, id_b).
-    """
+    """Shared inverted-shingle-index scaffold for the exact pair
+    scorers: distinct (id, shingle-digest) sets, per-doc set sizes,
+    and the per-pair intersection counts — one shuffle on the digest,
+    one pair aggregate, size join-backs. Returns (id_a, id_b, n_inter,
+    size_a, size_b) with id_a < id_b; the caller applies its score."""
     shingle_sets = (
         df.select(
             F.col(id_col),
@@ -262,9 +255,27 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs >= threshold, via an
+    inverted shingle index (shingle -> docs join), never all-pairs.
+
+    At 100 TB this runs on LSH candidate pairs only; standalone mode
+    (here) is for verification at small scale. The intersection join
+    shuffles on the shingle digest; pair counts then aggregate on
+    (id_a, id_b).
+    """
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        _shingle_pair_stats(df, id_col, text_col, n)
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
@@ -373,28 +384,8 @@ def ngram_containment_pairs(
     shuffle on the shingle digest, pair aggregate, size join-back);
     at 100 TB run it on LSH candidates only, same caveat.
     """
-    shingle_sets = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.expr(_shingles(text_col, n))).alias("shingle"),
-        )
-        .select(id_col, F.expr(spark_hash64("shingle")).alias("sh"))
-        .distinct()
-    )
-    sizes = shingle_sets.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    a = shingle_sets.select(F.col(id_col).alias("id_a"), "sh")
-    b = shingle_sets.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        _shingle_pair_stats(df, id_col, text_col, n)
         .withColumn("a_in_b", F.col("n_inter") / F.col("size_a"))
         .withColumn("b_in_a", F.col("n_inter") / F.col("size_b"))
         .filter(F.greatest("a_in_b", "b_in_a") >= threshold)

@@ -94,9 +94,21 @@ def validate_expectations(
         raise ValueError("checks must be non-empty")
     ref_tables = ref_tables or {}
     for e in checks:
-        if e.kind == "foreign_key" and e.ref not in ref_tables:
-            raise ValueError(f"foreign_key check references unknown table {e.ref!r}")
-        if e.kind != "row_count" and e.kind != "foreign_key" and e.column not in df.columns:
+        if e.kind == "foreign_key":
+            if e.ref not in ref_tables:
+                raise ValueError(
+                    f"foreign_key check references unknown table {e.ref!r}"
+                )
+            if e.column not in df.columns:
+                raise ValueError(
+                    f"foreign_key check on missing column {e.column!r}"
+                )
+            if e.ref_column not in ref_tables[e.ref].columns:
+                raise ValueError(
+                    f"foreign_key check on missing ref column "
+                    f"{e.ref!r}.{e.ref_column!r}"
+                )
+        elif e.kind != "row_count" and e.column not in df.columns:
             raise ValueError(f"{e.kind} check on missing column {e.column!r}")
 
     # ---- single aggregation pass for all row-level checks ----

@@ -33,23 +33,15 @@ def quantile_bucketize(
     broadcasts onto the scan, binning is a codegen array filter — the
     transform adds zero shuffles.
     """
-    if n_bins < 2:
-        raise ValueError("n_bins must be >= 2")
+    from keenwa_spark.pipeline.quality import fit_quantile_cuts, quantile_bin_of
+
     out_col = out_col or f"{col}_bin"
-    probs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
-    cuts = (
-        df.select(F.col(col).alias("__v"))
-        .where(F.col("__v").isNotNull())
-        .agg(F.percentile(F.col("__v"), probs).alias("__cuts"))
-    )
+    cuts = fit_quantile_cuts(df, col, n_bins)
     return (
         df.crossJoin(F.broadcast(cuts))
         .withColumn(
             out_col,
-            F.when(
-                F.col(col).isNotNull(),
-                F.size(F.filter("__cuts", lambda c: c <= F.col(col))),
-            ),
+            F.when(F.col(col).isNotNull(), quantile_bin_of(F.col(col))),
         )
         .drop("__cuts")
     )

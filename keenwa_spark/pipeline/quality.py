@@ -18,7 +18,7 @@ stats for free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from keenwa_spark.pipeline.dedup import normalized_text
@@ -355,6 +355,29 @@ def zscore_scale(
     )
 
 
+def fit_quantile_cuts(df: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """Shared equi-depth core: the 1-row ``__cuts`` array of exact
+    inner quantiles of non-null ``col`` (n_bins - 1 cuts from ONE
+    percentile pass). Consumers broadcast it onto their scan and bin
+    with ``quantile_bin_of`` — keeping the fit and the
+    value-on-a-cut-goes-above rule in one place for both the
+    histogram (here) and the feature bucketizer (features.py)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    probs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    return (
+        df.select(F.col(col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .agg(F.percentile(F.col("__v"), probs).alias("__cuts"))
+    )
+
+
+def quantile_bin_of(value: Column) -> Column:
+    """0-based bin of ``value`` against the in-scope ``__cuts`` array:
+    the count of cuts <= value (a value equal to a cut goes ABOVE it)."""
+    return F.size(F.filter("__cuts", lambda c: c <= value))
+
+
 def quantile_histogram(df: DataFrame, col: str, n_bins: int) -> DataFrame:
     """Equi-DEPTH histogram: bin edges at exact value quantiles so every
     bin holds ~1/n_bins of the rows (the height-balanced histogram CBO
@@ -373,19 +396,12 @@ def quantile_histogram(df: DataFrame, col: str, n_bins: int) -> DataFrame:
     groupBy; the bin spine joins back so absent bins still appear.
     NULL values are excluded (profile them with validate_expectations).
     """
-    if n_bins < 2:
-        raise ValueError("n_bins must be >= 2")
     vals = df.select(F.col(col).alias("__v")).where(F.col("__v").isNotNull())
-    probs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
-    cuts = vals.agg(F.percentile(F.col("__v"), probs).alias("__cuts"))
+    cuts = fit_quantile_cuts(df, col, n_bins)
 
     binned = (
         vals.crossJoin(F.broadcast(cuts))
-        .select(
-            F.size(
-                F.filter("__cuts", lambda c: c <= F.col("__v"))
-            ).alias("bin")
-        )
+        .select(quantile_bin_of(F.col("__v")).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

@@ -323,7 +323,9 @@ def lm_transition_score(
     # the pair stream feeds THREE consumers (c12 model, c1 model, the
     # scoring join) — an unpersisted lazy plan re-tokenizes the corpus
     # once per consumer. persist_pairs caches it (at 100 TB write it
-    # to parquet once instead; same dataflow)
+    # to parquet once instead; same dataflow). The cache lives until
+    # LRU eviction or spark.catalog.clearCache() — long sessions
+    # scoring many corpora should pass persist_pairs=False or clear
     if persist_pairs:
         pairs = pairs.persist()
     c12 = pairs.groupBy("w1", "w2").agg(

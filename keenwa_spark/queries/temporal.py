@@ -438,8 +438,10 @@ _SNAP_STATE = """
       COALESCE(n.user_id, o.user_id) AS user_id,
       CASE WHEN o.user_id IS NULL THEN 'insert'
            WHEN n.user_id IS NULL THEN 'delete'
-           WHEN o.n_events = n.n_events AND o.total_value = n.total_value
-                AND o.last_day = n.last_day THEN 'unchanged'
+           WHEN o.n_events IS NOT DISTINCT FROM n.n_events
+                AND o.total_value IS NOT DISTINCT FROM n.total_value
+                AND o.last_day IS NOT DISTINCT FROM n.last_day
+           THEN 'unchanged'
            ELSE 'update' END AS change_type,
       o.n_events AS old_n_events,
       o.total_value AS old_total_value,
@@ -449,8 +451,9 @@ _SNAP_STATE = """
       n.last_day AS new_last_day
     FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
     WHERE NOT (o.user_id IS NOT NULL AND n.user_id IS NOT NULL
-               AND o.n_events = n.n_events AND o.total_value = n.total_value
-               AND o.last_day = n.last_day)
+               AND o.n_events IS NOT DISTINCT FROM n.n_events
+               AND o.total_value IS NOT DISTINCT FROM n.total_value
+               AND o.last_day IS NOT DISTINCT FROM n.last_day)
     ORDER BY user_id
     """,
     doc="CDC snapshot diff: the trailing-10-day per-user activity "

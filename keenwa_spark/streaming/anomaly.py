@@ -87,26 +87,32 @@ def _score_and_fold(
     else:
         n, s1u, s2u = 0, 0, 0
 
+    # the group's rows arrive as an ITERATOR of Arrow chunks (capped by
+    # arrow.maxRecordsPerBatch); sorting per-chunk would fold events
+    # out of time order whenever a key's batch spans chunks — collect
+    # the whole group, sort ONCE, then score sequentially
+    chunks = list(batches)
+    pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]).sort_values(
+        ["ts", "event_id"]
+    )
     out: list[tuple] = []
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for eid, v in zip(pdf["event_id"], pdf["value"]):
-            if pd.isna(v):
-                out.append((int(eid), n, None, False))
-                continue
-            z = None
-            if n >= min_obs:
-                # mirror the batch SQL formula op-for-op (see module doc)
-                s1 = s1u / 10**6
-                s2 = s2u / 10**12
-                var = (s2 - s1 * s1 / n) / (n - 1)
-                if var > 0:
-                    z = (float(v) - s1 / n) / math.sqrt(var)
-            out.append((int(eid), n, z, bool(z is not None and abs(z) > z_threshold)))
-            vu = round(float(v) * 10**6)
-            n += 1
-            s1u += vu
-            s2u += vu * vu
+    for eid, v in zip(pdf["event_id"], pdf["value"]):
+        if pd.isna(v):
+            out.append((int(eid), n, None, False))
+            continue
+        z = None
+        if n >= min_obs:
+            # mirror the batch SQL formula op-for-op (see module doc)
+            s1 = s1u / 10**6
+            s2 = s2u / 10**12
+            var = (s2 - s1 * s1 / n) / (n - 1)
+            if var > 0:
+                z = (float(v) - s1 / n) / math.sqrt(var)
+        out.append((int(eid), n, z, bool(z is not None and abs(z) > z_threshold)))
+        vu = round(float(v) * 10**6)
+        n += 1
+        s1u += vu
+        s2u += vu * vu
 
     state.update((n, s1u, *divmod(s2u, _BASE)))
     yield pd.DataFrame(

@@ -170,3 +170,33 @@ def test_stream_anomaly_validates_min_obs(views):
 
     with pytest.raises(ValueError):
         stream_zscore_anomaly(views.table("events"), min_obs=1)
+
+
+def test_stream_anomaly_group_spanning_arrow_chunks(views):
+    """A key whose micro-batch rows span multiple Arrow chunks must
+    still be scored in global (ts, event_id) order — the group is
+    concatenated and sorted ONCE, never per-chunk (per-chunk sorting
+    silently folded events out of order for >maxRecordsPerBatch
+    groups)."""
+    import pandas as pd
+
+    from keenwa_spark.streaming.anomaly import _score_and_fold
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    # two chunks, deliberately interleaved in time across the boundary
+    c1 = pd.DataFrame({"event_id": [4, 1], "ts": [40, 10],
+                       "value": [10.0, 10.0]})
+    c2 = pd.DataFrame({"event_id": [3, 2, 5, 6, 7, 8],
+                       "ts": [30, 20, 50, 60, 70, 80],
+                       "value": [10.0, 10.0, 10.0, 10.0, 10.0, 100.0]})
+    [out] = list(_score_and_fold((7,), iter([c1, c2]), FakeState(),
+                                 min_obs=5, z_threshold=3.0))
+    by_id = dict(zip(out["event_id"], out["n_hist"]))
+    # n_hist must equal the number of STRICTLY EARLIER events — only
+    # true if the chunks were merged before scoring
+    assert by_id == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6, 8: 7}
