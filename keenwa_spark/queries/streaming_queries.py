@@ -410,3 +410,49 @@ def st_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return out.orderBy("event_id")
+
+
+@df_query(
+    "st_ohlc",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+             value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY epoch_us(ts) ASC, event_id ASC
+             ) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn_d
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT win_start, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM base GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="STREAMING OHLC bars: hourly candlesticks maintained under a "
+    "watermark with min_by/max_by state inside the windowed aggregate "
+    "(streaming/events.py ohlc_stream), drained with AvailableNow — "
+    "the stream's finalized bars equal the batch operator's "
+    "(op_ohlc_bars) and the oracle's ranked-window recompute exactly.",
+    tags=("streaming", "window", "downsample"),
+)
+def st_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming import run_available_now
+    from keenwa_spark.streaming.events import ohlc_stream
+
+    out = run_available_now(ohlc_stream(_stream_source(spark, sf_dir)))
+    return out.select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type", "open", "high", "low", "close", "n", "volume",
+    ).orderBy("win_start", "event_type")

@@ -19,6 +19,7 @@ from keenwa_spark.streaming.events import (
     dedup_stream,
     enrich_stream,
     interval_join_streams,
+    ohlc_stream,
     read_event_stream,
     run_available_now,
     session_stats_stream,
@@ -29,6 +30,7 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "interval_join_streams",
+    "ohlc_stream",
     "read_event_stream",
     "run_available_now",
     "session_stats_stream",

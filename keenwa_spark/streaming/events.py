@@ -209,3 +209,36 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> Dat
     micro-batch). The static side is re-read per batch, so slowly-
     changing dims pick up updates for free."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def ohlc_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming OHLC bars: the candlestick downsampler
+    (operators/hyperfunctions.ohlc_bars) as a watermarked tumbling
+    window — open/close ride min_by/max_by over (epoch, event_id)
+    inside the streaming aggregate, so the state per (type, window) is
+    five scalars + two picked rows, never the raw events. Watermark
+    eviction finalizes bars exactly like every other windowed mirror;
+    NULL values are excluded (matching the batch operator)."""
+    order = F.struct(
+        F.unix_micros(F.col("ts")).alias("e"), F.col("event_id").alias("i")
+    )
+    v = F.col("value")
+    return (
+        events.where(v.isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.min_by(v, order).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, order).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v.cast("decimal(18,6)")).cast("double").alias("volume"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type", "open", "high", "low", "close", "n", "volume",
+        )
+    )
