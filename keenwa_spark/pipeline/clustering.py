@@ -173,3 +173,60 @@ def cluster_keep_by_priority(
         .where(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def triangle_stats(pairs: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph given as
+    canonical (id_a < id_b) edge pairs: edge count, triangle count,
+    wedge count (paths of length 2), and the global clustering
+    coefficient 3T/W — the density diagnostic for a near-dup graph
+    (high clustering = tight duplicate cliques that a
+    keep-one-per-component policy collapses well; low clustering =
+    chained borderline matches where transitive merging over-groups).
+
+    Plan: triangles enumerate as two edge self-joins constrained to
+    a < b < c, so each triangle is counted exactly once; wedges come
+    from exact integer degree arithmetic (d*(d-1)/2 — always even, so
+    the double division is exact). The joins shuffle on edge
+    endpoints; for graphs with power-law hubs, re-rank node ids by
+    degree first (the standard ordered-triangle optimization) — the
+    duplicate graphs this targets are bucket-bounded by construction
+    (LSH max_bucket guard), so hubs are already capped.
+    """
+    e = pairs.select("id_a", "id_b")
+    deg = (
+        e.select(F.col("id_a").alias("node"))
+        .unionAll(e.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("CAST(d * (d - 1) / 2 AS BIGINT)"))
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        edges.crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            "n_edges",
+            "n_triangles",
+            F.coalesce("n_wedges", F.lit(0)).alias("n_wedges"),
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).alias("global_clustering"),
+        )
+    )

@@ -2793,3 +2793,47 @@ def pl_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@df_query(
+    "pl_dedup_triangles",
+    oracle=f"""
+    WITH {_duck_lsh_pair_ctes()},
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT id_a AS node FROM lsh_pairs
+        UNION ALL SELECT id_b FROM lsh_pairs
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM lsh_pairs e1
+      JOIN lsh_pairs e2 ON e1.id_b = e2.id_a
+      JOIN lsh_pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    w AS (
+      SELECT CAST(COALESCE(SUM(CAST(d * (d - 1) / 2 AS BIGINT)), 0)
+                  AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh_pairs) AS n_edges,
+           tri.n_triangles,
+           w.n_wedges,
+           CASE WHEN w.n_wedges > 0
+                THEN 3.0 * tri.n_triangles / w.n_wedges END
+             AS global_clustering
+    FROM tri CROSS JOIN w
+    """,
+    doc="Triangle census of the LSH near-dup graph: edges, triangles "
+    "(a<b<c double-self-join, each counted once), wedges from exact "
+    "degree arithmetic, and global clustering 3T/W — tight duplicate "
+    "cliques vs chained borderline matches, the diagnostic for "
+    "whether transitive component-merging over-groups "
+    "(pipeline/clustering.py triangle_stats).",
+    tags=("pipeline", "dedup", "graph"),
+)
+def pl_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.clustering import triangle_stats
+    from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return triangle_stats(minhash_lsh_pairs(spark.table("documents")))

@@ -747,3 +747,21 @@ class TestObservedStats:
 
         with pytest.raises(ValueError):
             with_observed_stats(spark.range(1))
+
+
+def test_triangle_stats_hand_computed(spark):
+    from keenwa_spark.pipeline.clustering import triangle_stats
+
+    # K3 triangle {1,2,3} + pendant edge 3-4: T=1; degrees 2,2,3,1
+    # -> wedges 1+1+3+0 = 5; clustering = 3/5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert (r["n_edges"], r["n_triangles"], r["n_wedges"]) == (4, 1, 5)
+    assert r["global_clustering"] == 3.0 / 5.0
+
+    # triangle-free path graph: zero triangles, clustering 0
+    path = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    r2 = triangle_stats(path).collect()[0]
+    assert r2["n_triangles"] == 0 and r2["global_clustering"] == 0.0
