@@ -314,3 +314,43 @@ class TestRegimeHygiene:
         with regime(views, **{key: "-1"}):
             assert views.conf.get(key) == "-1"
         assert views.conf.get(key) == before
+
+
+class TestJoinHints:
+    """User-facing physical-strategy overrides — the per-query analog
+    of the conf-regime matrix above (keenwa exposes rule
+    configurability; Spark exposes it per-join via hints)."""
+
+    def test_hints_override_strategy_selection(self, views):
+        big = views.table("orders")
+        small = views.table("customer").select("c_custkey")
+
+        def physical(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        broadcast = big.join(
+            small.hint("broadcast"), big.o_custkey == small.c_custkey
+        )
+        broadcast.collect()
+        assert "BroadcastHashJoin" in physical(broadcast)
+
+        merge = big.join(
+            small.hint("merge"), big.o_custkey == small.c_custkey
+        )
+        merge.collect()
+        p = physical(merge)
+        assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p
+
+        shuffle_hash = big.join(
+            small.hint("shuffle_hash"), big.o_custkey == small.c_custkey
+        )
+        shuffle_hash.collect()
+        assert "ShuffledHashJoin" in physical(shuffle_hash)
+
+    def test_sql_hint_comment_form(self, views):
+        df = views.sql(
+            "SELECT /*+ MERGE(c) */ o_orderkey FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey"
+        )
+        df.collect()
+        assert "SortMergeJoin" in df._jdf.queryExecution().executedPlan().toString()
