@@ -116,12 +116,22 @@ class Catalog:
         import pyarrow as pa
         from pyspark.sql import functions as F
 
+        from pyspark.sql.types import LongType
+
         for field in arrow_schema:
             if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
-                df = df.withColumn(
-                    field.name,
-                    F.expr(f"timestamp_micros(CAST({field.name} DIV 1000 AS BIGINT))"),
-                )
+                # the shim applies ONLY when Spark actually surfaced the
+                # column as a long (nanosAsLong on true TIMESTAMP(NANOS)
+                # files). INT96 files also report ns in the ARROW schema
+                # but Spark reads them as proper timestamps — shimming
+                # those raised a type error (caught by tools/scale_probe)
+                if isinstance(df.schema[field.name].dataType, LongType):
+                    df = df.withColumn(
+                        field.name,
+                        F.expr(
+                            f"timestamp_micros(CAST({field.name} DIV 1000 AS BIGINT))"
+                        ),
+                    )
         df.createOrReplaceTempView(name)
         tdef = TableDef(
             name=name,
