@@ -13,7 +13,21 @@ engine needs, thin and declarative so Catalyst keeps pushdown/pruning.
 - nanosecond-timestamp normalization shared with the Catalog.
 """
 
-from keenwa_spark.sources.readers import read_csv, read_json, read_orc, read_parquet
-from keenwa_spark.sources.writers import write_parquet
+from keenwa_spark.sources.readers import (
+    read_binary_dir,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+)
+from keenwa_spark.sources.writers import backfill_partitions, write_parquet
 
-__all__ = ["read_csv", "read_json", "read_orc", "read_parquet", "write_parquet"]
+__all__ = [
+    "backfill_partitions",
+    "read_binary_dir",
+    "read_csv",
+    "read_json",
+    "read_orc",
+    "read_parquet",
+    "write_parquet",
+]

