@@ -456,3 +456,55 @@ def st_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type", "open", "high", "low", "close", "n", "volume",
     ).orderBy("win_start", "event_type")
+
+
+@df_query(
+    "st_upsert_state",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           strftime(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Streaming keyed-state MAINTENANCE (CDC apply): each "
+    "micro-batch's per-user partials merge-upsert into a persisted "
+    "state table via foreachBatch (streaming/upsert.py — additive "
+    "decimal combine, greatest last_day, idempotent under batch "
+    "replay) — O(batch + touched keys) per trigger. The oracle is a "
+    "full recompute over ALL events: the incrementally-maintained "
+    "state must equal it exactly through the streaming boundary.",
+    tags=("streaming", "cdc", "incremental"),
+)
+def st_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming.upsert import upsert_state_stream
+
+    work = tempfile.mkdtemp(prefix="keenwa_st_upsert_")
+    store, ckpt = f"{work}/store", f"{work}/ckpt"
+    try:
+        query = upsert_state_stream(
+            _stream_source(spark, sf_dir), store_path=store,
+            checkpoint_path=ckpt,
+        )
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError("st_upsert_state stream did not drain in 300s")
+        rows = (
+            spark.read.parquet(store)
+            .select(
+                "user_id", "n_events",
+                F.col("total_value").cast("double").alias("total_value"),
+                "last_day",
+            )
+            .orderBy("user_id")
+        )
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -15,6 +15,7 @@ and comparable to the batch twin.
 """
 
 from keenwa_spark.streaming.anomaly import stream_zscore_anomaly
+from keenwa_spark.streaming.upsert import upsert_state_stream
 from keenwa_spark.streaming.events import (
     dedup_stream,
     enrich_stream,
@@ -35,5 +36,6 @@ __all__ = [
     "run_available_now",
     "session_stats_stream",
     "stream_zscore_anomaly",
+    "upsert_state_stream",
     "windowed_type_counts",
 ]

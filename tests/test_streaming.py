@@ -278,3 +278,54 @@ def test_rollup_refresh_stream_matches_batch(views, tmp_path_factory):
     got = {key(r): (r.n, r.total, r.vmin, r.vmax) for r in stored.collect()}
     want = {key(r): (r.n, r.total, r.vmin, r.vmax) for r in expected.collect()}
     assert got == want
+
+
+def test_upsert_state_stream_matches_batch_and_survives_replay(
+    views, tmp_path_factory
+):
+    """Keyed-state maintenance: two micro-batches of per-user partials
+    merge-upserted into the store must equal the one-shot batch
+    aggregate; restarting the drained stream (same checkpoint) must
+    change nothing (idempotent batch replay)."""
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming.events import read_event_stream
+    from keenwa_spark.streaming.upsert import upsert_state_stream
+
+    base = tmp_path_factory.mktemp("upsert_stream")
+    src_dir, store, ckpt = str(base / "src"), str(base / "store"), str(base / "ckpt")
+
+    events = views.table("events")
+    events.where("event_id % 2 = 0").coalesce(1).write.parquet(
+        src_dir, mode="overwrite"
+    )
+    events.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run():
+        q = upsert_state_stream(
+            read_event_stream(views, src_dir, maxFilesPerTrigger=1),
+            store_path=store, checkpoint_path=ckpt,
+        )
+        assert q.awaitTermination(120)
+
+    run()
+
+    def state():
+        return {
+            r["user_id"]: (r["n_events"], float(r["total_value"]), r["last_day"])
+            for r in views.read.parquet(store).collect()
+        }
+
+    want = {
+        r["user_id"]: (r["n"], float(r["tv"]), r["ld"])
+        for r in events.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("tv"),
+            F.date_format(F.max(F.to_date("ts")), "yyyy-MM-dd").alias("ld"),
+        ).collect()
+    }
+    first = state()
+    assert first == want
+    # restart on the same checkpoint: nothing new -> store unchanged
+    run()
+    assert state() == first
