@@ -230,3 +230,40 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    ts_col: str,
+    fields: list[str],
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Survivorship: merge each duplicate cluster into one golden
+    record — per field, the value of the cluster's LATEST row where
+    that field is non-null ("latest known value" — a recent record
+    with a missing phone number must not erase the phone an older
+    record carried). The master-data finishing step after
+    ``connected_components``/``cluster_keep_by_priority`` when you
+    want to MERGE duplicates instead of keeping one survivor row.
+
+    One aggregation pass: each field rides ``max_by`` over the
+    ordering struct (non-null flag, epoch, tie_cols) — non-null wins
+    over null, then recency, then the deterministic tie-break. Also
+    emits ``n_members`` and ``last_seen`` per cluster.
+    """
+    ties = [F.col(c) for c in (tie_cols or [])]
+
+    def pick(field: str):
+        order = F.struct(
+            F.col(field).isNotNull().cast("int").alias("nn"),
+            F.unix_micros(F.col(ts_col)).alias("e"),
+            *[t.alias(f"t{i}") for i, t in enumerate(ties)],
+        )
+        return F.max_by(F.col(field), order).alias(field)
+
+    return df.groupBy(cluster_col).agg(
+        *[pick(f) for f in fields],
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(F.col(ts_col)).alias("last_seen"),
+    )

@@ -2837,3 +2837,72 @@ def pl_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
 
     return triangle_stats(minhash_lsh_pairs(spark.table("documents")))
+
+
+@df_query(
+    "pl_golden_records",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             NULLIF(event_type, 'error') AS good_type
+      FROM events
+    ),
+    r_type AS (
+      SELECT user_id, good_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY (good_type IS NOT NULL) DESC,
+                        epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM flagged
+    ),
+    r_val AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY (value IS NOT NULL) DESC,
+                        epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+      FROM flagged GROUP BY user_id
+    )
+    SELECT a.user_id, t.good_type, v.value, a.n_members, a.last_seen
+    FROM agg a
+    JOIN (SELECT user_id, good_type FROM r_type WHERE rn = 1) t
+      ON t.user_id = a.user_id
+    JOIN (SELECT user_id, value FROM r_val WHERE rn = 1) v
+      ON v.user_id = a.user_id
+    ORDER BY a.user_id
+    """,
+    doc="Golden-record survivorship: each user's records merged "
+    "field-by-field — per field, the LATEST NON-NULL value wins (a "
+    "recent record with a gap must not erase older known data), with "
+    "deterministic (recency, event_id) ordering; good_type is "
+    "event_type with 'error' nulled out to exercise the non-null "
+    "preference on real data (pipeline/clustering.py golden_records — "
+    "ONE aggregation pass, every field a max_by over its ordering "
+    "struct). Oracle replays each field's pick as a ranked window.",
+    tags=("pipeline", "dedup", "survivorship"),
+)
+def pl_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.clustering import golden_records
+
+    flagged = spark.table("events").select(
+        "user_id", "ts", "event_id", "value",
+        F.expr("NULLIF(event_type, 'error')").alias("good_type"),
+    )
+    out = golden_records(
+        flagged, cluster_col="user_id", ts_col="ts",
+        fields=["good_type", "value"], tie_cols=["event_id"],
+    )
+    return out.select(
+        "user_id", "good_type", "value", "n_members",
+        F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_seen"
+        ),
+    ).orderBy("user_id")

@@ -765,3 +765,33 @@ def test_triangle_stats_hand_computed(spark):
     path = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     r2 = triangle_stats(path).collect()[0]
     assert r2["n_triangles"] == 0 and r2["global_clustering"] == 0.0
+
+
+def test_golden_records_latest_nonnull_wins(spark):
+    from datetime import datetime, timedelta
+
+    from keenwa_spark.pipeline.clustering import golden_records
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # cluster A: newest row has NULL phone -> older phone survives;
+        # newest non-null email wins
+        ("A", base + timedelta(days=0), 1, "555-1", "old@x.com"),
+        ("A", base + timedelta(days=1), 2, None, "new@x.com"),
+        # cluster B: all-null phone stays null
+        ("B", base, 3, None, "b@x.com"),
+    ]
+    df = spark.createDataFrame(
+        rows, "c string, ts timestamp, i long, phone string, email string"
+    )
+    got = {
+        r["c"]: (r["phone"], r["email"], r["n_members"])
+        for r in golden_records(
+            df, cluster_col="c", ts_col="ts",
+            fields=["phone", "email"], tie_cols=["i"],
+        ).collect()
+    }
+    assert got == {
+        "A": ("555-1", "new@x.com", 2),
+        "B": (None, "b@x.com", 1),
+    }
