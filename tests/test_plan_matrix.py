@@ -354,3 +354,33 @@ class TestJoinHints:
         )
         df.collect()
         assert "SortMergeJoin" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dynamic_partition_pruning_fires(views, tmp_path):
+    """Joining a partitioned fact to a selectively-filtered dimension
+    must inject a DynamicPruning subquery on the fact's partition
+    column — at scale THE mechanism that turns a star join over a
+    partitioned table into a read of only the matching partitions."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "events_by_day")
+    views.table("events").withColumn(
+        "day", F.to_date("ts")
+    ).write.partitionBy("day").parquet(fact_path)
+
+    # DPP requires a SELECTIVE FILTER on the dim side (a limit or a
+    # bare distinct gives the planner nothing to derive a pruning
+    # subquery from): urgent-order dates, filtered from a different
+    # table, are unknowable statically for the fact scan
+    dim = (
+        views.table("orders")
+        .where("o_orderpriority = '1-URGENT'")
+        .select(F.to_date("o_orderdate").alias("day"))
+        .distinct()
+    )
+    views.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    fact = views.read.parquet(fact_path)
+    joined = fact.join(dim.hint("broadcast"), "day")
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, plan[:600]
