@@ -103,3 +103,95 @@ def time_resample(
         F.last("__last_v", ignorenulls=True).over(win).alias("value"),
         F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
     )
+
+
+def time_resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    id_col: str,
+) -> DataFrame:
+    """Regular grid per key with LINEAR interpolation across gaps —
+    the TimescaleDB ``interpolate`` counterpart to ``time_resample``'s
+    LOCF fill: an interior empty bucket gets the straight line between
+    the previous and next OBSERVED bucket values (weighted by bucket
+    distance); leading/trailing gaps stay NULL (nothing to anchor one
+    end). ``src`` labels each row 'obs' | 'interp' | 'edge'.
+
+    Same plan family as time_resample (grid spine + one key window
+    pass — the four prev/next anchors all share one partitioning);
+    interpolation is fixed-order double arithmetic on exact integer
+    bucket positions, cross-engine deterministic.
+    """
+    step = int(step_seconds)
+    if step <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step}")
+    step_us = step * 1_000_000
+
+    all_bucketed = df.select(
+        F.col(key_col),
+        (F.floor(F.unix_micros(F.col(ts_col)) / step_us) * step_us).alias(
+            "__bucket_us"
+        ),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    bucketed = all_bucketed.where(F.col("__v").isNotNull())
+    per_bucket = bucketed.groupBy(key_col, "__bucket_us").agg(
+        F.max(F.struct(ts_col, id_col, "__v"))["__v"].alias("__last_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    bounds = all_bucketed.groupBy(key_col).agg(
+        F.min("__bucket_us").alias("__lo"), F.max("__bucket_us").alias("__hi")
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_us))
+        ).alias("__bucket_us"),
+    )
+    joined = grid.join(per_bucket, [key_col, "__bucket_us"], "left")
+
+    from pyspark.sql.window import Window
+
+    wprev = (
+        Window.partitionBy(key_col)
+        .orderBy("__bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy(key_col)
+        .orderBy("__bucket_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # anchors as paired NULL-masked columns (v and x masked by the
+    # SAME condition, so each pair comes from the same anchor row)
+    masked_x = F.when(
+        F.col("__last_v").isNotNull(), F.col("__bucket_us")
+    )
+    prev_v = F.last("__last_v", ignorenulls=True).over(wprev)
+    prev_x = F.last(masked_x, ignorenulls=True).over(wprev)
+    next_v = F.first("__last_v", ignorenulls=True).over(wnext)
+    next_x = F.first(masked_x, ignorenulls=True).over(wnext)
+    interp = prev_v + (next_v - prev_v) * (
+        (F.col("__bucket_us") - prev_x).cast("double")
+        / (next_x - prev_x).cast("double")
+    )
+    value = F.when(F.col("__last_v").isNotNull(), F.col("__last_v")).otherwise(
+        F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+    )
+    src = (
+        F.when(F.col("__last_v").isNotNull(), F.lit("obs"))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), F.lit("interp"))
+        .otherwise(F.lit("edge"))
+    )
+    return joined.select(
+        F.col(key_col),
+        F.timestamp_micros(F.col("__bucket_us")).alias("bucket_ts"),
+        value.alias("value"),
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+        src.alias("src"),
+    )

@@ -1011,3 +1011,91 @@ def op_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         "open", "high", "low", "close", "n", "volume",
     ).orderBy("event_type", "bucket")
+
+
+@df_query(
+    "op_time_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+             ts, event_id, CAST(value AS DOUBLE) AS v
+      FROM events WHERE user_id <= 30
+    ),
+    per_bucket AS (
+      SELECT user_id, bucket_us, v AS last_v, n_obs FROM (
+        SELECT user_id, bucket_us, v,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id, bucket_us) AS n_obs
+        FROM obs WHERE v IS NOT NULL) x WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM obs
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, 86400000000)) AS bucket_us
+      FROM bounds
+    ),
+    anchored AS (
+      SELECT g.user_id, g.bucket_us, p.last_v, p.n_obs,
+             last_value(p.last_v IGNORE NULLS) OVER wp AS prev_v,
+             last_value(CASE WHEN p.last_v IS NOT NULL
+                             THEN g.bucket_us END IGNORE NULLS)
+               OVER wp AS prev_x,
+             first_value(p.last_v IGNORE NULLS) OVER wn AS next_v,
+             first_value(CASE WHEN p.last_v IS NOT NULL
+                              THEN g.bucket_us END IGNORE NULLS)
+               OVER wn AS next_x
+      FROM grid g
+      LEFT JOIN per_bucket p
+        ON p.user_id = g.user_id AND p.bucket_us = g.bucket_us
+      WINDOW
+        wp AS (PARTITION BY g.user_id ORDER BY g.bucket_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY g.user_id ORDER BY g.bucket_us
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           strftime(make_timestamp(bucket_us), '%Y-%m-%d %H:%M:%S')
+             AS bucket_ts,
+           CASE WHEN last_v IS NOT NULL THEN last_v
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN prev_v + (next_v - prev_v)
+                     * (CAST(bucket_us - prev_x AS DOUBLE)
+                        / CAST(next_x - prev_x AS DOUBLE))
+           END AS value,
+           CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs,
+           CASE WHEN last_v IS NOT NULL THEN 'obs'
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                THEN 'interp' ELSE 'edge' END AS src
+    FROM anchored
+    ORDER BY user_id, bucket_us
+    """,
+    doc="Linear-interpolation gap filling (TimescaleDB interpolate, "
+    "vs op_time_resample's LOCF): interior empty buckets get the "
+    "straight line between the previous and next observed bucket "
+    "values, weighted by exact integer bucket distance; edge gaps "
+    "stay NULL and every row is labeled obs/interp/edge "
+    "(operators/resample.py time_resample_interpolate — grid spine + "
+    "one key window pass, four anchors sharing one partitioning).",
+    tags=("temporal", "resample", "interpolate"),
+)
+def op_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.resample import time_resample_interpolate
+
+    out = time_resample_interpolate(
+        spark.table("events").where(F.col("user_id") <= 30),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=86400,
+        id_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "value", "n_obs", "src",
+    ).orderBy("user_id", "bucket_ts")

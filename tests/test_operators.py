@@ -812,3 +812,35 @@ class TestRandomizedCrossChecks:
                 last[k] = (op, v)
             want = {k: v for k, (op, v) in last.items() if op != "del"}
             assert got == want
+
+
+def test_time_resample_interpolate_linear_and_edges(spark):
+    from datetime import datetime, timedelta
+
+    from keenwa_spark.operators.resample import time_resample_interpolate
+
+    base = datetime(2024, 1, 1)
+    # observed days 0 and 3 (values 10 -> 40): days 1,2 interpolate to
+    # 20, 30; NULL-valued day 5 extends the grid but anchors nothing,
+    # so day 4 and 5 are trailing edges
+    rows = [
+        ("u", base + timedelta(days=0), 1, 10.0),
+        ("u", base + timedelta(days=3), 2, 40.0),
+        ("u", base + timedelta(days=5), 3, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, i long, v double"
+    )
+    got = {
+        str(r["bucket_ts"])[:10]: (r["value"], r["n_obs"], r["src"])
+        for r in time_resample_interpolate(
+            df, key_col="k", ts_col="ts", value_col="v",
+            step_seconds=86400, id_col="i",
+        ).collect()
+    }
+    assert got["2024-01-01"] == (10.0, 1, "obs")
+    assert got["2024-01-02"] == (20.0, 0, "interp")
+    assert got["2024-01-03"] == (30.0, 0, "interp")
+    assert got["2024-01-04"] == (40.0, 1, "obs")
+    assert got["2024-01-05"] == (None, 0, "edge")
+    assert got["2024-01-06"] == (None, 0, "edge")
