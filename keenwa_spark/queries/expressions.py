@@ -19,7 +19,10 @@ Dialect-divergence notes (probed against DuckDB 1.0 + Spark 4.1):
 
 from __future__ import annotations
 
-from keenwa_spark.queries import sql_query
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keenwa_spark.queries import df_query, sql_query
 
 # ---------------------------------------------------------------------------
 # BinaryExpr: arithmetic, comparison, logic, concat (expr.rs:30-37, 1090-1119)
@@ -916,3 +919,48 @@ sql_query(
     "sequence (o_orderkey tie-break).",
     tags=("ordering", "nulls", "superset"),
 )
+
+
+@df_query(
+    "fn_url_parse",
+    oracle="""
+    WITH urls(id, url) AS (VALUES
+      (1, 'https://docs.example.com/guide/intro?lang=en&v=2#top'),
+      (2, 'http://example.org:8080/api/v1/items?id=77'),
+      (3, 'https://cdn.example.net/assets/logo.png'),
+      (4, 'ftp://files.example.com/pub/data.csv')
+    )
+    SELECT id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           NULLIF(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+    FROM urls
+    ORDER BY id
+    """,
+    doc="URL parsing family (Spark parse_url over PROTOCOL/HOST/PATH/"
+    "QUERY — the web-scrape pipeline staple; Spark superset, the "
+    "reference has no URL functions). Inline VALUES input (the "
+    "values_inline_join precedent); the oracle replays each component "
+    "as an anchored regex, with empty-match QUERY normalized to NULL "
+    "to match parse_url's absent-component semantics. Pure codegen "
+    "map.",
+    tags=("functions", "superset", "url"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = spark.createDataFrame(
+        [
+            (1, "https://docs.example.com/guide/intro?lang=en&v=2#top"),
+            (2, "http://example.org:8080/api/v1/items?id=77"),
+            (3, "https://cdn.example.net/assets/logo.png"),
+            (4, "ftp://files.example.com/pub/data.csv"),
+        ],
+        "id int, url string",
+    )
+    return urls.select(
+        "id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+    ).orderBy("id")
