@@ -508,3 +508,36 @@ def st_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows.collect(), rows.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@df_query(
+    "st_asof",
+    oracle="""
+    SELECT
+      p.event_id AS purchase_id,
+      p.user_id AS user_id,
+      epoch_us(p.ts) AS purchase_epoch_us,
+      v.event_id AS view_id,
+      epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY purchase_id
+    """,
+    doc="STREAMING as-of join: last-touch attribution maintained "
+    "across micro-batches with two longs of exact per-user state "
+    "(streaming/asof.py — views before purchases at equal ts for the "
+    "inclusive match, greatest-view-id tie-break), drained with "
+    "AvailableNow. The oracle is DuckDB's native ASOF LEFT JOIN — the "
+    "same oracle as the batch operator (op_asof_attribution), so "
+    "stream and batch provably implement one semantics.",
+    tags=("streaming", "asof", "stateful"),
+)
+def st_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.streaming import run_available_now
+    from keenwa_spark.streaming.asof import asof_stream
+
+    out = run_available_now(
+        asof_stream(_stream_source(spark, sf_dir)), output_mode="update"
+    )
+    return out.orderBy("purchase_id")

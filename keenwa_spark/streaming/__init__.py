@@ -15,6 +15,7 @@ and comparable to the batch twin.
 """
 
 from keenwa_spark.streaming.anomaly import stream_zscore_anomaly
+from keenwa_spark.streaming.asof import asof_stream
 from keenwa_spark.streaming.upsert import upsert_state_stream
 from keenwa_spark.streaming.events import (
     dedup_stream,
@@ -28,6 +29,7 @@ from keenwa_spark.streaming.events import (
 )
 
 __all__ = [
+    "asof_stream",
     "dedup_stream",
     "enrich_stream",
     "interval_join_streams",

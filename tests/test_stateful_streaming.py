@@ -200,3 +200,57 @@ def test_stream_anomaly_group_spanning_arrow_chunks(views):
     # n_hist must equal the number of STRICTLY EARLIER events — only
     # true if the chunks were merged before scoring
     assert by_id == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6, 8: 7}
+
+
+def test_stream_asof_carries_state_across_batches(views, tmp_path_factory):
+    """A purchase in batch 2 must match a view from batch 1: the
+    two-long per-user state carries the last view across micro-batch
+    boundaries, and the result equals the batch as-of twin."""
+    from keenwa_spark.streaming.asof import asof_stream
+    from keenwa_spark.streaming.events import read_event_stream, run_available_now
+
+    base = tmp_path_factory.mktemp("asof_stream")
+    src_dir = str(base / "src")
+    events = views.table("events")
+    early = events.where("ts <  TIMESTAMP '2024-01-16 00:00:00'")
+    late = events.where("ts >= TIMESTAMP '2024-01-16 00:00:00'")
+    early.coalesce(1).write.parquet(src_dir, mode="overwrite")
+    import time
+
+    time.sleep(1.1)
+    late.coalesce(1).write.mode("append").parquet(src_dir)
+
+    got = {
+        r["purchase_id"]: r["view_id"]
+        for r in run_available_now(
+            asof_stream(read_event_stream(views, src_dir, maxFilesPerTrigger=1)),
+            output_mode="update",
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.operators.asof import asof_join
+
+    purchases = events.where("event_type = 'purchase'")
+    view_side = events.where("event_type = 'view'").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    twin = {
+        r["event_id"]: r["view_id_right"]
+        for r in asof_join(
+            purchases, view_side, on="user_id", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    assert got == twin and len(got) > 0
+    # at least one purchase whose matching view arrived in batch 1
+    early_views = {
+        r["event_id"] for r in early.where("event_type='view'").collect()
+    }
+    late_purchases = {
+        r["event_id"] for r in late.where("event_type='purchase'").collect()
+    }
+    assert any(
+        pid in late_purchases and vid in early_views
+        for pid, vid in got.items()
+        if vid is not None
+    )
