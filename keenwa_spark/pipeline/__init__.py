@@ -33,6 +33,7 @@ from keenwa_spark.pipeline.dedup import (
     simhash_fingerprints,
 )
 from keenwa_spark.pipeline.similarity import (
+    centroid_classify,
     cosine_topk,
     label_centroids,
     lsh_bucket_topk,
@@ -58,6 +59,7 @@ from keenwa_spark.pipeline.text import (
 )
 
 __all__ = [
+    "centroid_classify",
     "chunk_documents",
     "cosine_topk",
     "exact_dedup",

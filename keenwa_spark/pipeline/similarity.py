@@ -302,3 +302,62 @@ def filtered_cosine_topk(
         corpus.where(corpus_predicate), queries, k=k,
         id_col=id_col, vec_col=vec_col,
     )
+
+
+def centroid_classify(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid classification report: fit per-label centroids
+    (``label_centroids`` — deterministic sorted-fold means), assign
+    every vector to its nearest centroid by squared L2 (lowest-label
+    tie-break), and report per TRUE label: n, n_correct, accuracy —
+    the quickest label-quality / separability check on an embedding
+    table (low accuracy = labels not linearly separated in the space,
+    or mislabeled data).
+
+    Plan: the centroid model collapses to ONE row of
+    (label, vector) structs broadcast onto the corpus scan (the IVF
+    assignment shape — shuffle-free, constant-size plan at any corpus
+    size); distances are sequential per-dimension folds, bit-exact
+    cross-engine.
+    """
+    cents = label_centroids(emb, label_col=label_col, vec_col=vec_col)
+    cvecs = cents.groupBy(label_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, centroid_v))), "
+            "x -> x.centroid_v)"
+        ).alias("cv")
+    )
+    model = cvecs.agg(
+        F.expr(
+            f"array_sort(collect_list(struct({label_col} AS cid, cv AS cv)))"
+        ).alias("cells")
+    )
+    dists = (
+        "transform(cells, c -> struct("
+        f"aggregate(zip_with({vec_col}, c.cv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d, c.cid AS cid))"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(model))
+        .select(
+            F.col(label_col),
+            F.expr(f"array_min({dists}).cid").alias("pred"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    n_correct = F.sum(
+        F.when(F.col("pred") == F.col(label_col), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        assigned.groupBy(label_col)
+        .agg(
+            n.alias("n"),
+            n_correct.alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy",
+            F.col("n_correct").cast("double") / F.col("n").cast("double"),
+        )
+    )

@@ -2906,3 +2906,61 @@ def pl_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_seen"
         ),
     ).orderBy("user_id")
+
+
+@df_query(
+    "pl_centroid_classify",
+    oracle="""
+    WITH expl AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             list_sum(list_sort(list(CAST(v AS DOUBLE)))) / COUNT(v)
+               AS centroid_v
+      FROM expl GROUP BY label, dim
+    ),
+    cvecs AS (
+      SELECT label AS cid, list(centroid_v ORDER BY dim) AS cv
+      FROM cent GROUP BY label
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label, c.cid,
+             list_sum([
+               (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+               * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+               for i in range(1, len(e.embedding) + 1)
+             ]) AS d
+      FROM embeddings e CROSS JOIN cvecs c
+    ),
+    pred AS (
+      SELECT label, cid AS pred FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d, cid
+        ) AS rn FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM pred GROUP BY label ORDER BY label
+    """,
+    doc="Nearest-centroid classification report: per-label centroid "
+    "fit (deterministic sorted-fold means), squared-L2 assignment via "
+    "a ONE-ROW broadcast model (the IVF shape — shuffle-free corpus "
+    "pass), per-true-label accuracy — the quickest separability / "
+    "label-quality check on an embedding table "
+    "(pipeline/similarity.py centroid_classify). Oracle replays "
+    "centroids, distances, and the lowest-label tie-break in DuckDB.",
+    tags=("pipeline", "similarity", "eval"),
+)
+def pl_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import centroid_classify
+
+    return centroid_classify(spark.table("embeddings")).orderBy("label")

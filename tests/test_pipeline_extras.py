@@ -795,3 +795,22 @@ def test_golden_records_latest_nonnull_wins(spark):
         "A": ("555-1", "new@x.com", 2),
         "B": (None, "b@x.com", 1),
     }
+
+
+def test_centroid_classify_separable_clusters(spark):
+    from keenwa_spark.pipeline.similarity import centroid_classify
+
+    # two tight, well-separated clusters -> perfect accuracy; one
+    # deliberately mislabeled point -> its true label loses exactly it
+    rows = (
+        [(i, [0.0 + i * 0.01, 0.0], 0) for i in range(5)]
+        + [(10 + i, [10.0 + i * 0.01, 10.0], 1) for i in range(5)]
+        + [(99, [10.0, 10.0], 0)]  # labeled 0 but sits in cluster 1
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    got = {r["label"]: (r["n"], r["n_correct"]) for r in
+           centroid_classify(df).collect()}
+    assert got[1] == (5, 5)
+    assert got[0] == (6, 5)  # the planted mislabel is the one miss
