@@ -17,7 +17,7 @@ from keenwa_spark.operators.hyperfunctions import (
     state_durations,
     time_weighted_avg,
 )
-from keenwa_spark.operators.islands import gaps_islands, scd2_compress
+from keenwa_spark.operators.islands import gaps_islands, interval_coalesce, scd2_compress
 from keenwa_spark.operators.range_join import range_join
 from keenwa_spark.operators.rollup import time_rollup
 from keenwa_spark.operators.sequence import sequence_pattern_count
@@ -29,6 +29,7 @@ __all__ = [
     "gaps_islands",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
+    "interval_coalesce",
     "merge_upsert",
     "ohlc_bars",
     "range_join",

@@ -101,3 +101,53 @@ def scd2_compress(
         F.lead("valid_from").over(w_run).alias("valid_to"),
         "n_obs",
     )
+
+
+def interval_coalesce(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping or touching intervals per key into maximal
+    disjoint intervals (interval UNION — the continuous-time cousin of
+    ``gaps_islands``): downtime windows that overlap collapse to one
+    outage, per-session activity spans merge into coverage spans.
+
+    Intervals are half-open [start, end); an interval starting exactly
+    at another's end TOUCHES it and merges. Returns one row per merged
+    interval: keys, ``merged_start``, ``merged_end``, ``n_intervals``.
+
+    One key shuffle: order by (start, end), flag rows whose start
+    exceeds the running max of all previous ends (a strictly new
+    interval), running-sum the flags into group ids, aggregate. The
+    running max makes containment cases correct — a short interval
+    inside a long one must not split the group when the long one's end
+    is still ahead.
+    """
+    s_us = F.unix_micros(F.col(start_col))
+    e_us = F.unix_micros(F.col(end_col))
+    w = Window.partitionBy(*keys).orderBy(s_us, e_us)
+    prev_max_end = F.max(e_us).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_grp = F.when(
+        prev_max_end.isNull() | (s_us > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    grouped = df.select(
+        *keys,
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+        F.sum(new_grp).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__grp"),
+    )
+    return (
+        grouped.groupBy(*keys, "__grp")
+        .agg(
+            F.min("__s").alias("merged_start"),
+            F.max("__e").alias("merged_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        )
+        .drop("__grp")
+    )

@@ -1099,3 +1099,73 @@ def op_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
         "value", "n_obs", "src",
     ).orderBy("user_id", "bucket_ts")
+
+
+@df_query(
+    "op_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e, event_id
+      FROM events WHERE event_type = 'error'
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(epoch_us(e)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(s), epoch_us(e)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR epoch_us(s) > MAX(epoch_us(e)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(s), epoch_us(e)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS new_grp
+      FROM iv
+    ),
+    grouped AS (
+      SELECT user_id, s, e,
+             SUM(new_grp) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(s), epoch_us(e)
+             ) AS grp
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(s), '%Y-%m-%d %H:%M:%S.%f') AS merged_start,
+           strftime(MAX(e), '%Y-%m-%d %H:%M:%S.%f') AS merged_end,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM grouped GROUP BY user_id, grp
+    ORDER BY user_id, merged_start
+    """,
+    doc="Interval coalescing (interval UNION): each user's 2-hour "
+    "post-error windows merged into maximal disjoint outage spans — "
+    "overlapping or touching windows collapse, and the running-max-of-"
+    "ends flag keeps containment correct (a short window inside a "
+    "long one never splits the span) "
+    "(operators/islands.py interval_coalesce — one key shuffle, "
+    "lag-free window chain); oracle replays the identical chain.",
+    tags=("temporal", "islands", "interval"),
+)
+def op_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.islands import interval_coalesce
+
+    iv = (
+        spark.table("events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("w_end"),
+        )
+    )
+    out = interval_coalesce(
+        iv, keys=["user_id"], start_col="w_start", end_col="w_end"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("merged_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "merged_start"
+        ),
+        F.date_format("merged_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "merged_end"
+        ),
+        "n_intervals",
+    ).orderBy("user_id", "merged_start")

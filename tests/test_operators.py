@@ -844,3 +844,36 @@ def test_time_resample_interpolate_linear_and_edges(spark):
     assert got["2024-01-04"] == (40.0, 1, "obs")
     assert got["2024-01-05"] == (None, 0, "edge")
     assert got["2024-01-06"] == (None, 0, "edge")
+
+
+def test_interval_coalesce_overlap_touch_containment(spark):
+    from keenwa_spark.operators.islands import interval_coalesce
+
+    # overlap (0-10, 5-15), touch (15-20), contained (16-17),
+    # then a gap and a lone interval
+    rows = [
+        ("u", 0, 10), ("u", 5, 15), ("u", 15, 20), ("u", 16, 17),
+        ("u", 30, 40),
+        ("v", 100, 110),
+    ]
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, base + timedelta(seconds=s), base + timedelta(seconds=e))
+         for k, s, e in rows],
+        "k string, s timestamp, e timestamp",
+    )
+    got = {
+        (r["k"], str(r["merged_start"])[17:19]): (
+            str(r["merged_end"])[17:19], r["n_intervals"]
+        )
+        for r in interval_coalesce(
+            df, keys=["k"], start_col="s", end_col="e"
+        ).collect()
+    }
+    assert got == {
+        ("u", "00"): ("20", 4),   # overlap+touch+contained merge
+        ("u", "30"): ("40", 1),
+        ("v", "40"): ("50", 1),   # 100s -> :41:40, 110s -> :41:50
+    }
