@@ -304,23 +304,13 @@ def filtered_cosine_topk(
     )
 
 
-def centroid_classify(
-    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+def _centroid_assign(
+    emb: DataFrame, label_col: str, vec_col: str
 ) -> DataFrame:
-    """Nearest-centroid classification report: fit per-label centroids
-    (``label_centroids`` — deterministic sorted-fold means), assign
-    every vector to its nearest centroid by squared L2 (lowest-label
-    tie-break), and report per TRUE label: n, n_correct, accuracy —
-    the quickest label-quality / separability check on an embedding
-    table (low accuracy = labels not linearly separated in the space,
-    or mislabeled data).
-
-    Plan: the centroid model collapses to ONE row of
-    (label, vector) structs broadcast onto the corpus scan (the IVF
-    assignment shape — shuffle-free, constant-size plan at any corpus
-    size); distances are sequential per-dimension folds, bit-exact
-    cross-engine.
-    """
+    """Shared core of the centroid evaluators: fit per-label centroids,
+    broadcast them as ONE row of (label, vector) structs, and assign
+    every embedding to its nearest centroid by squared L2 with the
+    lowest-label tie-break. Returns (label, pred) per vector."""
     cents = label_centroids(emb, label_col=label_col, vec_col=vec_col)
     cvecs = cents.groupBy(label_col).agg(
         F.expr(
@@ -339,13 +329,30 @@ def centroid_classify(
         "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d, c.cid AS cid))"
     )
-    assigned = (
-        emb.crossJoin(F.broadcast(model))
-        .select(
-            F.col(label_col),
-            F.expr(f"array_min({dists}).cid").alias("pred"),
-        )
+    return emb.crossJoin(F.broadcast(model)).select(
+        F.col(label_col),
+        F.expr(f"array_min({dists}).cid").alias("pred"),
     )
+
+
+def centroid_classify(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid classification report: fit per-label centroids
+    (``label_centroids`` — deterministic sorted-fold means), assign
+    every vector to its nearest centroid by squared L2 (lowest-label
+    tie-break), and report per TRUE label: n, n_correct, accuracy —
+    the quickest label-quality / separability check on an embedding
+    table (low accuracy = labels not linearly separated in the space,
+    or mislabeled data).
+
+    Plan: the centroid model collapses to ONE row of
+    (label, vector) structs broadcast onto the corpus scan (the IVF
+    assignment shape — shuffle-free, constant-size plan at any corpus
+    size); distances are sequential per-dimension folds, bit-exact
+    cross-engine.
+    """
+    assigned = _centroid_assign(emb, label_col, vec_col)
     n = F.count(F.lit(1)).cast("bigint")
     n_correct = F.sum(
         F.when(F.col("pred") == F.col(label_col), 1).otherwise(0)
@@ -360,4 +367,19 @@ def centroid_classify(
             "accuracy",
             F.col("n_correct").cast("double") / F.col("n").cast("double"),
         )
+    )
+
+
+def centroid_confusion(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Confusion matrix of the nearest-centroid classifier: one row
+    per (true label, predicted centroid) with its count — the
+    which-labels-bleed-into-which view behind ``centroid_classify``'s
+    accuracy numbers. Same broadcast one-row model and deterministic
+    lowest-label tie-break."""
+    return (
+        _centroid_assign(emb, label_col, vec_col)
+        .groupBy(label_col, "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

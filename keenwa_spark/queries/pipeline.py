@@ -2964,3 +2964,107 @@ def pl_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.similarity import centroid_classify
 
     return centroid_classify(spark.table("embeddings")).orderBy("label")
+
+
+@df_query(
+    "pl_centroid_confusion",
+    oracle="""
+    WITH expl AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim,
+             list_sum(list_sort(list(CAST(v AS DOUBLE)))) / COUNT(v)
+               AS centroid_v
+      FROM expl GROUP BY label, dim
+    ),
+    cvecs AS (
+      SELECT label AS cid, list(centroid_v ORDER BY dim) AS cv
+      FROM cent GROUP BY label
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label, c.cid,
+             list_sum([
+               (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+               * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+               for i in range(1, len(e.embedding) + 1)
+             ]) AS d
+      FROM embeddings e CROSS JOIN cvecs c
+    ),
+    pred AS (
+      SELECT label, cid AS pred FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d, cid
+        ) AS rn FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY label, pred ORDER BY label, pred
+    """,
+    doc="Full confusion matrix of the nearest-centroid classifier "
+    "(true label x predicted centroid counts) — which labels bleed "
+    "into which, beyond pl_centroid_classify's per-label accuracy. "
+    "Same one-row broadcast model and deterministic tie-break.",
+    tags=("pipeline", "similarity", "eval"),
+)
+def pl_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import centroid_confusion
+
+    return centroid_confusion(spark.table("embeddings")).orderBy(
+        "label", "pred"
+    )
+
+
+@df_query(
+    "pl_benford_digits",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM events WHERE value >= 1
+    )
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM digits) AS share
+    FROM digits GROUP BY digit ORDER BY digit
+    """,
+    doc="Benford leading-digit screening: the first-significant-digit "
+    "distribution of events.value (values >= 1) — the classic "
+    "fabricated-data / unit-mixing tell (natural multiplicative data "
+    "tracks log10(1+1/d): ~30.1% ones down to ~4.6% nines; uniform "
+    "synthetic data shows up flat, as this table's does). The digit "
+    "comes from the BIGINT integer part's string form — identical in "
+    "both engines — never from log10, which is not correctly-rounded "
+    "cross-engine.",
+    tags=("pipeline", "quality", "benford"),
+)
+def pl_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digits = (
+        spark.table("events")
+        .where(F.col("value") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("value")).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    total = digits.agg(F.count(F.lit(1)).alias("__t"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("__t").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("digit")
+    )
