@@ -373,3 +373,27 @@ sql_query(
     "is final-stage only).",
     tags=("analytics", "aggregate", "strings"),
 )
+
+
+sql_query(
+    "agg_weighted_avg",
+    """
+    SELECT
+      l_returnflag,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        AS qty_weighted_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS total_qty,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Quantity-weighted average price per return flag: both the "
+    "weighted numerator (decimal x decimal products) and the weight "
+    "sum aggregate EXACTLY, then one double division — the "
+    "order-independent form of the weighted mean (a double-weighted "
+    "running mean is partition-order-dependent and unverifiable).",
+    tags=("analytics", "aggregate", "weighted"),
+)

@@ -3068,3 +3068,75 @@ def pl_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@df_query(
+    "pl_category_drift",
+    oracle="""
+    WITH a AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_a FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type
+    ),
+    b AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_b FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_type
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(n_a) AS DOUBLE) FROM a) AS ta,
+             (SELECT CAST(SUM(n_b) AS DOUBLE) FROM b) AS tb
+    ),
+    j AS (
+      SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+    )
+    SELECT j.event_type, j.n_a, j.n_b,
+           CAST(j.n_a AS DOUBLE) / t.ta AS share_a,
+           CAST(j.n_b AS DOUBLE) / t.tb AS share_b,
+           (CAST(j.n_b AS DOUBLE) / t.tb - CAST(j.n_a AS DOUBLE) / t.ta)
+             * (CAST(j.n_b AS DOUBLE) / t.tb - CAST(j.n_a AS DOUBLE) / t.ta)
+             / (CAST(j.n_a AS DOUBLE) / t.ta) AS chi2_contrib
+    FROM j CROSS JOIN tot t
+    ORDER BY j.event_type
+    """,
+    doc="Categorical distribution drift between two periods (first vs "
+    "second half of January): per-category shares and the chi-square "
+    "contribution ((p_b - p_a)^2 / p_a) — the production data-drift "
+    "monitor for an ingest pipeline. Chi-square instead of PSI/KL is "
+    "deliberate: it is RATIONAL in exact integer counts (ln-free), so "
+    "it hash-matches cross-engine (same rule as Gini/LM-surprisal). "
+    "Two filtered aggregates over one scan, 5-row full-outer join, "
+    "broadcast totals.",
+    tags=("pipeline", "quality", "drift"),
+)
+def pl_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    a = ev.where(F.col("ts") < cut).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    b = ev.where(F.col("ts") >= cut).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    tot = a.agg(F.sum("n_a").cast("double").alias("__ta")).crossJoin(
+        b.agg(F.sum("n_b").cast("double").alias("__tb"))
+    )
+    j = (
+        a.join(b, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    share_a = F.col("n_a").cast("double") / F.col("__ta")
+    share_b = F.col("n_b").cast("double") / F.col("__tb")
+    return j.select(
+        "event_type", "n_a", "n_b",
+        share_a.alias("share_a"),
+        share_b.alias("share_b"),
+        ((share_b - share_a) * (share_b - share_a) / share_a).alias(
+            "chi2_contrib"
+        ),
+    ).orderBy("event_type")
