@@ -3140,3 +3140,108 @@ def pl_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_contrib"
         ),
     ).orderBy("event_type")
+
+
+@df_query(
+    "pl_numeric_drift_ks",
+    oracle="""
+    WITH a AS (
+      SELECT value AS v FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
+    ),
+    b AS (
+      SELECT value AS v FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND value IS NOT NULL
+    ),
+    pts AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS ca, CAST(0 AS BIGINT) AS cb
+      FROM a GROUP BY v
+      UNION ALL
+      SELECT v, CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+      FROM b GROUP BY v
+    ),
+    merged AS (
+      SELECT v, CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+      FROM pts GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             CAST(SUM(ca) OVER w AS DOUBLE)
+               / (SELECT COUNT(*) FROM a) AS fa,
+             CAST(SUM(cb) OVER w AS DOUBLE)
+               / (SELECT COUNT(*) FROM b) AS fb
+      FROM merged
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    ranked AS (
+      SELECT v, abs(fa - fb) AS d,
+             ROW_NUMBER() OVER (ORDER BY abs(fa - fb) DESC, v ASC) AS rn
+      FROM cum
+    )
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+           d AS ks_stat,
+           v AS at_value
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift statistic for a numeric "
+    "column (first vs second half of January): the max gap between "
+    "the two empirical CDFs, evaluated exactly at every distinct "
+    "observed value via one merged per-value count + a running-sum "
+    "window — no sampling, no binning. All arithmetic is rational in "
+    "exact integer counts (cumulative counts / sample sizes), so the "
+    "statistic hash-matches cross-engine; argmax tie-breaks to the "
+    "smallest value. The cumulative window is GLOBAL but runs over "
+    "per-DISTINCT-VALUE rows, not raw rows — bounded by the value "
+    "domain; quantize truly-continuous columns first at 100 TB. The "
+    "numeric companion to pl_category_drift.",
+    tags=("pipeline", "quality", "drift", "ks"),
+)
+def pl_numeric_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = spark.table("events").where(F.col("value").isNotNull())
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    a = ev.where(F.col("ts") < cut).select(F.col("value").alias("v"))
+    b = ev.where(F.col("ts") >= cut).select(F.col("value").alias("v"))
+    pts = (
+        a.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+        .withColumn("cb", F.lit(0).cast("bigint"))
+        .unionByName(
+            b.groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+            .withColumn("ca", F.lit(0).cast("bigint"))
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("ca").cast("bigint").alias("ca"),
+            F.sum("cb").cast("bigint").alias("cb"),
+        )
+    )
+    totals = a.agg(F.count(F.lit(1)).cast("double").alias("__na")).crossJoin(
+        b.agg(F.count(F.lit(1)).cast("double").alias("__nb"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pts.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "__na",
+        "__nb",
+        (F.sum("ca").over(w).cast("double") / F.col("__na")).alias("fa"),
+        (F.sum("cb").over(w).cast("double") / F.col("__nb")).alias("fb"),
+    )
+    ranked = cum.select(
+        "v", "__na", "__nb", F.abs(F.col("fa") - F.col("fb")).alias("d")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.col("d").desc(), F.col("v").asc())
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.col("d").alias("ks_stat"),
+        F.col("v").alias("at_value"),
+    )

@@ -1169,3 +1169,82 @@ def op_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_intervals",
     ).orderBy("user_id", "merged_start")
+
+
+@df_query(
+    "op_uptime_gaps",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e
+      FROM events WHERE event_type = 'error'
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(epoch_us(e)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(s), epoch_us(e)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR epoch_us(s) > MAX(epoch_us(e)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(s), epoch_us(e)
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS new_grp
+      FROM iv
+    ),
+    grouped AS (
+      SELECT user_id, s, e,
+             SUM(new_grp) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(s), epoch_us(e)
+             ) AS grp
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, MIN(s) AS ms, MAX(e) AS me
+      FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           strftime(me, '%Y-%m-%d %H:%M:%S.%f') AS gap_start,
+           strftime(LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms),
+                    '%Y-%m-%d %H:%M:%S.%f') AS gap_end,
+           epoch_us(LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms))
+             - epoch_us(me) AS gap_us
+    FROM merged
+    QUALIFY gap_end IS NOT NULL
+    ORDER BY user_id, gap_start
+    """,
+    doc="Uptime accounting — the COMPLEMENT of interval coalescing: "
+    "the gaps BETWEEN each user's merged outage spans (coalesce, then "
+    "lead to the next span's start; open tail excluded). Composes "
+    "operators/islands.py interval_coalesce with one more window over "
+    "the same key partitioning.",
+    tags=("temporal", "islands", "interval"),
+)
+def op_uptime_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from keenwa_spark.operators.islands import interval_coalesce
+
+    iv = (
+        spark.table("events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("w_end"),
+        )
+    )
+    merged = interval_coalesce(
+        iv, keys=["user_id"], start_col="w_start", end_col="w_end"
+    )
+    w = Window.partitionBy("user_id").orderBy("merged_start")
+    gaps = merged.select(
+        "user_id",
+        F.col("merged_end").alias("gs"),
+        F.lead("merged_start").over(w).alias("ge"),
+    ).where(F.col("ge").isNotNull())
+    return gaps.select(
+        "user_id",
+        F.date_format("gs", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("gap_start"),
+        F.date_format("ge", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("gap_end"),
+        (F.unix_micros("ge") - F.unix_micros("gs")).alias("gap_us"),
+    ).orderBy("user_id", "gap_start")
