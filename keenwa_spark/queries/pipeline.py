@@ -3245,3 +3245,94 @@ def pl_numeric_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("ks_stat"),
         F.col("v").alias("at_value"),
     )
+
+
+@df_query(
+    "pl_association_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    margins AS (
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+             (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents) AS r,
+             (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents) AS c
+    ),
+    rl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nr FROM documents GROUP BY lang),
+    cl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nc FROM documents GROUP BY source),
+    chi AS (
+      SELECT list_reduce(
+               list(
+                 (o.o - CAST(rl.nr AS DOUBLE) * cl.nc / m.n)
+                 * (o.o - CAST(rl.nr AS DOUBLE) * cl.nc / m.n)
+                 / (CAST(rl.nr AS DOUBLE) * cl.nc / m.n)
+                 ORDER BY o.lang, o.source
+               ), (a, b) -> a + b) AS chi2
+      FROM obs o
+      JOIN rl ON rl.lang = o.lang
+      JOIN cl ON cl.source = o.source
+      CROSS JOIN margins m
+    )
+    SELECT m.n AS n_docs, m.r AS n_langs, m.c AS n_sources,
+           chi.chi2 AS chi2,
+           sqrt(chi.chi2 / (m.n * (LEAST(m.r, m.c) - 1))) AS cramers_v
+    FROM chi CROSS JOIN margins m
+    """,
+    doc="Cramér's V association between two categorical columns "
+    "(documents.lang x source): chi-square over the contingency table "
+    "normalized to [0,1] — the feature-selection / redundancy screen "
+    "between categoricals. Cramér's V instead of mutual information "
+    "is deliberate: MI needs ln() (ulp-divergent cross-engine) while "
+    "V is rational in exact integer counts plus ONE sqrt — and sqrt "
+    "IS correctly-rounded IEEE, so the statistic hash-matches. The "
+    "per-cell double contributions fold in SORTED (lang, source) "
+    "order on both engines (even a single-partition SUM orders its "
+    "inputs engine-specifically — measured 1-ulp apart before the "
+    "sorted fold).",
+    tags=("pipeline", "quality", "association"),
+)
+def pl_association_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rl = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    cl = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc")
+    )
+    m = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.countDistinct("lang").cast("bigint").alias("r"),
+        F.countDistinct("source").cast("bigint").alias("c"),
+    )
+    e = F.col("nr").cast("double") * F.col("nc") / F.col("n")
+    chi = (
+        obs.join(F.broadcast(rl), "lang")
+        .join(F.broadcast(cl), "source")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "lang", "source",
+            ((F.col("o") - e) * (F.col("o") - e) / e).alias("contrib"),
+            "n", "r", "c",
+        )
+        .groupBy("n", "r", "c")
+        # sorted sequential fold: a plain SUM orders its double inputs
+        # engine-specifically even in one partition (measured 1 ulp)
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list("
+                "struct(lang, source, contrib))), CAST(0 AS DOUBLE), "
+                "(acc, x) -> acc + x.contrib)"
+            ).alias("chi2")
+        )
+    )
+    return chi.select(
+        F.col("n").alias("n_docs"),
+        F.col("r").alias("n_langs"),
+        F.col("c").alias("n_sources"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2") / (F.col("n") * (F.least("r", "c") - F.lit(1)))
+        ).alias("cramers_v"),
+    )

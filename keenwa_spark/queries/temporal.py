@@ -1248,3 +1248,48 @@ def op_uptime_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ge", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("gap_end"),
         (F.unix_micros("ge") - F.unix_micros("gs")).alias("gap_us"),
     ).orderBy("user_id", "gap_start")
+
+
+@df_query(
+    "op_ema_smoothing",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           list_reduce(
+             list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id),
+             (a, b) -> a / 2 + b / 2
+           ) AS ema
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Exponential moving average per user with alpha = 1/2: the "
+    "canonical recency-weighted smoother, folded sequentially over "
+    "the (ts, event_id)-ordered series as acc/2 + v/2. alpha = 1/2 "
+    "is deliberate: halving a double is EXACT (one bit of exponent), "
+    "so every fold step is a correctly-rounded op identical in both "
+    "engines — a general alpha would multiply by an inexact constant "
+    "and drift in ulp over long series. Per-key fold over the "
+    "collected ordered array (same per-key-collect caveat as the "
+    "sequence-pattern operator).",
+    tags=("temporal", "window", "smoothing"),
+)
+def op_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.expr(
+                "aggregate("
+                "array_sort(collect_list(struct(unix_micros(ts) AS e, "
+                "event_id AS i, CAST(value AS DOUBLE) AS v))), "
+                "CAST(NULL AS DOUBLE), "
+                "(acc, x) -> CASE WHEN acc IS NULL THEN x.v "
+                "ELSE acc / 2 + x.v / 2 END)"
+            ).alias("ema"),
+        )
+        .orderBy("user_id")
+    )
