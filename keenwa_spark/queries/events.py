@@ -571,3 +571,65 @@ def ev_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@df_query(
+    "ev_spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, s,
+             ROW_NUMBER() OVER (ORDER BY s, user_id) AS i,
+             COUNT(*) OVER () AS n
+      FROM spend
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(SUM(s) AS DOUBLE) AS total_spend,
+           CAST(SUM(CAST(s AS DECIMAL(20,6))
+                    * CAST(2 * i - n - 1 AS DECIMAL(6,0))) AS DOUBLE)
+             / (MAX(n) * CAST(SUM(s) AS DOUBLE)) AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of purchase-spend concentration across "
+    "users (0 = equal, 1 = one user owns everything) — the standard "
+    "inequality read on any revenue or token-budget distribution. "
+    "EXACT end-to-end: per-user spends are decimal sums, each "
+    "Lorenz term (2i - n - 1) x spend multiplies width-checked "
+    "decimals (the TWA width choreography), and the grand sum stays "
+    "decimal until ONE final double division. The global rank runs "
+    "over per-USER rows — key-cardinality, not event volume.",
+    tags=("events", "analytics", "gini"),
+)
+def ev_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    spend = (
+        spark.table("events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+    )
+    w = Window.orderBy("s", "user_id")
+    ranked = spend.select(
+        "s",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    term = F.col("s").cast("decimal(20,6)") * (
+        F.lit(2) * F.col("i") - F.col("n") - F.lit(1)
+    ).cast("decimal(6,0)")
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.sum("s").cast("double").alias("total_spend"),
+        (
+            F.sum(term).cast("double")
+            / (F.max("n") * F.sum("s").cast("double"))
+        ).alias("gini"),
+    )
