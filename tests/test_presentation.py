@@ -206,3 +206,32 @@ def test_cte_ids_are_per_plan_not_session_global(views):
         )
     )
     assert "CTEDef id=0" in two and "CTEDef id=1" in two
+
+
+def test_new_operator_plans_render(views):
+    """The keenwa-style renderer must handle the round-5 operator
+    plans (full-outer CDC joins, island windows, interval coalesce)
+    without leaking Catalyst ids or crashing — structural smoke, not
+    brittle full-text goldens."""
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.operators import gaps_islands, snapshot_diff
+
+    ev = views.table("events")
+    a = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    b = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    diff_text = render_plan(snapshot_diff(a, b, keys=["user_id"]))
+    assert "LogicalJoin" in diff_text and "full" in diff_text.lower()
+    assert "LogicalAggregate" in diff_text
+
+    days = ev.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("d")
+    ).distinct()
+    isl_text = render_plan(gaps_islands(days, keys=["user_id"], seq_col="d"))
+    assert "LogicalWindowAggregate" in isl_text
+    assert "LogicalAggregate" in isl_text
+
+    import re
+
+    for text in (diff_text, isl_text):
+        assert not re.search(r"#\d", text), text[:300]
