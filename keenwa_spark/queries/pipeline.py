@@ -3336,3 +3336,73 @@ def pl_association_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chi2") / (F.col("n") * (F.least("r", "c") - F.lit(1)))
         ).alias("cramers_v"),
     )
+
+
+@df_query(
+    "pl_distinct_estimate_kmv",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT
+        (('0x' || substr(md5(unnest(
+          CASE WHEN len(ws) >= 3
+               THEN list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])
+               ELSE [] END)), 1, 8))::BIGINT) AS h
+      FROM toks
+    ),
+    bottom AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM grams
+      ORDER BY h LIMIT 256
+    )
+    SELECT CAST((SELECT COUNT(*) FROM grams) AS BIGINT) AS exact_distinct,
+           CAST(255 AS DOUBLE)
+             / (CAST((SELECT h FROM bottom WHERE rk = 256) AS DOUBLE)
+                / 4294967296.0) AS kmv_estimate,
+           abs(CAST(255 AS DOUBLE)
+               / (CAST((SELECT h FROM bottom WHERE rk = 256) AS DOUBLE)
+                  / 4294967296.0)
+               - (SELECT COUNT(*) FROM grams))
+             / (SELECT COUNT(*) FROM grams) AS rel_error
+    """,
+    doc="K-minimum-values distinct-count estimation over the corpus's "
+    "3-gram shingles (k=256): the bottom-k sketch whose estimate "
+    "(k-1)/u_(k) needs only the k smallest portable hashes — the "
+    "mergeable, bounded-memory form exact COUNT(DISTINCT) takes at "
+    "100 TB, here verified EXACTLY because the md5-derived hashes and "
+    "the estimator arithmetic are deterministic on both engines (an "
+    "HLL sketch could only be tolerance-tested; KMV hash-matches). "
+    "The exact distinct count rides alongside so the row also "
+    "MEASURES the estimator's error. Plan: the sketch is a "
+    "TakeOrdered over hashed distinct grams — no full sort.",
+    tags=("pipeline", "sketch", "distinct"),
+)
+def pl_distinct_estimate_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dedup import _shingles
+    from keenwa_spark.pipeline.hashing import spark_hash64
+
+    k = 256
+    grams = (
+        spark.table("documents")
+        .select(F.explode(F.expr(_shingles("text", 3))).alias("g"))
+        .select(F.expr(spark_hash64("g")).alias("h"))
+        .distinct()
+    )
+    bottom = grams.orderBy("h").limit(k)
+    kth = bottom.agg(F.max("h").cast("double").alias("__hk"))
+    exact = grams.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    est = F.lit(float(k - 1)) / (F.col("__hk") / F.lit(4294967296.0))
+    return (
+        exact.crossJoin(F.broadcast(kth))
+        .select(
+            "exact_distinct",
+            est.alias("kmv_estimate"),
+            (
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ).alias("rel_error"),
+        )
+    )

@@ -1293,3 +1293,43 @@ def op_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@df_query(
+    "win_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS med7
+    FROM events
+    WHERE value IS NOT NULL AND user_id <= 20
+    ORDER BY user_id, event_id
+    """,
+    doc="Rolling exact median (trailing 7 observations per user) — "
+    "the robust smoother that shrugs off the spikes a rolling mean "
+    "chases; the windowed twin of the robust-scaling family. Exact "
+    "percentile as a WINDOW aggregate (Spark percentile == DuckDB "
+    "quantile_cont, bit-equal interpolation) over a ROWS frame with "
+    "the (epoch, event_id) deterministic order.",
+    tags=("temporal", "window", "median"),
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+        .rowsBetween(-6, 0)
+    )
+    return (
+        spark.table("events")
+        .where(F.col("value").isNotNull() & (F.col("user_id") <= 20))
+        .select(
+            "user_id",
+            "event_id",
+            F.percentile(F.col("value"), F.lit(0.5)).over(w).alias("med7"),
+        )
+        .orderBy("user_id", "event_id")
+    )
