@@ -21,6 +21,7 @@ from keenwa_spark.operators.islands import gaps_islands, interval_coalesce, scd2
 from keenwa_spark.operators.range_join import range_join
 from keenwa_spark.operators.rollup import time_rollup
 from keenwa_spark.operators.sequence import sequence_pattern_count
+from keenwa_spark.operators.skyline import skyline_2d
 
 __all__ = [
     "asof_join",
@@ -37,6 +38,7 @@ __all__ = [
     "salted_join",
     "scd2_compress",
     "sequence_pattern_count",
+    "skyline_2d",
     "snapshot_diff",
     "state_durations",
     "time_rollup",

@@ -1333,3 +1333,43 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@df_query(
+    "op_skyline_orders",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT o_totalprice AS p, o_orderdate AS d FROM orders
+    )
+    SELECT a.p AS o_totalprice,
+           strftime(a.d, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+    FROM pairs a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs b
+      WHERE b.p >= a.p AND b.d <= a.d AND (b.p > a.p OR b.d < a.d)
+    )
+    ORDER BY o_totalprice DESC
+    """,
+    doc="2-D skyline over orders — the Pareto frontier of (highest "
+    "totalprice, earliest orderdate): no returned order is beaten on "
+    "both axes by any other. The Spark plan is the LINEAR sort-filter "
+    "skyline (one window over distinct pairs, running-min dominance "
+    "test — operators/skyline.py); the oracle is the quadratic "
+    "NOT-EXISTS definition, so the equality also PROVES the linear "
+    "algorithm correct on this data.",
+    tags=("temporal", "skyline", "preference"),
+)
+def op_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.skyline import skyline_2d
+
+    front = skyline_2d(
+        spark.table("orders"),
+        maximize_col="o_totalprice",
+        minimize_col="o_orderdate",
+    )
+    return front.select(
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "o_orderdate"
+        ),
+    ).orderBy(F.col("o_totalprice").desc())

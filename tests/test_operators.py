@@ -877,3 +877,15 @@ def test_interval_coalesce_overlap_touch_containment(spark):
         ("u", "30"): ("40", 1),
         ("v", "40"): ("50", 1),   # 100s -> :41:40, 110s -> :41:50
     }
+
+
+def test_skyline_2d_dominance(spark):
+    from keenwa_spark.operators.skyline import skyline_2d
+
+    # frontier: (10,1) (8,0); dominated: (9,2) by (10,1)... wait (10,1)
+    # has mx 10 >= 9 and mn 1 <= 2 strict -> dominated; (10,5) dominated
+    # by (10,1); duplicates collapse
+    rows = [(10, 1), (9, 2), (8, 0), (10, 5), (7, 3), (8, 0)]
+    df = spark.createDataFrame(rows, "mx int, mn int")
+    got = {(r["mx"], r["mn"]) for r in skyline_2d(df, "mx", "mn").collect()}
+    assert got == {(10, 1), (8, 0)}
