@@ -91,6 +91,15 @@ class PlanBuilder:
         new_query_builder, builder/mod.rs:727-737)."""
         return PlanBuilder(self.spark)
 
+    def sub_query_builder(self) -> "PlanBuilder":
+        """Fresh builder for a sub-relation to be embedded in THIS
+        query (reference sub_query_builder vs new_relation_builder,
+        builder/mod.rs:696-737 — there the distinction threads the
+        shared memo/metadata handles; Python closures share the
+        session already, so both mirrors build the same object and
+        the name carries the intent)."""
+        return PlanBuilder(self.spark)
+
     # -- leaves (reference from/get :263-268, values, empty :626) -----------
 
     def from_(self, table: str) -> "PlanBuilder":
@@ -262,6 +271,31 @@ class PlanBuilder:
                 sub_df, _col(col) == sub_df[sub_col], "left_anti"
             )
         )
+
+    def scalar_subquery(self, sub: "PlanBuilder", alias: str) -> "PlanBuilder":
+        """Attach the scalar result of ``sub`` as column ``alias``,
+        usable in every subsequent ``project``/``select``/``order_by``
+        expression exactly like a literal — the builder face of the
+        reference's ``Expr::SubQuery`` scalar-subquery expression
+        (reference scalar/expr.rs:148, built from a sub-relation via
+        ``sub_query_builder``, builder/mod.rs:696-737).
+
+        ``sub`` must produce exactly ONE column (checked here) and —
+        per ANSI scalar-subquery semantics — at most one row (an
+        aggregate or ``limit(1)``; like the reference, which plans but
+        never executes, the builder cannot check cardinality at build
+        time). The plan is a broadcast cross join of the 1-row
+        sub-result: Catalyst evaluates the subquery once and streams
+        it to every task — the same shape Spark plans for a SQL
+        scalar subquery, with no per-row re-execution."""
+        sub_df = sub._require()
+        if len(sub_df.columns) != 1:
+            raise ArgumentError(
+                "scalar_subquery requires a 1-column sub-relation, got "
+                f"{len(sub_df.columns)} columns: {sub_df.columns}"
+            )
+        scalar = sub_df.select(F.col(sub_df.columns[0]).alias(alias))
+        return self._next(self._require().crossJoin(F.broadcast(scalar)))
 
     # -- set operators (reference :591-621, set_ops.rs) ---------------------
 

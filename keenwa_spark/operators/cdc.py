@@ -166,10 +166,15 @@ def merge_upsert(
         if how == "replace":
             expr = F.when(matched, dcol).otherwise(bcol)
         elif how == "sum":
-            # null-skipping add (SUM semantics): both-null stays null
+            # null-skipping add (SUM semantics): both-null stays null.
+            # Cast back to base's type: decimal add widens precision by
+            # one per merge, which would drift a parquet state store's
+            # schema every batch until the 38-digit cap (ADVICE r05).
             expr = F.when(
                 bcol.isNull() & dcol.isNull(), F.lit(None)
-            ).otherwise(F.coalesce(bcol, F.lit(0)) + F.coalesce(dcol, F.lit(0)))
+            ).otherwise(
+                F.coalesce(bcol, F.lit(0)) + F.coalesce(dcol, F.lit(0))
+            ).cast(base.schema[c].dataType)
         elif how == "greatest":
             expr = F.greatest(bcol, dcol)
         elif how == "least":

@@ -175,7 +175,9 @@ def counter_delta(
     is_reset = F.when(
         prev.isNotNull() & (dec < prev), F.lit(1)
     ).otherwise(F.lit(0))
-    seg = df.where(F.col(value_col).isNotNull()).select(
+    seg = df.where(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
         *keys,
         delta.alias("__d"),
         is_reset.alias("__r"),
@@ -214,7 +216,7 @@ def ohlc_bars(
     )
     v = F.col(value_col)
     return (
-        df.where(v.isNotNull())
+        df.where(v.isNotNull() & F.col(ts_col).isNotNull())
         .groupBy(
             *keys,
             F.date_trunc(grain, F.col(ts_col)).alias("bucket"),

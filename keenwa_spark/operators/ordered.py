@@ -1,0 +1,222 @@
+"""Two-pass exact global-order computations — rank, cumulative sums,
+prefix-min — WITHOUT a single-partition window.
+
+A partitionless Spark window (``Window.orderBy(...)`` with no
+``partitionBy``) funnels the whole input through ONE task: fine over a
+provably bounded domain, a scale-killer over anything that grows with
+the data (VERDICT r05 items 1-4). This module replaces that plan shape
+with the classic two-pass range-bucket scheme every distributed sort
+uses (TeraSort lineage):
+
+1. **Fit** ``B - 1`` approximate quantile cuts of the numeric bucket
+   column (one ``approxQuantile`` pass — distributed Greenwald-Khanna
+   partials, bounded driver result: a ≤ B-length double array — the
+   same sanctioned bounded-model-state pattern as the IVF centroid
+   fit, pipeline/ivf.py).
+2. **Count** per-bucket stats (row counts / column sums / mins) with
+   an ordinary map-side-partial groupBy, collect the ≤ B stat rows,
+   and fold them into DENSE exclusive-prefix arrays on the driver.
+3. **Finish** with a per-BUCKET window (hash-partitioned by bucket —
+   parallelism = B) plus a literal-array offset lookup
+   (``element_at(offsets, bucket + 1)`` — pure codegen, no join):
+   global rank = bucket offset + local rank, global cumsum = bucket
+   prefix + local cumsum, global prefix-min = min(bucket prefix-min,
+   local prev-min).
+
+Exactness does NOT depend on the cuts: any monotone bucketing gives
+the right answer because offsets come from exact per-bucket stats —
+cut quality only balances the buckets. Bucket assignment is the same
+pure-codegen array-filter used by the equi-depth histogram
+(pipeline/quality.py ``quantile_bin_of``); ties share a bucket, so a
+bucket boundary can never split rows that compare equal on the
+bucket column — which also makes both passes see identical bucket
+assignments (literal cuts, deterministic expression).
+
+Preconditions: the bucket column must be numeric and MONOTONE in the
+primary order column (identical is typical; a double shadow of a
+decimal/date key also qualifies), and the full ``order_by`` should be
+a total order (include a tie-break key) wherever per-row outputs like
+rank must be deterministic. NULLs in the bucket column land in the
+terminal bucket that matches Spark's NULLS FIRST (asc) / NULLS LAST
+(desc) default ordering.
+
+Scale: two extra column-pruned passes (fit + count) buy the removal
+of the single-task sort; the only full-data shuffle is the per-bucket
+window's hash exchange. ``n_buckets`` defaults to
+``spark.sql.shuffle.partitions`` so window parallelism matches the
+cluster; at 100 TB set buckets ~ cores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BKT = "__kw_bkt"
+
+
+def fit_bucket_cuts(
+    df: DataFrame,
+    bucket_col: str,
+    n_buckets: int | None = None,
+    relative_error: float = 0.001,
+) -> list[float]:
+    """≤ ``n_buckets - 1`` sorted distinct cut points of ``bucket_col``
+    (approximate quantiles; collapses under heavy ties — fewer, still
+    monotone, buckets)."""
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if n_buckets == 1:
+        return []
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.approxQuantile(bucket_col, probs, relative_error)
+    return sorted(set(cuts))
+
+
+def bucket_of(value: Column, cuts: list[float], descending: bool = False) -> Column:
+    """Bucket index of ``value`` against literal ``cuts``, increasing
+    along the global order (count of cuts <= value — value on a cut
+    goes above, the ``quantile_bin_of`` rule; mirrored when the
+    primary order is descending). NULL values: the filter drops every
+    cut, so NULL gets asc bucket 0 / desc bucket ``len(cuts)`` —
+    matching Spark's NULLS FIRST / NULLS LAST defaults."""
+    if not cuts:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    asc = F.size(F.filter(arr, lambda c: c <= value.cast("double")))
+    return (F.lit(len(cuts)) - asc) if descending else asc
+
+
+def _order_exprs(order_by: list, descending_first: bool) -> list[Column]:
+    out: list[Column] = []
+    for i, c in enumerate(order_by):
+        col = F.col(c) if isinstance(c, str) else c
+        out.append(col.desc() if (descending_first and i == 0) else col)
+    return out
+
+
+def _bucket_stats(bucketed: DataFrame, aggs: list[Column]) -> dict:
+    """Exact per-bucket stats, collected (≤ B rows — bounded driver
+    state), keyed by bucket index."""
+    return {r[_BKT]: r for r in bucketed.groupBy(_BKT).agg(*aggs).collect()}
+
+
+def _offset_lookup(values: list, dtype) -> Column:
+    """A literal array of per-bucket offsets indexed by ``_BKT`` —
+    pure codegen, no join, so no constraint-inference hazards from
+    joining on an aliased expression."""
+    lits = [
+        (F.lit(v) if v is not None else F.lit(None)).cast(dtype) for v in values
+    ]
+    return F.element_at(F.array(*lits), F.col(_BKT) + 1)
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_by: list,
+    bucket_col: str,
+    out_col: str = "i",
+    descending: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """``ROW_NUMBER() OVER (ORDER BY order_by)`` as bigint ``out_col``
+    — two-pass, never a single-partition sort."""
+    cuts = fit_bucket_cuts(df, bucket_col, n_buckets)
+    b = df.withColumn(_BKT, bucket_of(F.col(bucket_col), cuts, descending))
+    stats = _bucket_stats(b, [F.count(F.lit(1)).cast("bigint").alias("c")])
+    offs, running = [], 0
+    for k in range(len(cuts) + 1):
+        offs.append(running)
+        if k in stats:
+            running += stats[k]["c"]
+    w = Window.partitionBy(_BKT).orderBy(*_order_exprs(order_by, descending))
+    return (
+        b.withColumn(
+            out_col,
+            (
+                F.row_number().over(w).cast("bigint")
+                + _offset_lookup(offs, "bigint")
+            ).cast("bigint"),
+        )
+        .drop(_BKT)
+    )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_by: list,
+    bucket_col: str,
+    sums: dict[str, str],
+    descending: bool = False,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Running ``SUM(in) OVER (ORDER BY order_by ROWS UNBOUNDED
+    PRECEDING)`` for each ``out_col -> in_col`` in ``sums`` —
+    inclusive of the current row, exact for integer/decimal inputs
+    (bucket prefixes are exact per-bucket sums)."""
+    cuts = fit_bucket_cuts(df, bucket_col, n_buckets)
+    b = df.withColumn(_BKT, bucket_of(F.col(bucket_col), cuts, descending))
+    stats_df_aggs = [F.sum(src).alias(out) for out, src in sums.items()]
+    grouped = b.groupBy(_BKT).agg(*stats_df_aggs)
+    dtypes = {f.name: f.dataType for f in grouped.schema.fields}
+    stats = {r[_BKT]: r for r in grouped.collect()}
+    w = (
+        Window.partitionBy(_BKT)
+        .orderBy(*_order_exprs(order_by, descending))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    res = b
+    for out_col, src in sums.items():
+        offs, running = [], None
+        for k in range(len(cuts) + 1):
+            offs.append(running if running is not None else 0)
+            v = stats[k][out_col] if k in stats else None
+            if v is not None:
+                running = offs[-1] + v
+        res = res.withColumn(
+            out_col,
+            F.sum(src).over(w) + _offset_lookup(offs, dtypes[out_col]),
+        )
+    return res.drop(_BKT)
+
+
+def with_global_prev_min(
+    df: DataFrame,
+    order_by: list,
+    bucket_col: str,
+    min_of: str,
+    out_col: str,
+    descending: bool = True,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """``MIN(min_of) OVER (ORDER BY order_by ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` — the running minimum of everything
+    STRICTLY BEFORE the row (NULL for the global first row), the
+    sort-filter skyline's dominance witness."""
+    cuts = fit_bucket_cuts(df, bucket_col, n_buckets)
+    b = df.withColumn(_BKT, bucket_of(F.col(bucket_col), cuts, descending))
+    grouped = b.groupBy(_BKT).agg(F.min(min_of).alias("m"))
+    dtype = grouped.schema["m"].dataType
+    stats = {r[_BKT]: r for r in grouped.collect()}
+    offs, running = [], None
+    for k in range(len(cuts) + 1):
+        offs.append(running)
+        v = stats[k]["m"] if k in stats else None
+        if v is not None:
+            running = v if running is None else min(running, v)
+    w = (
+        Window.partitionBy(_BKT)
+        .orderBy(*_order_exprs(order_by, descending))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # least() skips NULLs: NULL bucket-prefix (first bucket) or NULL
+    # local prev (first row in bucket) falls back to the other side
+    return (
+        b.withColumn(
+            out_col, F.least(F.min(min_of).over(w), _offset_lookup(offs, dtype))
+        )
+        .drop(_BKT)
+    )

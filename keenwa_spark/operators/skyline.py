@@ -5,8 +5,10 @@ beyond-reference surface (keenwa has no preference operators).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from keenwa_spark.operators.ordered import with_global_prev_min
 
 
 def skyline_2d(
@@ -25,20 +27,37 @@ def skyline_2d(
     process distinct pairs in (maximize DESC, minimize ASC) order and
     keep a pair iff its minimize value beats the running minimum of
     everything before it — every dropped row is provably dominated by
-    an earlier kept one. ONE global window over DISTINCT pairs
-    (value-domain cardinality, not row count; partition by a coarse
-    maximize-bucket first if the distinct domain itself is huge).
+    an earlier kept one. The running minimum is the TWO-PASS
+    range-bucketed prefix-min (operators/ordered.py): per-bucket local
+    windows in parallel plus broadcast exclusive bucket prefixes — no
+    single-partition global window, so the plan survives an unbounded
+    distinct (mx, mn) domain at 100 TB.
+
+    Rows with a NULL measure on either axis are excluded up front:
+    NULL never dominates and is never on a frontier (ADVICE r05 —
+    previously a NULL minimize value could leak through the running
+    min as a spurious frontier point).
     """
-    pairs = df.select(
-        F.col(maximize_col).alias("mx"), F.col(minimize_col).alias("mn")
-    ).distinct()
-    w = Window.orderBy(F.col("mx").desc(), F.col("mn").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    pairs = (
+        df.select(
+            F.col(maximize_col).alias("mx"), F.col(minimize_col).alias("mn")
+        )
+        .where(F.col(maximize_col).isNotNull() & F.col(minimize_col).isNotNull())
+        .distinct()
+        # numeric shadow of mx for quantile bucketing (monotone, so
+        # bucket order follows the mx DESC scan order; ties unsplit)
+        .withColumn("__mxd", F.col("mx").cast("double"))
     )
-    prev_min = F.min("mn").over(w)
+    ranked = with_global_prev_min(
+        pairs,
+        order_by=["mx", "mn"],
+        bucket_col="__mxd",
+        min_of="mn",
+        out_col="__pm",
+        descending=True,
+    )
     return (
-        pairs.withColumn("__pm", prev_min)
-        .where(F.col("__pm").isNull() | (F.col("mn") < F.col("__pm")))
+        ranked.where(F.col("__pm").isNull() | (F.col("mn") < F.col("__pm")))
         .select(
             F.col("mx").alias(maximize_col),
             F.col("mn").alias(minimize_col),

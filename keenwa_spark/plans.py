@@ -11,6 +11,7 @@ into one-line assertions usable from tests AND notebooks.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -47,6 +48,78 @@ class PlanSummary:
             and self.sort_merge_joins == 0
             and self.cartesian_products == 0
         )
+
+
+#: a Window node line — anchored so `WindowGroupLimit` /
+#: `WindowInPandas` don't match the bare node name
+_WINDOW_NODE = re.compile(r"(?:^|[\s:+\-])Window \[")
+
+
+def partitionless_windows(plan: str) -> list[str]:
+    """The Window node lines of ``plan`` with an EMPTY partition spec —
+    each one funnels its whole input through a single task, the
+    plan shape that dies first at 100 TB (VERDICT r05 items 1-4).
+
+    Window.toString prints ``[fns]`` followed by the partition-spec
+    and order-spec groups, OMITTING empty ones:
+
+    - partitioned + ordered  → ``[fns], [p#1], [o#2 ASC ...]`` (2 seps)
+    - partitionless, ordered → ``[fns], [o#2 ASC ...]``        (1 sep,
+      final group is an order spec — contains ASC/DESC)
+    - partition-only         → ``[fns], [p#1]``                (1 sep,
+      final group has no sort direction) — NOT single-partition
+    - fully global unordered → ``[fns]``                       (0 seps)
+
+    A partitionless ordered Window is EXEMPT when, walking down its
+    input chain through row-count-preserving nodes (Sort / Exchange /
+    Project / AQE wrappers), the first row-count-CHANGING node is a
+    limit (``TakeOrderedAndProject`` / ``GlobalLimit`` / ...): the
+    distributed top-k below proves the window's input is bounded by a
+    constant at any corpus size — the plan Spark emits for
+    ``rank ... WHERE rank <= k`` and ``orderBy().limit(k)`` inputs."""
+    lines = plan.splitlines()
+    flagged = []
+    for i, line in enumerate(lines):
+        if not _WINDOW_NODE.search(line):
+            continue
+        seps = line.count("], [")
+        if seps == 1:
+            tail = line.rsplit("], [", 1)[1]
+            if " ASC" not in tail and " DESC" not in tail:
+                continue  # partition-only window (has a partition spec)
+        elif seps != 0:
+            continue  # partitioned + ordered
+        if not _bounded_below(lines, i):
+            flagged.append(line.strip())
+    return flagged
+
+
+#: unary nodes that never increase their input's row count
+_ROW_PRESERVING = {
+    "Sort", "Exchange", "Project", "AQEShuffleRead", "ShuffleQueryStage",
+    "InputAdapter", "WholeStageCodegen", "ResultQueryStage",
+    "ColumnarToRow", "RowToColumnar", "Filter", "Coalesce",
+}
+#: nodes that bound their output by a constant limit
+_BOUNDING = {"TakeOrderedAndProject", "CollectLimit", "GlobalLimit", "LocalLimit"}
+
+_NODE_NAME = re.compile(r"^[\s:+\-]*(?:\*\(\d+\)\s*)?([A-Za-z]+)")
+
+
+def _bounded_below(lines: list[str], i: int) -> bool:
+    """True when the Window at ``lines[i]`` reads from a constant-bounded
+    input: scan down the (unary) child chain and require a limit node
+    before any other row-count-changing operator."""
+    for line in lines[i + 1 : i + 12]:
+        m = _NODE_NAME.match(line)
+        if not m:
+            return False
+        name = m.group(1)
+        if name in _BOUNDING:
+            return True
+        if name not in _ROW_PRESERVING:
+            return False
+    return False
 
 
 def summarize(df: DataFrame) -> PlanSummary:

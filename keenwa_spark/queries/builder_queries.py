@@ -96,15 +96,20 @@ def bld_setops_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       ORDER BY o_custkey, o_orderdate DESC, o_orderkey
     )
-    SELECT l.o_custkey, l.o_orderkey, l.o_totalprice,
-           CAST(ROW_NUMBER() OVER (ORDER BY l.o_totalprice DESC, l.o_orderkey)
-                AS BIGINT) AS price_rank
-    FROM latest l
-    WHERE l.o_totalprice > 400000
+    SELECT * FROM (
+      SELECT l.o_custkey, l.o_orderkey, l.o_totalprice,
+             CAST(ROW_NUMBER() OVER (ORDER BY l.o_totalprice DESC, l.o_orderkey)
+                  AS BIGINT) AS price_rank
+      FROM latest l
+      WHERE l.o_totalprice > 400000
+    ) WHERE price_rank <= 100
     """,
     doc="PlanBuilder distinct(on=...) (deterministic row_number DISTINCT "
     "ON emulation, SURVEY §7 risk 1) composed with window_aggregate — "
-    "DuckDB oracle uses native DISTINCT ON.",
+    "DuckDB oracle uses native DISTINCT ON. The global ranking is "
+    "top-k-bounded (rank <= 100), so Spark plans a distributed "
+    "TakeOrderedAndProject under the window: the single-partition "
+    "window only ever sees 100 rows at any corpus size.",
     tags=("builder", "distinct", "window"),
 )
 def bld_distinct_on_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,6 +132,7 @@ def bld_distinct_on_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             descending=[True, False],
             alias="price_rank",
         )
+        .select("price_rank <= 100")
         .project(
             ["o_custkey", "o_orderkey", "o_totalprice",
              "CAST(price_rank AS BIGINT) AS price_rank"]

@@ -94,3 +94,49 @@ def bld_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .project(["c_custkey", "c_name", "c_nationkey"])
         .build()
     )
+
+
+@df_query(
+    "bld_scalar_subquery",
+    oracle="""
+    SELECT c_custkey, c_acctbal, avg_bal,
+           c_acctbal / avg_bal AS bal_ratio
+    FROM customer,
+         (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS avg_bal
+          FROM customer)
+    WHERE c_acctbal > avg_bal
+    """,
+    doc="PlanBuilder.scalar_subquery (VERDICT r05 missing item 1 — the "
+    "builder face of the reference's Expr::SubQuery scalar expression, "
+    "scalar/expr.rs:148 + sub_query_builder, builder/mod.rs:696-737): "
+    "the global average account balance attached as a scalar column, "
+    "used BOTH in the filter (c_acctbal > avg_bal) and in a projected "
+    "expression (the ratio). The average is an exact decimal SUM plus "
+    "a COUNT with ONE cast to double before the division, so the "
+    "scalar is partition-order-independent and hash-matches DuckDB.",
+    tags=("builder", "subquery", "scalar"),
+)
+def bld_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.builder import PlanBuilder
+
+    b = PlanBuilder(spark)
+    avg_bal = (
+        b.sub_query_builder()
+        .from_("customer")
+        .aggregate_builder()
+        .add_func("sum", "CAST(c_acctbal AS DECIMAL(18,2))", alias="s")
+        .add_func("count", "*", alias="n")
+        .build()
+        .project(["CAST(s AS DOUBLE) / n AS avg_bal"])
+    )
+    return (
+        b.from_("customer")
+        .scalar_subquery(avg_bal, "avg_bal")
+        .select("c_acctbal > avg_bal")
+        .project(
+            ["c_custkey", "c_acctbal", "avg_bal",
+             "c_acctbal / avg_bal AS bal_ratio"]
+        )
+        .build()
+    )

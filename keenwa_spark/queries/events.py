@@ -601,31 +601,33 @@ def ev_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "EXACT end-to-end: per-user spends are decimal sums, each "
     "Lorenz term (2i - n - 1) x spend multiplies width-checked "
     "decimals (the TWA width choreography), and the grand sum stays "
-    "decimal until ONE final double division. The global rank runs "
-    "over per-USER rows — key-cardinality, not event volume.",
+    "decimal until ONE final double division. The Lorenz rank i is "
+    "the two-pass range-bucket row number (operators/ordered.py): "
+    "parallel per-bucket windows + broadcast exclusive offsets from "
+    "exact bucket counts — no single-partition window even at "
+    "billion-user cardinality (VERDICT r05 item 3).",
     tags=("events", "analytics", "gini"),
 )
 def ev_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from keenwa_spark.operators.ordered import with_global_row_number
 
     spend = (
         spark.table("events")
         .where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("s"))
+        # numeric shadow for quantile bucketing: double cast is
+        # monotone in s, ties share a bucket, rank order stays exact
+        .withColumn("__sd", F.col("s").cast("double"))
     )
-    w = Window.orderBy("s", "user_id")
-    ranked = spend.select(
-        "s",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
+    ranked = with_global_row_number(
+        spend, order_by=["s", "user_id"], bucket_col="__sd", out_col="i"
     )
+    totals = spend.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     term = F.col("s").cast("decimal(20,6)") * (
         F.lit(2) * F.col("i") - F.col("n") - F.lit(1)
     ).cast("decimal(6,0)")
-    return ranked.agg(
+    return ranked.crossJoin(F.broadcast(totals)).agg(
         F.max("n").cast("bigint").alias("n_users"),
         F.sum("s").cast("double").alias("total_spend"),
         (

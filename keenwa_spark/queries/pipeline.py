@@ -2153,14 +2153,18 @@ def pl_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Curriculum staging: documents quantile-binned into 4 stages "
     "by the lexical-diversity x length score (easy -> hard), with the "
-    "doc-id tie-break making the cut points deterministic. NTILE is "
-    "one range-partitioned global sort — the once-per-build cost that "
-    "gives every doc a stable stage label for ordered training.",
+    "doc-id tie-break making the cut points deterministic. Exact "
+    "NTILE(4) semantics WITHOUT the single-partition global window "
+    "(VERDICT r05 item 1): the global rank comes from the two-pass "
+    "range-bucket scheme (operators/ordered.py — parallel per-bucket "
+    "windows + broadcast exclusive offsets from exact bucket counts), "
+    "and the stage is pure integer arithmetic on (rank, n): the first "
+    "n%4 stages take ceil(n/4) rows, the rest floor(n/4) — the ANSI "
+    "NTILE definition replayed closed-form.",
     tags=("pipeline", "curriculum", "sampling"),
 )
 def pl_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
+    from keenwa_spark.operators.ordered import with_global_row_number
     from keenwa_spark.pipeline.dedup import normalized_text
 
     norm = normalized_text("text")
@@ -2170,14 +2174,23 @@ def pl_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(size(array_distinct({words})) AS DOUBLE) / size({words})"
         " * char_length(text) AS score",
     )
-    return scored.select(
-        "doc_id",
-        "score",
-        F.ntile(4)
-        .over(Window.orderBy("score", "doc_id"))
-        .cast("bigint")
-        .alias("stage"),
-    ).orderBy("doc_id")
+    ranked = with_global_row_number(
+        scored, order_by=["score", "doc_id"], bucket_col="score", out_col="__i"
+    )
+    n_total = scored.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    # NTILE(k): q = n DIV k groups of size q+1 for the first r = n % k
+    # stages, size q for the rest (branch 2 is unreachable when q = 0)
+    stage = F.expr(
+        "CAST(IF(__i <= (__n DIV 4 + 1) * (__n % 4), "
+        "  (__i - 1) DIV (__n DIV 4 + 1) + 1, "
+        "  __n % 4 + (__i - 1 - (__n DIV 4 + 1) * (__n % 4)) DIV (__n DIV 4) + 1"
+        ") AS BIGINT)"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select("doc_id", "score", stage.alias("stage"))
+        .orderBy("doc_id")
+    )
 
 
 @df_query(
@@ -3192,14 +3205,16 @@ def pl_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window — no sampling, no binning. All arithmetic is rational in "
     "exact integer counts (cumulative counts / sample sizes), so the "
     "statistic hash-matches cross-engine; argmax tie-breaks to the "
-    "smallest value. The cumulative window is GLOBAL but runs over "
-    "per-DISTINCT-VALUE rows, not raw rows — bounded by the value "
-    "domain; quantize truly-continuous columns first at 100 TB. The "
-    "numeric companion to pl_category_drift.",
+    "smallest value. The running counts use the two-pass range-bucket "
+    "cumsum (operators/ordered.py — parallel per-bucket windows + "
+    "broadcast exact offsets) and the argmax is a MAX-join, so the "
+    "plan has NO single-partition window even when the distinct value "
+    "domain grows with the data (VERDICT r05 item 2). The numeric "
+    "companion to pl_category_drift.",
     tags=("pipeline", "quality", "drift", "ks"),
 )
 def pl_numeric_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from keenwa_spark.operators.ordered import with_global_cumsum
 
     ev = spark.table("events").where(F.col("value").isNotNull())
     cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
@@ -3223,28 +3238,31 @@ def pl_numeric_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = a.agg(F.count(F.lit(1)).cast("double").alias("__na")).crossJoin(
         b.agg(F.count(F.lit(1)).cast("double").alias("__nb"))
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = pts.crossJoin(F.broadcast(totals)).select(
-        "v",
-        "__na",
-        "__nb",
-        (F.sum("ca").over(w).cast("double") / F.col("__na")).alias("fa"),
-        (F.sum("cb").over(w).cast("double") / F.col("__nb")).alias("fb"),
+    cum = (
+        with_global_cumsum(pts, ["v"], "v", {"cca": "ca", "ccb": "cb"})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "v",
+            "__na",
+            "__nb",
+            (F.col("cca").cast("double") / F.col("__na")).alias("fa"),
+            (F.col("ccb").cast("double") / F.col("__nb")).alias("fb"),
+        )
     )
-    ranked = cum.select(
+    scored = cum.select(
         "v", "__na", "__nb", F.abs(F.col("fa") - F.col("fb")).alias("d")
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.col("d").desc(), F.col("v").asc())
-        ),
     )
-    return ranked.where(F.col("rn") == 1).select(
-        F.col("__na").cast("bigint").alias("n_a"),
-        F.col("__nb").cast("bigint").alias("n_b"),
-        F.col("d").alias("ks_stat"),
-        F.col("v").alias("at_value"),
-    )
+    # argmax without a global ROW_NUMBER: join to the max gap, then the
+    # smallest value among ties — both ordinary parallel aggregates
+    best = scored.crossJoin(
+        F.broadcast(scored.agg(F.max("d").alias("__md")))
+    ).where(F.col("d") == F.col("__md"))
+    return best.agg(
+        F.min("__na").cast("bigint").alias("n_a"),
+        F.min("__nb").cast("bigint").alias("n_b"),
+        F.max("d").alias("ks_stat"),
+        F.min("v").alias("at_value"),
+    ).where(F.col("at_value").isNotNull())  # empty input -> 0 rows
 
 
 @df_query(

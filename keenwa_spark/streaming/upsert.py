@@ -49,8 +49,15 @@ def upsert_state_stream(
     reads the store — which at any moment equals a batch recompute
     over everything delivered so far (the oracle-checked claim)."""
 
+    old_path = f"{store_path}.old"
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # crash recovery: a previous swap may have renamed the live
+        # store aside and died before installing its replacement — the
+        # .old copy is then the newest complete state (ADVICE r05)
+        if not os.path.exists(store_path) and os.path.exists(old_path):
+            os.rename(old_path, store_path)
         marker = os.path.join(store_path, "_last_batch")
         if os.path.exists(marker):
             with open(marker) as f:
@@ -75,9 +82,14 @@ def upsert_state_stream(
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_last_batch"), "w") as f:
             f.write(str(batch_id))
+        # three-step swap so a crash at any point leaves a complete
+        # store under either the live or the .old name, never neither
+        if os.path.exists(old_path):
+            shutil.rmtree(old_path)
         if os.path.exists(store_path):
-            shutil.rmtree(store_path)
+            os.rename(store_path, old_path)
         os.rename(tmp, store_path)
+        shutil.rmtree(old_path, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(apply_batch)

@@ -182,3 +182,32 @@ def test_builder_immutability(b):
     filtered = base.select("n_regionkey = 0")
     assert base.build().count() == 25
     assert filtered.build().count() == 5
+
+
+def test_scalar_subquery_in_filter_and_project(b):
+    """Builder Expr::SubQuery analog (VERDICT r05 missing item 1): the
+    scalar attaches once and is usable like a literal downstream."""
+    avg_pop = (
+        b.sub_query_builder()
+        .from_("nation")
+        .aggregate_builder()
+        .add_func("avg", "CAST(n_regionkey AS DOUBLE)", alias="m")
+        .build()
+    )
+    out = (
+        b.from_("nation")
+        .scalar_subquery(avg_pop, "m")
+        .select("n_regionkey > m")
+        .project(["n_nationkey", "n_regionkey - m AS above_by"])
+        .build()
+    )
+    rows = out.collect()
+    # regionkeys are 0..4 uniformly over 25 nations -> mean 2.0
+    assert len(rows) == 10
+    assert all(r["above_by"] > 0 for r in rows)
+
+
+def test_scalar_subquery_requires_one_column(b):
+    wide = b.sub_query_builder().from_("region")
+    with pytest.raises(ArgumentError):
+        b.from_("nation").scalar_subquery(wide, "x")

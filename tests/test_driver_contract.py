@@ -55,13 +55,16 @@ print("DRIVER_SIM_OK")
     assert "DRIVER_SIM_OK" in out.stdout, out.stderr[-2000:]
 
 
-def test_registry_prefix_is_survey_core():
+def test_registry_prefix_is_survey_core_plus_rotation():
     """The driver's correctness gate records a bounded PREFIX of the
     registry (r2: first 50 entries). Guard the invariant that those
-    slots hold the SURVEY §2 core — a stray registration in a core
-    module (or an import-order change) would silently evict conformance
+    slots hold the SURVEY §2 core PLUS the family-representative
+    rotation (VERDICT r05 item 4: one TPC-H, one dedup, one ANN, one
+    streaming twin, the headline rewrite, the builder scalar
+    subquery) — a stray registration in a core module (or an
+    import-order change) would silently evict conformance
     centerpieces from the driver window."""
-    from keenwa_spark.queries import load_all
+    from keenwa_spark.queries import DRIVER_PREFIX_ROTATION, load_all
 
     names = list(load_all())[:50]
     core_prefixes = ("join_", "subq_", "win_", "expr_array", "bld_exists",
@@ -70,20 +73,21 @@ def test_registry_prefix_is_survey_core():
         "get_scan", "filter_select", "projection_exprs", "agg_group_having",
         "agg_global", "union_all_distinct", "intersect_all_distinct",
         "except_all_distinct", "distinct_plain", "distinct_on",
-        "distinct_on_expr", "limit_offset", "order_mixed_dirs",
+        "limit_offset", "order_mixed_dirs",
         "values_inline_join", "select_no_from", "cte_reuse", "derived_table",
         "wildcard_qualified", "flagship_top_customers", "subq_in_nulls_outer",
-    }
+    } | set(DRIVER_PREFIX_ROTATION)
     for n in names:
         assert n in core_exact or n.startswith(core_prefixes), (
             f"non-core query {n!r} inside the driver's 50-entry window"
         )
-    # every §2a join variant stays inside the window
+    # every §2a join variant except the rotated-out natural-join twin
+    # (same code path as join_using) stays inside the window
     for required in ("join_inner", "join_left", "join_right", "join_full",
                      "join_cross", "join_left_semi", "join_right_semi",
-                     "join_anti", "join_using", "join_natural"):
+                     "join_anti", "join_using"):
         assert required in names
     # the prefix-pattern check above can't catch a new win_*/subq_*
     # registration in a core module silently evicting the tail — pin
-    # the exact last three slots (a r4 win_* addition did exactly this)
-    assert names[47:50] == ["expr_array", "bld_exists", "bld_in_subquery"]
+    # the exact last six slots (the rotation block)
+    assert names[44:50] == list(DRIVER_PREFIX_ROTATION)

@@ -1,0 +1,145 @@
+"""Two-pass global-order operators (operators/ordered.py) and the
+global-window plan audit they exist to satisfy (VERDICT r05 items 1-5):
+exact equivalence against the single-partition window reference
+formulation, plus the detector's flag/exempt matrix — including the
+deliberately injected offender the audit must catch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from keenwa_spark.operators.ordered import (
+    with_global_cumsum,
+    with_global_prev_min,
+    with_global_row_number,
+)
+from keenwa_spark.plans import partitionless_windows
+
+
+def _executed(df):
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    # deterministic pseudo-random doubles with ties (v repeats every 97)
+    return spark.range(4000).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 97).cast("double").alias("v"),
+        ((F.col("id") * 13) % 5).cast("bigint").alias("w"),
+    )
+
+
+def test_global_row_number_matches_window(vals):
+    got = with_global_row_number(vals, ["v", "id"], "v", out_col="i", n_buckets=8)
+    exp = vals.withColumn(
+        "i", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+    )
+    assert {(r["id"], r["i"]) for r in got.collect()} == {
+        (r["id"], r["i"]) for r in exp.collect()
+    }
+
+
+def test_global_row_number_descending(vals):
+    got = with_global_row_number(
+        vals, ["v", "id"], "v", out_col="i", descending=True, n_buckets=8
+    )
+    exp = vals.withColumn(
+        "i",
+        F.row_number().over(Window.orderBy(F.col("v").desc(), "id")).cast("bigint"),
+    )
+    assert {(r["id"], r["i"]) for r in got.collect()} == {
+        (r["id"], r["i"]) for r in exp.collect()
+    }
+
+
+def test_global_cumsum_matches_window(vals):
+    got = with_global_cumsum(vals, ["v", "id"], "v", {"cw": "w"}, n_buckets=8)
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = vals.withColumn("cw", F.sum("w").over(w))
+    assert {(r["id"], r["cw"]) for r in got.collect()} == {
+        (r["id"], r["cw"]) for r in exp.collect()
+    }
+
+
+def test_global_prev_min_matches_window(vals):
+    got = with_global_prev_min(
+        vals, ["v", "id"], "v", min_of="w", out_col="pm", descending=True, n_buckets=8
+    )
+    w = Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    exp = vals.withColumn("pm", F.min("w").over(w))
+    assert {(r["id"], r["pm"]) for r in got.collect()} == {
+        (r["id"], r["pm"]) for r in exp.collect()
+    }
+
+
+def test_constant_bucket_column_degenerates_safely(spark):
+    """All-equal bucket values collapse every cut — one bucket, still
+    exact (the n_buckets=1 degenerate case must equal the window)."""
+    d = spark.range(500).select(
+        F.lit(1.0).alias("v"), F.col("id"), (F.col("id") % 7).alias("w")
+    )
+    got = with_global_row_number(d, ["v", "id"], "v", out_col="i", n_buckets=8)
+    assert {(r["id"], r["i"]) for r in got.collect()} == {
+        (i, i + 1) for i in range(500)
+    }
+
+
+def test_global_rank_has_no_partitionless_window(vals):
+    """The whole point: the plan must contain ZERO single-partition
+    windows (the per-bucket window is partitioned by the bucket)."""
+    got = with_global_row_number(vals, ["v", "id"], "v", out_col="i", n_buckets=8)
+    assert partitionless_windows(_executed(got)) == []
+
+
+# ---- detector matrix -------------------------------------------------------
+
+
+def test_detector_flags_injected_global_window(spark):
+    """VERDICT r05 item 2 done-criterion: a deliberately injected
+    partitionless window must fail the audit."""
+    from tools.registry_audit import audit_flags
+
+    d = spark.range(1000).withColumn("v", (F.col("id") * 37) % 101)
+    bad = d.withColumn("rn", F.row_number().over(Window.orderBy("v", "id")))
+    plan = _executed(bad)
+    assert len(partitionless_windows(plan)) >= 1
+    assert any("Window" in f for f in audit_flags(plan, "injected_query"))
+
+
+def test_detector_flags_global_unordered_window(spark):
+    d = spark.range(1000).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    assert len(partitionless_windows(_executed(d))) >= 1
+
+
+def test_detector_ignores_partitioned_window(spark):
+    d = spark.range(1000).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(F.col("id") % 10).orderBy("id")),
+    )
+    assert partitionless_windows(_executed(d)) == []
+
+
+def test_detector_ignores_partition_only_window(spark):
+    d = spark.range(1000).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy(F.col("id") % 10))
+    )
+    assert partitionless_windows(_executed(d)) == []
+
+
+def test_detector_exempts_topk_bounded_window(spark):
+    """rank <= k over a global order plans a TakeOrderedAndProject
+    below the window — bounded input, must NOT flag."""
+    d = spark.range(1000).withColumn("v", (F.col("id") * 37) % 101)
+    topk = d.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("v").desc(), "id"))
+    ).where("rn <= 10")
+    assert partitionless_windows(_executed(topk)) == []
