@@ -84,6 +84,12 @@ HEADLINE = [
     "op_snapshot_diff",
     "pl_lm_surprisal",
     "ev_type_cooccurrence",
+    # round-6 additions: fused chunk->pack (single doc-level exchange)
+    # and the two-pass range-bucket global rank that replaced the
+    # single-partition NTILE / Lorenz-rank windows
+    "pl_chunk_pack_fused",
+    "pl_curriculum_stages",
+    "ev_spend_gini",
 ]
 
 

@@ -44,7 +44,13 @@ Scale: two extra column-pruned passes (fit + count) buy the removal
 of the single-task sort; the only full-data shuffle is the per-bucket
 window's hash exchange. ``n_buckets`` defaults to
 ``spark.sql.shuffle.partitions`` so window parallelism matches the
-cluster; at 100 TB set buckets ~ cores.
+cluster; at 100 TB set buckets ~ cores. By default the input
+projection is ``localCheckpoint``-materialized so an expensive
+upstream (tokenization, aggregation) computes ONCE instead of once
+per pass — the same executor-local materialization the connected-
+components loop uses (pipeline/clustering.py; tradeoff: lineage is
+not replayable on executor loss — pass ``materialize=False`` to keep
+pure lineage and recompute per pass).
 """
 
 from __future__ import annotations
@@ -121,9 +127,12 @@ def with_global_row_number(
     out_col: str = "i",
     descending: bool = False,
     n_buckets: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """``ROW_NUMBER() OVER (ORDER BY order_by)`` as bigint ``out_col``
     — two-pass, never a single-partition sort."""
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     cuts = fit_bucket_cuts(df, bucket_col, n_buckets)
     b = df.withColumn(_BKT, bucket_of(F.col(bucket_col), cuts, descending))
     stats = _bucket_stats(b, [F.count(F.lit(1)).cast("bigint").alias("c")])
@@ -152,11 +161,14 @@ def with_global_cumsum(
     sums: dict[str, str],
     descending: bool = False,
     n_buckets: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Running ``SUM(in) OVER (ORDER BY order_by ROWS UNBOUNDED
     PRECEDING)`` for each ``out_col -> in_col`` in ``sums`` —
     inclusive of the current row, exact for integer/decimal inputs
     (bucket prefixes are exact per-bucket sums)."""
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     cuts = fit_bucket_cuts(df, bucket_col, n_buckets)
     b = df.withColumn(_BKT, bucket_of(F.col(bucket_col), cuts, descending))
     stats_df_aggs = [F.sum(src).alias(out) for out, src in sums.items()]
@@ -191,11 +203,14 @@ def with_global_prev_min(
     out_col: str,
     descending: bool = True,
     n_buckets: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """``MIN(min_of) OVER (ORDER BY order_by ROWS BETWEEN UNBOUNDED
     PRECEDING AND 1 PRECEDING)`` — the running minimum of everything
     STRICTLY BEFORE the row (NULL for the global first row), the
     sort-filter skyline's dominance witness."""
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     cuts = fit_bucket_cuts(df, bucket_col, n_buckets)
     b = df.withColumn(_BKT, bucket_of(F.col(bucket_col), cuts, descending))
     grouped = b.groupBy(_BKT).agg(F.min(min_of).alias("m"))

@@ -145,3 +145,106 @@ def chunk_documents(
         F.expr("CAST(size(split(chunk_text, ' ')) AS BIGINT)").alias("n_chunk_tokens"),
         "chunk_text",
     )
+
+
+def chunk_and_pack(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 64,
+    seq_len: int = 2048,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused chunk → pack (VERDICT r05 item 7): sliding-window chunks
+    become the packing units WITHOUT an intermediate re-shuffle or
+    chunk-text materialization.
+
+    Two fusions over composing ``chunk_documents`` +
+    ``pack_training_sequences``:
+
+    - **Shared shard key, pre-explode shuffle**: the shard is
+      ``doc_id % n_shards`` (all chunks of a doc share a stream),
+      assigned BEFORE the chunk explode; the single ``repartition``
+      on the shard moves doc-level rows and already satisfies the
+      packing window's required distribution — the plan has exactly
+      ONE Exchange, and it shuffles docs, not the (overlap-inflated)
+      chunk set.
+    - **Counts only**: packing needs chunk TOKEN COUNTS, not chunk
+      text — chunk ``i`` of an ``n``-token doc has
+      ``min(chunk_tokens, n - i*stride)`` tokens — so the fused path
+      is pure integer arithmetic end-to-end (re-attach text later by
+      joining ``chunk_documents`` on (id, chunk_id) if needed).
+
+    Output, one row per (chunk, sequence) overlap: ``id_col``,
+    ``chunk_id``, ``shard``, ``seq_id``, ``win``, ``tok_start`` /
+    ``tok_end`` ([start, end) token range OF THE CHUNK inside the
+    sequence), ``n_chunk_tokens``. In-shard packing order is
+    (``id_col``, ``chunk_id``) — deterministic."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}, {chunk_tokens}")
+    if seq_len <= 0 or n_shards <= 0:
+        raise ValueError(f"seq_len and n_shards must be positive, got {seq_len}, {n_shards}")
+    stride = chunk_tokens - overlap
+    docs = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        F.expr(
+            f"CAST(size(split({normalized_text(text_col)}, ' ')) AS BIGINT)"
+        ).alias("__nt"),
+    ).filter(F.expr(f"char_length(trim({text_col})) > 0"))
+    # ONE shuffle, on doc-level rows; hashpartitioning(shard) then
+    # satisfies the cumulative window below — no second Exchange
+    parted = docs.repartition(F.col("shard"))
+    chunks = (
+        parted.select(
+            F.col(id_col),
+            "shard",
+            "__nt",
+            F.explode(
+                F.expr(f"sequence(CAST(0 AS BIGINT), (__nt - 1) DIV {stride})")
+            ).alias("chunk_id"),
+        )
+        .withColumn(
+            "n_chunk_tokens",
+            F.least(
+                F.lit(chunk_tokens).cast("bigint"),
+                F.col("__nt") - F.col("chunk_id") * stride,
+            ),
+        )
+        .drop("__nt")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc(), F.col("chunk_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = chunks.withColumn(
+        "cum_after", F.sum("n_chunk_tokens").over(w)
+    ).withColumn("cum_before", F.col("cum_after") - F.col("n_chunk_tokens"))
+    return cum.select(
+        F.col(id_col),
+        "chunk_id",
+        "shard",
+        "n_chunk_tokens",
+        "cum_before",
+        F.explode(
+            F.expr(
+                f"sequence(cum_before DIV {seq_len}, (cum_after - 1) DIV {seq_len})"
+            )
+        ).alias("win"),
+    ).select(
+        F.col(id_col),
+        "chunk_id",
+        "shard",
+        (F.col("shard") * _SEQ_SHARD_BASE + F.col("win")).alias("seq_id"),
+        "win",
+        F.greatest(
+            F.lit(0), F.col("win") * seq_len - F.col("cum_before")
+        ).alias("tok_start"),
+        F.least(
+            F.col("n_chunk_tokens"),
+            (F.col("win") + 1) * seq_len - F.col("cum_before"),
+        ).alias("tok_end"),
+        "n_chunk_tokens",
+    )

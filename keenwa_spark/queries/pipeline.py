@@ -922,6 +922,52 @@ def pl_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_batch(docs)
 
 
+@df_query(
+    "pl_video_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               CAST(0 AS BIGINT),
+               CAST((GREATEST(octet_length(encode(text)), 1) - 1) // 256
+                    AS BIGINT))) AS frame_idx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           CAST(LEAST(256, nb - frame_idx * 256) AS BIGINT) AS frame_bytes
+    FROM f
+    WHERE frame_idx % 2 = 0
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="Video frame-extraction plumbing + pure-DataFrame frame "
+    "sampling: the payload is 'decoded' into fixed-256-byte "
+    "pseudo-frames by the CLEARLY-MARKED stub slicer (no video codec "
+    "ships in this env — pipeline/multimodal.py explode_video_frames; "
+    "a pyav/ffmpeg binding drops into _frames_of with no other "
+    "change), then every 2nd frame survives via the windowed sampler "
+    "(frame_sample_plan — keep-every-n needs no Python even when "
+    "decode does). Arrow-batched, shuffle only for the per-asset "
+    "window; the oracle replays the slicing arithmetic on byte "
+    "lengths.",
+    tags=("pipeline", "multimodal", "video"),
+)
+def pl_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        explode_video_frames,
+        frame_sample_plan,
+    )
+
+    docs = attach_binary_payload(spark.table("documents"))
+    sampled = frame_sample_plan(explode_video_frames(docs), every_n=2)
+    return sampled.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        "frame_bytes",
+    ).orderBy("doc_id", "frame_idx")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (pipeline/sampling.py)
 # ---------------------------------------------------------------------------
@@ -2063,6 +2109,70 @@ def pl_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("doc_id * 100 + chunk_id AS cid", "chunk_text")
     return pack_training_sequences(
         chunks, seq_len=128, n_shards=8, id_col="cid", text_col="chunk_text"
+    )
+
+
+@df_query(
+    "pl_chunk_pack_fused",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split({_D_NORM.format(c='text')}, ' '))
+                  AS BIGINT) AS nt
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, shard, nt,
+             unnest(generate_series(CAST(0 AS BIGINT), (nt - 1) // 24))
+               AS chunk_id
+      FROM docs
+    ),
+    sized AS (
+      SELECT doc_id, shard, chunk_id,
+             CAST(LEAST(32, nt - chunk_id * 24) AS BIGINT) AS n_chunk_tokens
+      FROM chunks
+    ),
+    cum AS (
+      SELECT *, CAST(SUM(n_chunk_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_after
+      FROM sized
+    ),
+    spans AS (
+      SELECT *, cum_after - n_chunk_tokens AS cum_before,
+             unnest(generate_series(
+               CAST((cum_after - n_chunk_tokens) // 128 AS BIGINT),
+               CAST((cum_after - 1) // 128 AS BIGINT))) AS win
+      FROM cum
+    )
+    SELECT doc_id, chunk_id, shard,
+           shard * {1 << 40} + win AS seq_id,
+           win,
+           GREATEST(0, win * 128 - cum_before) AS tok_start,
+           LEAST(n_chunk_tokens, (win + 1) * 128 - cum_before) AS tok_end,
+           n_chunk_tokens
+    FROM spans
+    """,
+    doc="FUSED chunk -> pack (VERDICT r05 item 7, pipeline/packing.py "
+    "chunk_and_pack): same tokenize -> chunk -> pack semantics as "
+    "pl_chunk_pack_pipeline but as ONE operator sharing a doc-derived "
+    "shard key — the single Exchange moves DOC-level rows before the "
+    "chunk explode (already satisfying the packing window's "
+    "distribution), and chunk token counts are computed arithmetically "
+    "(min(chunk_tokens, n - i*stride)) so chunk text is never "
+    "materialized: integer math end-to-end.",
+    tags=("pipeline", "packing", "composition", "fused"),
+)
+def pl_chunk_pack_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.packing import chunk_and_pack
+
+    return chunk_and_pack(
+        spark.table("documents"),
+        chunk_tokens=32,
+        overlap=8,
+        seq_len=128,
+        n_shards=8,
     )
 
 

@@ -1,0 +1,85 @@
+"""Randomized optimizer-regime robustness (VERDICT r05 item 5) — the
+analog of the reference's seeded rule-order shuffle
+(/root/reference/src/testing.rs:57, which re-runs its golden plans
+under a shuffled rule order to prove search-order independence).
+
+Catalyst's "rule order" knobs are session confs: AQE, CBO, and the
+broadcast threshold each change which physical plan wins. The corpus
+must produce IDENTICAL results under every regime — a seed-shuffled
+sample of the 8-regime grid re-runs all ~127 cross-engine exec cases
+per regime against the DuckDB oracle.
+
+Seed via KEENWA_REGIME_SEED (default 6) for reproducibility; the
+sampled regimes are printed in each test id.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import random
+
+import pytest
+
+from keenwa_spark import conformance as cf
+
+_CONF_KEYS = (
+    "spark.sql.adaptive.enabled",
+    "spark.sql.cbo.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
+)
+
+#: full regime grid: AQE x CBO x broadcast {off, default}
+_GRID = [
+    {
+        "spark.sql.adaptive.enabled": str(aqe).lower(),
+        "spark.sql.cbo.enabled": str(cbo).lower(),
+        "spark.sql.autoBroadcastJoinThreshold": bcast,
+    }
+    for aqe, cbo, bcast in itertools.product(
+        (True, False), (True, False), ("-1", "10485760")
+    )
+]
+
+_SEED = int(os.environ.get("KEENWA_REGIME_SEED", "6"))
+_rng = random.Random(_SEED)
+_REGIMES = _rng.sample(_GRID, 3)
+
+
+def _regime_id(regime: dict) -> str:
+    aqe = regime["spark.sql.adaptive.enabled"]
+    cbo = regime["spark.sql.cbo.enabled"]
+    bc = "noBcast" if regime["spark.sql.autoBroadcastJoinThreshold"] == "-1" else "bcast"
+    return f"aqe={aqe}-cbo={cbo}-{bc}"
+
+
+@pytest.fixture(scope="module")
+def mini(spark):
+    cf.register_mini_catalog(spark)
+    saved = {k: spark.conf.get(k, None) for k in _CONF_KEYS}
+    yield spark
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = cf.duckdb_mini_catalog()
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("regime", _REGIMES, ids=[_regime_id(r) for r in _REGIMES])
+@pytest.mark.parametrize("case", cf.CORPUS, ids=[c.id for c in cf.CORPUS])
+def test_corpus_invariant_under_regime(mini, duck, case, regime):
+    """Every exec case returns the oracle answer no matter which
+    physical strategy the regime forces — result equality is the
+    engine-level statement of the reference's search-order
+    independence."""
+    for k, v in regime.items():
+        mini.conf.set(k, v)
+    got, want = cf.run_case(mini, duck, case)
+    assert got == want, f"{case.id} under {_regime_id(regime)}"

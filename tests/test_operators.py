@@ -889,3 +889,49 @@ def test_skyline_2d_dominance(spark):
     df = spark.createDataFrame(rows, "mx int, mn int")
     got = {(r["mx"], r["mn"]) for r in skyline_2d(df, "mx", "mn").collect()}
     assert got == {(10, 1), (8, 0)}
+
+
+def test_merge_upsert_sum_keeps_decimal_schema_stable(spark):
+    """ADVICE r05: repeated 'sum' merges must not widen the decimal —
+    the parquet state store's schema has to stay fixed batch after
+    batch (decimal add widens precision by 1 per merge otherwise)."""
+    from keenwa_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "10.500000"), (2, "3.250000")], "k INT, v STRING"
+    ).selectExpr("k", "CAST(v AS DECIMAL(28,6)) AS v")
+    delta = spark.createDataFrame(
+        [(1, "0.500000"), (3, "7.000000")], "k INT, v STRING"
+    ).selectExpr("k", "CAST(v AS DECIMAL(28,6)) AS v")
+
+    m1 = merge_upsert(base, delta, keys=["k"], combine={"v": "sum"})
+    assert dict(m1.dtypes)["v"] == "decimal(28,6)"
+    m2 = merge_upsert(m1, delta, keys=["k"], combine={"v": "sum"})
+    assert dict(m2.dtypes)["v"] == "decimal(28,6)"
+    got = {r["k"]: str(r["v"]) for r in m2.collect()}
+    assert got == {1: "11.500000", 2: "3.250000", 3: "14.000000"}
+
+
+def test_counter_delta_ignores_null_timestamps(spark):
+    """ADVICE r05: a NULL-ts row must not become the window's first
+    'prev' observation and fabricate a reset."""
+    from keenwa_spark.operators.hyperfunctions import counter_delta, ohlc_bars
+
+    rows = [
+        ("a", None, 1000.0),   # NULL ts: excluded
+        ("a", "2024-01-01 00:00:00", 10.0),
+        ("a", "2024-01-01 01:00:00", 15.0),
+        ("a", "2024-01-01 02:00:00", 3.0),  # reset
+        ("a", "2024-01-01 03:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts STRING, v DOUBLE").selectExpr(
+        "k", "CAST(ts AS TIMESTAMP) AS ts", "v"
+    )
+    out = counter_delta(df, ["k"], "ts", "v").collect()[0]
+    # increases: 5 (10->15), reset to 3 (+3), +5 (3->8) = 13, 1 reset,
+    # 4 observations (the NULL-ts row doesn't count)
+    assert out["counter_increase"] == 13.0
+    assert out["n_resets"] == 1
+    assert out["n_obs"] == 4
+    bars = ohlc_bars(df, ["k"], "ts", "v", grain="day").collect()
+    assert len(bars) == 1 and bars[0]["n"] == 4  # no NULL bucket

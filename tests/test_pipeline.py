@@ -359,3 +359,78 @@ def test_ivf_train_empty_cell_drop(views):
     cents = ivf_train(emb, k_cells=8, iters=2).collect()
     assert 0 < len(cents) <= 8
     assert [r.cid for r in cents] == sorted(r.cid for r in cents)
+
+
+class TestMultimodalRound6:
+    """Resize / frame-sample / PCM features — the remaining multimodal
+    verbs from the pipeline brief, over the same Arrow-batched
+    plumbing."""
+
+    def test_resize_nearest_neighbor_exact(self, spark):
+        from keenwa_spark.pipeline.multimodal import resize_images
+        from keenwa_spark.pipeline.png import encode_png
+
+        # 4x2 RGB: left half black, right half white
+        px = bytes(
+            ([0, 0, 0] if x < 2 else [255, 255, 255])[c]
+            for y in range(2)
+            for x in range(4)
+            for c in range(3)
+        )
+        img = encode_png(4, 2, 3, px)
+        df = spark.createDataFrame(
+            [(1, img), (2, b"junk")], "doc_id LONG, payload BINARY"
+        )
+        rows = {r.doc_id: r for r in resize_images(df, 2, 1).collect()}
+        assert set(rows) == {1}  # undecodable dropped
+        r = rows[1]
+        assert (r.src_width, r.src_height, r.width, r.height, r.channels) == (
+            4, 2, 2, 1, 3,
+        )
+        # NN: out x=0 <- src x=0 (black), out x=1 <- src x=2 (white)
+        assert bytes(r.pixels) == bytes([0, 0, 0, 255, 255, 255])
+
+    def test_resize_upscale_replicates(self, spark):
+        from keenwa_spark.pipeline.multimodal import resize_images
+        from keenwa_spark.pipeline.png import encode_png
+
+        img = encode_png(1, 1, 1, bytes([7]))
+        df = spark.createDataFrame([(1, img)], "doc_id LONG, payload BINARY")
+        r = resize_images(df, 3, 2).collect()[0]
+        assert bytes(r.pixels) == bytes([7] * 6)
+
+    def test_video_frames_stub_slicing_and_sampling(self, spark):
+        from keenwa_spark.pipeline.multimodal import (
+            VIDEO_FRAME_BYTES,
+            explode_video_frames,
+            frame_sample_plan,
+        )
+
+        payload = bytes(range(256)) * 2 + b"x" * 88  # 600 bytes
+        df = spark.createDataFrame([(9, payload)], "doc_id LONG, payload BINARY")
+        frames = explode_video_frames(df).collect()
+        assert [(r.frame_idx, r.frame_bytes) for r in sorted(frames, key=lambda r: r.frame_idx)] == [
+            (0, 256), (1, 256), (2, 88),
+        ]
+        crc0 = sum(payload[:VIDEO_FRAME_BYTES]) % (1 << 31)
+        assert sorted(frames, key=lambda r: r.frame_idx)[0].frame_crc == crc0
+        # compose with the pure-DataFrame sampler: keep every 2nd frame
+        kept = frame_sample_plan(explode_video_frames(df), every_n=2).collect()
+        assert sorted(r.frame_idx for r in kept) == [0, 2]
+
+    def test_pcm_features_hand_computed(self, spark):
+        import math
+
+        from keenwa_spark.pipeline.multimodal import pcm_features
+
+        # alternating +10/-10 as signed int8: rms 10, one crossing per step
+        samples = bytes(((10 if i % 2 == 0 else -10) & 0xFF) for i in range(8))
+        df = spark.createDataFrame(
+            [(1, samples), (2, b"")], "doc_id LONG, payload BINARY"
+        )
+        rows = {r.doc_id: r for r in pcm_features(df, sample_rate=4).collect()}
+        assert rows[1].n_samples == 8
+        assert rows[1].duration_s == 2.0
+        assert math.isclose(rows[1].rms, 10.0)
+        assert rows[1].zero_crossings == 7
+        assert rows[2].n_samples == 0 and rows[2].rms == 0.0

@@ -814,3 +814,63 @@ def test_centroid_classify_separable_clusters(spark):
            centroid_classify(df).collect()}
     assert got[1] == (5, 5)
     assert got[0] == (6, 5)  # the planted mislabel is the one miss
+
+
+# ---- fused chunk -> pack (VERDICT r05 item 7) ------------------------------
+
+
+def test_chunk_and_pack_counts_match_chunk_documents(docs):
+    """The fused operator's arithmetic chunk sizes must equal the
+    materialized chunk texts' actual token counts."""
+    from keenwa_spark.pipeline.packing import chunk_and_pack, chunk_documents
+
+    fused = chunk_and_pack(
+        docs, chunk_tokens=3, overlap=1, seq_len=7, n_shards=4
+    )
+    sizes = {
+        (r["doc_id"], r["chunk_id"]): r["n_chunk_tokens"]
+        for r in fused.select("doc_id", "chunk_id", "n_chunk_tokens")
+        .distinct()
+        .collect()
+    }
+    mat = {
+        (r["doc_id"], r["chunk_id"]): r["n_chunk_tokens"]
+        for r in chunk_documents(docs, chunk_tokens=3, overlap=1).collect()
+    }
+    assert sizes == mat
+
+
+def test_chunk_and_pack_covers_every_token_once(docs):
+    """Per chunk, the union of its [tok_start, tok_end) spans across
+    sequences must tile [0, n_chunk_tokens) exactly."""
+    from collections import defaultdict
+
+    from keenwa_spark.pipeline.packing import chunk_and_pack
+
+    rows = chunk_and_pack(
+        docs, chunk_tokens=3, overlap=1, seq_len=7, n_shards=4
+    ).collect()
+    spans = defaultdict(list)
+    for r in rows:
+        spans[(r["doc_id"], r["chunk_id"], r["n_chunk_tokens"])].append(
+            (r["tok_start"], r["tok_end"])
+        )
+    for (_, _, n), ss in spans.items():
+        ss.sort()
+        assert ss[0][0] == 0 and ss[-1][1] == n
+        assert all(a[1] == b[0] for a, b in zip(ss, ss[1:]))
+
+
+def test_chunk_and_pack_single_exchange(docs):
+    """The fusion's point: ONE doc-level Exchange, no chunk-level
+    re-shuffle for the packing window."""
+    from keenwa_spark.pipeline.packing import chunk_and_pack
+    from keenwa_spark.plans import partitionless_windows
+
+    fused = chunk_and_pack(docs, chunk_tokens=3, overlap=1, seq_len=7, n_shards=4)
+    fused.collect()
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "BroadcastExchange" not in final
+    assert partitionless_windows(plan) == []

@@ -41,6 +41,11 @@ def _probes():
         "op_rolling_anomaly",     # RANGE-frame window
         "pl_dedup_exact",         # hash groupBy on digest
         "pl_minhash_lsh_pairs",   # banded LSH (the quadratic risk)
+        "pl_lsh_verified_pairs",  # LSH + exact-Jaccard verification
+        "pl_ann_ivf_topk",        # IVF train/assign/search
+        "pl_pack_sequences",      # sharded cumulative packing
+        "pl_chunk_pack_fused",    # fused chunk->pack, one exchange
+        "pl_curriculum_stages",   # two-pass global rank (r6 rewrite)
         "pl_text_stats",          # pure codegen map
         "pl_lm_surprisal",        # explode + model aggs + join
     ]
