@@ -120,6 +120,121 @@ def _offset_lookup(values: list, dtype) -> Column:
     return F.element_at(F.array(*lits), F.col(_BKT) + 1)
 
 
+#: dtypes safe to hand to approxQuantile for (re)fitting cuts
+_NUMERIC_TYPES = {"byte", "short", "integer", "long", "float", "double"}
+
+
+def _is_numeric(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.typeName() in _NUMERIC_TYPES
+
+
+def _py_bucket_of(v: float, cuts: list[float], descending: bool) -> int:
+    """Driver-side mirror of ``bucket_of`` for a known value."""
+    asc = sum(1 for c in cuts if c <= v)
+    return (len(cuts) - asc) if descending else asc
+
+
+def _bucketed(
+    df: DataFrame,
+    bucket_col: str,
+    tie_bucket_col: str | None,
+    descending: bool,
+    n_buckets: int | None,
+    heavy_factor: float = 4.0,
+    max_heavy: int = 16,
+) -> tuple[DataFrame, int]:
+    """Assign the final bucket ordinal (column ``_BKT``) so adversarial
+    skew can't re-create a near-single-partition window.
+
+    The quantile fit already bounds NON-tie skew: each cut's rank is
+    within ±relative_error·n of its target, so every bucket holds
+    ~n/B ± 0.2% of the rows — EXCEPT when one VALUE alone exceeds a
+    bucket (a mega-tie: quantile cuts collapse onto it and cannot
+    split it). So the only refinement needed is per heavy value: find
+    values owning > ``heavy_factor``·(n/B) rows (one distributed
+    count-agg + top-k, ≤ ``max_heavy`` collected) and give each its
+    own block of sub-buckets split by quantile cuts of
+    ``tie_bucket_col`` — safe, because the tied rows compare equal on
+    the primary, so any tie-monotone split preserves the total order.
+    The surrounding non-tied rows of the same base bucket get ordinals
+    below/above the block according to the sort direction, keeping the
+    final ordinal monotone along the global order.
+
+    Returns (df with ``_BKT``, number of final buckets). Exactness is
+    unaffected — offsets are recomputed from exact stats over the
+    final assignment; refinement only balances partitions. Limits
+    (documented): a NULL mega-tie and a non-numeric tie column don't
+    split (callers order NULLs to a terminal bucket anyway)."""
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cuts = fit_bucket_cuts(df, bucket_col, n_buckets)
+    n_base = len(cuts) + 1
+    plain = df.withColumn(_BKT, bucket_of(F.col(bucket_col), cuts, descending))
+    if tie_bucket_col is None or not _is_numeric(df, tie_bucket_col):
+        return plain, n_base
+    total = df.count()
+    avg = max(total / max(n_buckets, 1), 1.0)
+    heavy_rows = (
+        df.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > heavy_factor * avg)
+        .where(F.col(bucket_col).isNotNull())
+        .orderBy(F.col("__c").desc(), F.col(bucket_col).asc())
+        .limit(max_heavy)
+        .collect()
+    )
+    if not heavy_rows:
+        return plain, n_base
+    counts = {float(r[bucket_col]): r["__c"] for r in heavy_rows}
+    # heavy values sorted along the GLOBAL order direction
+    hvs = sorted(counts, reverse=descending)
+    tie_cuts: dict[float, list[float]] = {}
+    for hv in hvs:
+        target = min(int(counts[hv] / avg) + 1, n_buckets)
+        tie_cuts[hv] = fit_bucket_cuts(
+            df.where(F.col(bucket_col).cast("double") == hv).select(
+                F.col(tie_bucket_col).alias("__c")
+            ),
+            "__c",
+            target,
+        )
+    # ordinal layout per base bucket: seg0 | hv0-block | seg1 | ... | segN
+    from collections import defaultdict
+
+    by_base = defaultdict(list)
+    for hv in hvs:
+        by_base[_py_bucket_of(hv, cuts, descending)].append(hv)
+    base_start, blocks, run = [], [], 0
+    for k in range(n_base):
+        base_start.append(run)
+        cur = run
+        for hv in by_base.get(k, []):
+            cur += 1  # the non-tied segment preceding this value
+            blocks.append((k, hv, cur, len(tie_cuts[hv]) + 1))
+            cur += len(tie_cuts[hv]) + 1
+        run = cur + 1
+    n_final = run
+    v = F.col(bucket_col).cast("double")
+    base_b = bucket_of(F.col(bucket_col), cuts, descending)
+    # non-tied rows: segment ordinal = bucket start + width of every
+    # heavy-value block (and its preceding segment) that sorts BEFORE v
+    expr = F.element_at(F.array(*[F.lit(s) for s in base_start]), base_b + 1)
+    for k, hv, _start, width in blocks:
+        after_hv = (v < F.lit(hv)) if descending else (v > F.lit(hv))
+        expr = expr + F.when(
+            (base_b == F.lit(k)) & after_hv, F.lit(1 + width)
+        ).otherwise(F.lit(0))
+    # tied rows: their own block, sub-split by the tie column (always
+    # ascending — only order_by[0] may be descending)
+    for _k, hv, start, _width in blocks:
+        expr = F.when(
+            v == F.lit(hv),
+            F.lit(start) + bucket_of(F.col(tie_bucket_col), tie_cuts[hv], False),
+        ).otherwise(expr)
+    return df.withColumn(_BKT, expr), n_final
+
+
 def with_global_row_number(
     df: DataFrame,
     order_by: list,
@@ -128,16 +243,18 @@ def with_global_row_number(
     descending: bool = False,
     n_buckets: int | None = None,
     materialize: bool = True,
+    tie_bucket_col: str | None = None,
 ) -> DataFrame:
     """``ROW_NUMBER() OVER (ORDER BY order_by)`` as bigint ``out_col``
-    — two-pass, never a single-partition sort."""
+    — two-pass, never a single-partition sort. Pass a numeric
+    ``tie_bucket_col`` (monotone in the tie-break order) to let heavy
+    mega-tie buckets sub-split instead of becoming stragglers."""
     if materialize:
         df = df.localCheckpoint(eager=False)
-    cuts = fit_bucket_cuts(df, bucket_col, n_buckets)
-    b = df.withColumn(_BKT, bucket_of(F.col(bucket_col), cuts, descending))
+    b, n_final = _bucketed(df, bucket_col, tie_bucket_col, descending, n_buckets)
     stats = _bucket_stats(b, [F.count(F.lit(1)).cast("bigint").alias("c")])
     offs, running = [], 0
-    for k in range(len(cuts) + 1):
+    for k in range(n_final):
         offs.append(running)
         if k in stats:
             running += stats[k]["c"]
@@ -162,15 +279,18 @@ def with_global_cumsum(
     descending: bool = False,
     n_buckets: int | None = None,
     materialize: bool = True,
+    tie_bucket_col: str | None = None,
 ) -> DataFrame:
     """Running ``SUM(in) OVER (ORDER BY order_by ROWS UNBOUNDED
     PRECEDING)`` for each ``out_col -> in_col`` in ``sums`` —
     inclusive of the current row, exact for integer/decimal inputs
-    (bucket prefixes are exact per-bucket sums)."""
+    (bucket prefixes are exact per-bucket sums). ``tie_bucket_col``
+    is only exact when the cumsum consumer treats tied full-order
+    rows atomically or the order is total — same rule as the window
+    it replaces."""
     if materialize:
         df = df.localCheckpoint(eager=False)
-    cuts = fit_bucket_cuts(df, bucket_col, n_buckets)
-    b = df.withColumn(_BKT, bucket_of(F.col(bucket_col), cuts, descending))
+    b, n_final = _bucketed(df, bucket_col, tie_bucket_col, descending, n_buckets)
     stats_df_aggs = [F.sum(src).alias(out) for out, src in sums.items()]
     grouped = b.groupBy(_BKT).agg(*stats_df_aggs)
     dtypes = {f.name: f.dataType for f in grouped.schema.fields}
@@ -183,7 +303,7 @@ def with_global_cumsum(
     res = b
     for out_col, src in sums.items():
         offs, running = [], None
-        for k in range(len(cuts) + 1):
+        for k in range(n_final):
             offs.append(running if running is not None else 0)
             v = stats[k][out_col] if k in stats else None
             if v is not None:
@@ -204,6 +324,7 @@ def with_global_prev_min(
     descending: bool = True,
     n_buckets: int | None = None,
     materialize: bool = True,
+    tie_bucket_col: str | None = None,
 ) -> DataFrame:
     """``MIN(min_of) OVER (ORDER BY order_by ROWS BETWEEN UNBOUNDED
     PRECEDING AND 1 PRECEDING)`` — the running minimum of everything
@@ -211,13 +332,12 @@ def with_global_prev_min(
     sort-filter skyline's dominance witness."""
     if materialize:
         df = df.localCheckpoint(eager=False)
-    cuts = fit_bucket_cuts(df, bucket_col, n_buckets)
-    b = df.withColumn(_BKT, bucket_of(F.col(bucket_col), cuts, descending))
+    b, n_final = _bucketed(df, bucket_col, tie_bucket_col, descending, n_buckets)
     grouped = b.groupBy(_BKT).agg(F.min(min_of).alias("m"))
     dtype = grouped.schema["m"].dataType
     stats = {r[_BKT]: r for r in grouped.collect()}
     offs, running = [], None
-    for k in range(len(cuts) + 1):
+    for k in range(n_final):
         offs.append(running)
         v = stats[k]["m"] if k in stats else None
         if v is not None:

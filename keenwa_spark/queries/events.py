@@ -621,7 +621,13 @@ def ev_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__sd", F.col("s").cast("double"))
     )
     ranked = with_global_row_number(
-        spend, order_by=["s", "user_id"], bucket_col="__sd", out_col="i"
+        spend,
+        order_by=["s", "user_id"],
+        bucket_col="__sd",
+        out_col="i",
+        # mega-tie guard: if one spend value dominates (e.g. a default
+        # price), its bucket sub-splits by the numeric tie-break key
+        tie_bucket_col="user_id",
     )
     totals = spend.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     term = F.col("s").cast("decimal(20,6)") * (

@@ -2285,7 +2285,11 @@ def pl_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * char_length(text) AS score",
     )
     ranked = with_global_row_number(
-        scored, order_by=["score", "doc_id"], bucket_col="score", out_col="__i"
+        scored,
+        order_by=["score", "doc_id"],
+        bucket_col="score",
+        out_col="__i",
+        tie_bucket_col="doc_id",
     )
     n_total = scored.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     # NTILE(k): q = n DIV k groups of size q+1 for the first r = n % k

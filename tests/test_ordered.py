@@ -143,3 +143,52 @@ def test_detector_exempts_topk_bounded_window(spark):
         "rn", F.row_number().over(Window.orderBy(F.col("v").desc(), "id"))
     ).where("rn <= 10")
     assert partitionless_windows(_executed(topk)) == []
+
+
+def test_mega_tie_bucket_sub_splits_and_stays_exact(spark):
+    """Adversarial skew: one value owns 90% of the rows. With a
+    numeric tie_bucket_col the mega-tie bucket sub-splits (no
+    near-single-partition straggler) and the rank is still exactly
+    the reference window's."""
+    from keenwa_spark.operators.ordered import _BKT, _bucketed
+
+    d = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") < 1800, F.lit(5.0))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    b, n_final = _bucketed(d, "v", "id", False, 8)
+    assert n_final > 8  # the tied bucket actually split
+    sizes = [r["c"] for r in b.groupBy(_BKT).agg(F.count(F.lit(1)).alias("c")).collect()]
+    assert max(sizes) < 1800  # no bucket holds the whole tie
+    got = with_global_row_number(
+        d, ["v", "id"], "v", out_col="i", n_buckets=8, tie_bucket_col="id"
+    )
+    exp = d.withColumn(
+        "i", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+    )
+    assert {(r["id"], r["i"]) for r in got.collect()} == {
+        (r["id"], r["i"]) for r in exp.collect()
+    }
+
+
+def test_heavy_mixed_bucket_refines_primary_cuts(spark):
+    """A heavy bucket with MANY distinct values (bad first fit) gets
+    finer primary cuts — exactness preserved."""
+    # clumped distribution: 95% of mass in [0, 1), the rest spread
+    d = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") < 1900, (F.col("id") % 97) / 100.0)
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    got = with_global_row_number(
+        d, ["v", "id"], "v", out_col="i", n_buckets=4, tie_bucket_col="id"
+    )
+    exp = d.withColumn(
+        "i", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+    )
+    assert {(r["id"], r["i"]) for r in got.collect()} == {
+        (r["id"], r["i"]) for r in exp.collect()
+    }
