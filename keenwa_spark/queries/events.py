@@ -641,3 +641,59 @@ def ev_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.sum("s").cast("double"))
         ).alias("gini"),
     )
+
+
+@df_query(
+    "ev_value_percentiles_exact",
+    oracle="""
+    WITH o AS (
+      SELECT value AS v,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM o)
+    SELECT
+      MAX(n.c) AS n_values,
+      MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.50 * n.c) AS BIGINT))
+               THEN v END) AS p50,
+      MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.90 * n.c) AS BIGINT))
+               THEN v END) AS p90,
+      MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.99 * n.c) AS BIGINT))
+               THEN v END) AS p99
+    FROM o, n
+    """,
+    doc="EXACT distributed percentiles (nearest-rank definition: the "
+    "value at rank ceil(p*n)) over raw event values — the scale gap "
+    "Spark's own exact percentile cannot close (F.percentile collects "
+    "the group's values into one aggregator's memory; at 100 TB that "
+    "is an OOM, which is why quality.py documents an approx_percentile "
+    "swap). Here the rank comes from the two-pass range-bucket row "
+    "number (operators/ordered.py — parallel per-bucket windows, "
+    "bounded driver state) and the three target ranks are picked by "
+    "filter: exact answers, no value array ever materializes anywhere. "
+    "Rank formula (ceil of an IEEE double product) is evaluated "
+    "identically on both engines.",
+    tags=("events", "percentile", "ordered"),
+)
+def ev_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from keenwa_spark.operators.ordered import with_global_row_number
+
+    vals = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .select(F.col("value").alias("v"), "event_id")
+    )
+    n = vals.count()
+    ks = {p: max(1, math.ceil(p * n)) for p in (0.50, 0.90, 0.99)}
+    ranked = with_global_row_number(
+        vals, order_by=["v", "event_id"], bucket_col="v", out_col="rn"
+    )
+    picked = ranked.where(F.col("rn").isin(list(ks.values())))
+    return picked.agg(
+        F.lit(n).cast("bigint").alias("n_values"),
+        F.max(F.when(F.col("rn") == ks[0.50], F.col("v"))).alias("p50"),
+        F.max(F.when(F.col("rn") == ks[0.90], F.col("v"))).alias("p90"),
+        F.max(F.when(F.col("rn") == ks[0.99], F.col("v"))).alias("p99"),
+    )

@@ -192,3 +192,51 @@ def test_heavy_mixed_bucket_refines_primary_cuts(spark):
     assert {(r["id"], r["i"]) for r in got.collect()} == {
         (r["id"], r["i"]) for r in exp.collect()
     }
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["pl_curriculum_stages", "ev_spend_gini", "pl_numeric_drift_ks",
+     "op_skyline_orders"],
+)
+def test_rewritten_queries_have_no_partitionless_window(views, qname):
+    """Per-change protection for the four VERDICT r05 rewrites: their
+    executed plans must never regrow a single-partition window (the
+    registry-wide audit catches this offline; this pins it in CI)."""
+    import os
+
+    from keenwa_spark.queries import load_all
+
+    sf = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    df = load_all()[qname].fn(views, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert partitionless_windows(plan) == []
+
+
+def test_row_number_property_random_distributions(spark):
+    """Property sweep: the two-pass rank equals the reference window
+    across distribution shapes (uniform / heavy-tie / clustered /
+    few-distinct), with and without a tie split column."""
+    import random
+
+    rng = random.Random(60)
+    shapes = {
+        "uniform": lambda i: rng.random() * 1000,
+        "heavy_tie": lambda i: 7.0 if rng.random() < 0.8 else rng.random(),
+        "clustered": lambda i: float(rng.choice([1, 2, 3])) + rng.random() / 1e6,
+        "few_distinct": lambda i: float(rng.randrange(4)),
+    }
+    for name, gen in shapes.items():
+        data = [(i, gen(i)) for i in range(1500)]
+        d = spark.createDataFrame(data, "id long, v double")
+        for tie in (None, "id"):
+            got = with_global_row_number(
+                d, ["v", "id"], "v", out_col="i", n_buckets=8, tie_bucket_col=tie
+            )
+            exp = d.withColumn(
+                "i", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+            )
+            assert {(r["id"], r["i"]) for r in got.collect()} == {
+                (r["id"], r["i"]) for r in exp.collect()
+            }, (name, tie)
