@@ -355,3 +355,56 @@ def with_global_prev_min(
         )
         .drop(_BKT)
     )
+
+
+def exact_interpolated_percentiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    n_buckets: int | None = None,
+) -> list[float]:
+    """EXACT linear-interpolated percentiles of non-null ``col`` —
+    bit-identical to Spark's ``percentile`` aggregate (verified: the
+    interpolation is ``(h - x)·v[l] + (x - l)·v[h]`` at 0-based
+    position ``x = p·(n-1)``, the exact expression Spark evaluates) —
+    WITHOUT collecting the value array anywhere: the aggregate-based
+    exact percentile holds every group value in one aggregator's
+    memory, which is the first OOM on a 100 TB column. Here the two
+    needed order statistics per prob come from the two-pass
+    range-bucket rank, so memory is bounded by a bucket partition and
+    driver state by ≤ 2·len(probs) rows + the cut array."""
+    import math
+
+    vals = (
+        df.select(F.col(col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        # double shadow for the quantile bucketing (monotone; keeps
+        # decimal/integer columns usable — ordering stays on __v)
+        .withColumn("__vd", F.col("__v").cast("double"))
+    )
+    n = vals.count()
+    if n == 0:
+        return []
+    pos = {p: p * (n - 1) for p in probs}
+    need = sorted(
+        {int(math.floor(x)) for x in pos.values()}
+        | {int(math.ceil(x)) for x in pos.values()}
+    )
+    ranked = with_global_row_number(
+        vals, ["__v"], "__vd", out_col="__rn", n_buckets=n_buckets
+    )
+    at = {
+        r["__rn"] - 1: r["__v"]
+        for r in ranked.where(
+            F.col("__rn").isin([k + 1 for k in need])
+        ).collect()
+    }
+    out = []
+    for p in probs:
+        x = pos[p]
+        lo, hi = math.floor(x), math.ceil(x)
+        if lo == hi:
+            out.append(float(at[lo]))
+        else:
+            out.append((hi - x) * float(at[lo]) + (x - lo) * float(at[hi]))
+    return out

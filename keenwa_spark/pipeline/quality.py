@@ -357,18 +357,32 @@ def zscore_scale(
 
 def fit_quantile_cuts(df: DataFrame, col: str, n_bins: int) -> DataFrame:
     """Shared equi-depth core: the 1-row ``__cuts`` array of exact
-    inner quantiles of non-null ``col`` (n_bins - 1 cuts from ONE
-    percentile pass). Consumers broadcast it onto their scan and bin
-    with ``quantile_bin_of`` — keeping the fit and the
-    value-on-a-cut-goes-above rule in one place for both the
-    histogram (here) and the feature bucketizer (features.py)."""
+    inner quantiles of non-null ``col``. Consumers broadcast it onto
+    their scan and bin with ``quantile_bin_of`` — keeping the fit and
+    the value-on-a-cut-goes-above rule in one place for both the
+    histogram (here) and the feature bucketizer (features.py).
+
+    The fit is the DISTRIBUTED exact path (operators/ordered.py
+    ``exact_interpolated_percentiles``: two-pass range-bucket order
+    statistics, bit-identical to the ``percentile`` aggregate this
+    used to call) — the aggregate collects every value into one
+    aggregator's memory, which was this module's documented 100 TB
+    caveat; now the exact cuts scale like any groupBy and the caveat
+    is gone. The cuts come back as literals, so consumers' plans carry
+    them with zero extra joins or aggregates."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
-    probs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
-    return (
-        df.select(F.col(col).alias("__v"))
-        .where(F.col("__v").isNotNull())
-        .agg(F.percentile(F.col("__v"), probs).alias("__cuts"))
+    from keenwa_spark.operators.ordered import exact_interpolated_percentiles
+
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = exact_interpolated_percentiles(df, col, probs)
+    spark = df.sparkSession
+    if not cuts:  # empty input: the old aggregate returned a NULL array
+        return spark.range(1).select(
+            F.lit(None).cast("array<double>").alias("__cuts")
+        )
+    return spark.range(1).select(
+        F.array(*[F.lit(float(c)) for c in cuts]).alias("__cuts")
     )
 
 

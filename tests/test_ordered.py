@@ -240,3 +240,31 @@ def test_row_number_property_random_distributions(spark):
             assert {(r["id"], r["i"]) for r in got.collect()} == {
                 (r["id"], r["i"]) for r in exp.collect()
             }, (name, tie)
+
+
+def test_exact_interpolated_percentiles_bit_match_aggregate(spark):
+    """The distributed exact percentile must be BIT-identical to
+    Spark's percentile aggregate (the interpolation form
+    (h-x)*lo + (x-l)*hi is exactly what the aggregate evaluates) —
+    including under ties and at the endpoints."""
+    import random
+
+    from keenwa_spark.operators.ordered import exact_interpolated_percentiles
+
+    rng = random.Random(11)
+    data = [(i, round(rng.random() * 100, 3)) for i in range(4000)]
+    data += [(10000 + i, 42.0) for i in range(400)]  # heavy tie
+    d = spark.createDataFrame(data, "id long, v double")
+    probs = [0.0, 0.01, 1 / 3, 0.5, 0.9, 0.999, 1.0]
+    ref = d.agg(
+        F.percentile("v", F.array(*[F.lit(p) for p in probs])).alias("c")
+    ).collect()[0]["c"]
+    got = exact_interpolated_percentiles(d, "v", probs, n_buckets=8)
+    assert got == list(ref)
+
+
+def test_exact_interpolated_percentiles_empty(spark):
+    from keenwa_spark.operators.ordered import exact_interpolated_percentiles
+
+    d = spark.createDataFrame([], "v double")
+    assert exact_interpolated_percentiles(d, "v", [0.5]) == []
