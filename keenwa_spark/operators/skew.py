@@ -82,15 +82,25 @@ def skew_report(
     does that many times the median partition's work — the signal to
     salt. Cost: one count aggregate on the key + a tiny all-key
     summary, both map-side combinable; the per-key counts are never
-    collected.
+    collected. The count-distribution percentiles ride the
+    distributed two-pass order statistics (operators/ordered.py,
+    bit-identical to the percentile aggregate) — at a billion keys
+    the aggregate would collect every per-key count into one
+    aggregator.
     """
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("key_count"))
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("key_count")
+    ).localCheckpoint(eager=False)
+    from keenwa_spark.operators.ordered import exact_interpolated_percentiles
+
+    qs = exact_interpolated_percentiles(counts, "key_count", [0.5, 0.99])
+    p50, p99 = (qs[0], qs[1]) if qs else (None, None)
     summary = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("key_count").alias("n_rows"),
         F.max("key_count").alias("max_count"),
-        F.expr("percentile(key_count, 0.5)").alias("p50_count"),
-        F.expr("percentile(key_count, 0.99)").alias("p99_count"),
+        F.lit(p50).cast("double").alias("p50_count"),
+        F.lit(p99).cast("double").alias("p99_count"),
     )
     # distributed top-k (TakeOrderedAndProject) FIRST, so the global
     # rank window only ever sees top_k rows — never all n_keys counts

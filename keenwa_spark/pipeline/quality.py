@@ -253,25 +253,33 @@ def winsorize(
     downstream).
 
     Adds ``<value_col>_w`` (clamped), ``q_lo``, ``q_hi``. Quantiles
-    are Spark's exact linear-interpolated percentile (bit-equal to
-    DuckDB quantile_cont — the cross-engine-verified pair), computed
-    in ONE group aggregate and joined back broadcast (groups are
-    catalog-scale, not data-scale). At 100 TB swap percentile for
-    approx_percentile to avoid the per-group sort; the plan shape is
-    unchanged.
+    are exact linear-interpolated percentiles (bit-equal to DuckDB
+    quantile_cont — the cross-engine-verified pair). The UNGROUPED
+    case uses the distributed two-pass order statistics
+    (operators/ordered.py — the percentile aggregate would collect
+    the whole column into one aggregator); grouped fits keep the ONE
+    group aggregate + broadcast join-back (per-group aggregator
+    memory is bounded by the group, and groups are catalog-scale).
     """
     if not 0.0 <= lower_q < upper_q <= 1.0:
         raise ValueError(f"need 0 <= lower_q < upper_q <= 1, got {lower_q}, {upper_q}")
     v = F.col(value_col).cast("double")
-    # column-expression percentiles — the column name stays data, not
-    # interpolated SQL text (same discipline as cluster_keep_by_priority)
-    aggs = [
-        F.percentile(F.col(value_col), F.lit(float(lower_q))).alias("q_lo"),
-        F.percentile(F.col(value_col), F.lit(float(upper_q))).alias("q_hi"),
-    ]
     if group_col is None:
-        joined = df.crossJoin(F.broadcast(df.agg(*aggs)))
+        from keenwa_spark.operators.ordered import exact_interpolated_percentiles
+
+        qs = exact_interpolated_percentiles(df, value_col, [lower_q, upper_q])
+        lo, hi = (qs[0], qs[1]) if qs else (None, None)
+        joined = df.withColumn(
+            "q_lo", F.lit(lo).cast("double")
+        ).withColumn("q_hi", F.lit(hi).cast("double"))
     else:
+        # column-expression percentiles — the column name stays data,
+        # not interpolated SQL text (same discipline as
+        # cluster_keep_by_priority)
+        aggs = [
+            F.percentile(F.col(value_col), F.lit(float(lower_q))).alias("q_lo"),
+            F.percentile(F.col(value_col), F.lit(float(upper_q))).alias("q_hi"),
+        ]
         joined = df.join(F.broadcast(df.groupBy(group_col).agg(*aggs)), group_col)
     return joined.withColumn(
         f"{value_col}_w", F.least(F.greatest(v, F.col("q_lo")), F.col("q_hi"))
