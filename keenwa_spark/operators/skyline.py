@@ -10,6 +10,23 @@ from pyspark.sql import functions as F
 
 from keenwa_spark.operators.ordered import with_global_prev_min
 
+#: types with an order-preserving double shadow for tie bucketing
+_CASTABLE = {"byte", "short", "integer", "long", "float", "double", "decimal"}
+
+
+def _numeric_shadow(col: str, dtype) -> "F.Column":
+    """Order-preserving double shadow of ``col`` (epoch for temporal
+    types, plain cast for numerics, NULL otherwise — a NULL shadow just
+    disables tie-splitting, it never affects results)."""
+    name = dtype.typeName()
+    if name in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(F.col(col)).cast("double")
+    if name == "date":
+        return F.datediff(F.col(col), F.to_date(F.lit("1970-01-01"))).cast("double")
+    if name in _CASTABLE:
+        return F.col(col).cast("double")
+    return F.lit(None).cast("double")
+
 
 def skyline_2d(
     df: DataFrame,
@@ -47,6 +64,10 @@ def skyline_2d(
         # numeric shadow of mx for quantile bucketing (monotone, so
         # bucket order follows the mx DESC scan order; ties unsplit)
         .withColumn("__mxd", F.col("mx").cast("double"))
+        # numeric shadow of mn so a heavy mx value (one maximize value
+        # with a huge frontier of distinct mn) can tie-split instead of
+        # becoming a single window partition
+        .withColumn("__mnd", _numeric_shadow("mn", df.schema[minimize_col].dataType))
     )
     ranked = with_global_prev_min(
         pairs,
@@ -55,6 +76,7 @@ def skyline_2d(
         min_of="mn",
         out_col="__pm",
         descending=True,
+        tie_bucket_col="__mnd",
     )
     return (
         ranked.where(F.col("__pm").isNull() | (F.col("mn") < F.col("__pm")))
