@@ -123,22 +123,29 @@ def _bounded_below(lines: list[str], i: int) -> bool:
 
 
 def summarize(df: DataFrame) -> PlanSummary:
-    plan = explain_text(df)
+    # node counts come from the plan TREE (executedPlan.toString — one
+    # line per node); the formatted explain would double-count every
+    # node in its details section, and a post-execution AQE plan would
+    # double again via the appended Initial Plan, so keep only the
+    # final tree
+    tree = executed_plan_text(df).split("== Initial Plan ==")[0]
+    # pushed-filter evidence lives in the formatted details (full text)
+    formatted = explain_text(df)
     return PlanSummary(
-        broadcast_joins=plan.count("BroadcastHashJoin"),
-        sort_merge_joins=plan.count("SortMergeJoin"),
-        nested_loop_joins=plan.count("BroadcastNestedLoopJoin"),
-        cartesian_products=plan.count("CartesianProduct"),
-        exchanges=plan.count("Exchange"),
+        broadcast_joins=tree.count("BroadcastHashJoin"),
+        sort_merge_joins=tree.count("SortMergeJoin"),
+        nested_loop_joins=tree.count("BroadcastNestedLoopJoin"),
+        cartesian_products=tree.count("CartesianProduct"),
+        exchanges=tree.count("Exchange"),
         python_evals=(
-            plan.count("BatchEvalPython")
-            + plan.count("ArrowEvalPython")
+            tree.count("BatchEvalPython")
+            + tree.count("ArrowEvalPython")
             # deliberate Arrow-batch crossings (mapInPandas operators)
             # count too — a plan audit that hides them would claim
             # pure-JVM for plans that are not
-            + plan.count("MapInPandas")
+            + tree.count("MapInPandas")
         ),
-        pushed_filters="PushedFilters: [" in plan,
+        pushed_filters="PushedFilters: [" in formatted,
     )
 
 

@@ -397,3 +397,91 @@ sql_query(
     "running mean is partition-order-dependent and unverifiable).",
     tags=("analytics", "aggregate", "weighted"),
 )
+
+
+sql_query(
+    "an_pivot_segments",
+    """
+    SELECT *
+    FROM (
+      SELECT n.n_name, c.c_mktsegment,
+             CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    PIVOT (
+      CAST(SUM(bal) AS DOUBLE) AS total, COUNT(*) AS n
+      FOR c_mktsegment IN ('BUILDING' AS building, 'MACHINERY' AS machinery,
+                           'AUTOMOBILE' AS automobile)
+    )
+    ORDER BY n_name
+    """,
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                    THEN CAST(c.c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS building_total,
+           COUNT(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 END)
+             AS building_n,
+           CAST(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY'
+                    THEN CAST(c.c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS machinery_total,
+           COUNT(CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 END)
+             AS machinery_n,
+           CAST(SUM(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                    THEN CAST(c.c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS automobile_total,
+           COUNT(CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 END)
+             AS automobile_n
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="SQL PIVOT (long -> wide; Spark-native superset surface like "
+    "ROLLUP/CUBE): per-nation account-balance totals and counts pivoted "
+    "across three market segments in one grouped pass — Catalyst plans "
+    "it as conditional aggregation, which is exactly what the portable "
+    "oracle spells out. Decimal sums, one final double cast per cell.",
+    tags=("analytics", "pivot"),
+)
+
+
+sql_query(
+    "an_unpivot_stack",
+    """
+    SELECT o_orderstatus, metric, CAST(v AS DOUBLE) AS v
+    FROM (
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY o_orderstatus
+    )
+    LATERAL VIEW stack(3,
+      'total_price', total_price,
+      'n_orders', n_orders,
+      'n_customers', n_customers) AS metric, v
+    ORDER BY o_orderstatus, metric
+    """,
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'total_price' AS metric, total_price AS v FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'n_orders', n_orders FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'n_customers', n_customers FROM wide
+    ORDER BY o_orderstatus, metric
+    """,
+    doc="UNPIVOT (wide -> long) via stack(): per-status KPI columns "
+    "melted into (metric, value) rows — the reporting-layer reshape; "
+    "stack is a Generate (zero shuffles beyond the aggregate), oracle "
+    "is the portable UNION ALL spelling.",
+    tags=("analytics", "unpivot"),
+)
