@@ -155,3 +155,71 @@ def backfill_partitions(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> tuple[int, int]:
+    """Small-file compaction for a parquet directory: rewrite ``path``
+    so each output file targets ``target_file_bytes`` — the table
+    maintenance every long-running ingest needs (streaming sinks and
+    per-batch backfills accrete thousands of KB-scale files whose
+    open/footer overhead eventually dominates scans; at 100 TB the
+    same accretion breaks the driver's file listing).
+
+    Returns (files_before, files_after). Content is preserved exactly
+    (read -> repartition -> rewrite, no row transformation). The swap
+    is the crash-safe three-step used by the streaming state store
+    (streaming/upsert.py): write to ``.tmp``, rename the live dir
+    aside, install, drop the old copy — a crash at any point leaves a
+    complete directory under the live or ``.old`` name; call
+    ``recover_compaction`` at startup to heal an interrupted swap.
+
+    Driver cost: one file listing (sizes), bounded by file count — the
+    quantity compaction exists to keep bounded.
+    """
+    import os
+    import shutil
+
+    sizes = [
+        os.path.getsize(os.path.join(r, f))
+        for r, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    files_before = len(sizes)
+    if files_before == 0:
+        return 0, 0
+    n_out = max(1, math.ceil(sum(sizes) / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp, old = f"{path}.tmp-compact", f"{path}.old"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = len(
+        [
+            f
+            for r, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+    )
+    return files_before, files_after
+
+
+def recover_compaction(path: str) -> bool:
+    """Heal an interrupted ``compact_parquet`` swap: if the live dir is
+    missing but ``.old`` survives, restore it. Returns True when a
+    recovery happened."""
+    import os
+
+    old = f"{path}.old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False

@@ -22,6 +22,16 @@ Sink note: memory sinks (used in tests) do NOT support checkpoint
 recovery — Spark raises AnalysisException on restart by design;
 production restartability requires a fault-tolerant sink
 (parquet/kafka/delta) with the same checkpointLocation.
+
+API note: Spark 4's successor API (``transformWithStateInPandas`` —
+composable typed value/list/map state, timers, RocksDB-backed) was
+probed in this environment and its Python state-protocol worker dies
+on a broken ``google.protobuf`` install (ImportError: cannot import
+'descriptor'; no package installs available here), so this module
+ships the ``applyInPandasWithState`` form — still fully supported in
+4.x and semantically equivalent for this operator (one value-state
+per key, no timers). Migrating is mechanical: the update closure
+becomes a ``StatefulProcessor`` with ``handle.getValueState``.
 """
 
 from __future__ import annotations

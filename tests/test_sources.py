@@ -326,3 +326,42 @@ class TestBackfillPartitions:
 
         with pytest.raises(ValueError):
             backfill_partitions(spark.range(1), "/tmp/x", partition_by=[])
+
+
+class TestCompaction:
+    def test_compacts_small_files_preserving_content(self, spark, tmp_path):
+        from keenwa_spark.sources.writers import compact_parquet
+
+        p = str(tmp_path / "t")
+        # 40 tiny files
+        spark.range(4000).selectExpr("id", "id * 2 AS v").repartition(
+            40
+        ).write.parquet(p)
+        before_rows = sorted(
+            (r["id"], r["v"]) for r in spark.read.parquet(p).collect()
+        )
+        nb, na = compact_parquet(spark, p, target_file_bytes=1 << 30)
+        assert nb == 40 and na == 1
+        after_rows = sorted(
+            (r["id"], r["v"]) for r in spark.read.parquet(p).collect()
+        )
+        assert after_rows == before_rows
+
+    def test_recover_interrupted_swap(self, spark, tmp_path):
+        import os
+
+        from keenwa_spark.sources.writers import recover_compaction
+
+        p = str(tmp_path / "t2")
+        spark.range(100).write.parquet(p)
+        os.rename(p, f"{p}.old")  # simulate the crash window
+        assert recover_compaction(p) is True
+        assert spark.read.parquet(p).count() == 100
+        assert recover_compaction(p) is False  # no-op when healthy
+
+    def test_empty_dir_noop(self, spark, tmp_path):
+        from keenwa_spark.sources.writers import compact_parquet
+
+        d = tmp_path / "empty"
+        d.mkdir()
+        assert compact_parquet(spark, str(d)) == (0, 0)
