@@ -227,6 +227,18 @@ class PlanBuilder:
     def cross_join(self, right: "PlanBuilder") -> "PlanBuilder":
         return self._next(self._require().crossJoin(right._require()))
 
+    def hint(self, name: str, *params) -> "PlanBuilder":
+        """Physical-strategy hint on this relation (broadcast /
+        merge / shuffle_hash / shuffle_replicate_nl, plus
+        repartition/rebalance) — the builder's face of the reference's
+        PHYSICAL operator menu (SURVEY §2b: its Cascades search picks
+        among HashJoin/MergeSortJoin/NestedLoopJoin etc.; Catalyst
+        picks too, and a hint pins the choice when the caller knows
+        better, e.g. a dimension the stats under-estimate). Unknown
+        hint names are ignored by Spark with a warning — same
+        advisory semantics as SQL hints."""
+        return self._next(self._require().hint(name, *params))
+
     # -- subquery predicates (reference builder/mod.rs:696-737
     #    sub_query_builder/new_relation_builder; decorrelation entry
     #    points builder/subqueries.rs:186-367) ----------------------------

@@ -211,3 +211,25 @@ def test_scalar_subquery_requires_one_column(b):
     wide = b.sub_query_builder().from_("region")
     with pytest.raises(ArgumentError):
         b.from_("nation").scalar_subquery(wide, "x")
+
+
+def test_hint_pins_physical_join_strategy(b):
+    """§2b physical-operator menu via builder hints: the same logical
+    join plans as SMJ or BHJ depending on the hint."""
+    from keenwa_spark.plans import summarize
+
+    left = b.from_("customer")
+    right = b.new_query().from_("nation")
+    merged = left.join_on(
+        right.hint("merge"), "inner", "c_nationkey = n_nationkey"
+    ).build()
+    s_m = summarize(merged)
+    assert s_m.sort_merge_joins >= 1 and s_m.broadcast_joins == 0
+
+    bcast = left.join_on(
+        b.new_query().from_("nation").hint("broadcast"),
+        "inner",
+        "c_nationkey = n_nationkey",
+    ).build()
+    s_b = summarize(bcast)
+    assert s_b.broadcast_joins >= 1 and s_b.sort_merge_joins == 0
