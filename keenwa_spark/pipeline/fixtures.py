@@ -57,3 +57,46 @@ def make_clustered_embeddings(
         for i in range(n)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def make_near_dup_corpus(
+    spark: SparkSession,
+    n_base: int = 60,
+    edit_rates: tuple[float, ...] = (0.01, 0.05, 0.15, 0.35),
+    doc_words: int = 60,
+    vocab: int = 5000,
+    n_noise: int = 100,
+    seed: int = 13,
+) -> DataFrame:
+    """Documents table with CONTROLLED near-duplicate structure for
+    measuring the MinHash-LSH path's recall (the dedup analog of
+    ``make_clustered_embeddings``): each of ``n_base`` base docs gets
+    one variant per edit rate (that fraction of word positions
+    replaced with fresh vocabulary — lower rate = higher shingle
+    Jaccard), plus ``n_noise`` unrelated docs. Deterministic in
+    ``seed``; schema (doc_id BIGINT, text STRING). Ground truth comes
+    from the exact n-gram Jaccard path over the same corpus — this
+    fixture only guarantees graded similarity levels exist."""
+    import random
+
+    rng = random.Random(seed)
+
+    def fresh_word() -> str:
+        return f"w{rng.randrange(vocab)}"
+
+    rows: list[tuple[int, str]] = []
+    did = 0
+    for _ in range(n_base):
+        base = [fresh_word() for _ in range(doc_words)]
+        rows.append((did, " ".join(base)))
+        did += 1
+        for rate in edit_rates:
+            variant = list(base)
+            for pos in rng.sample(range(doc_words), int(rate * doc_words)):
+                variant[pos] = fresh_word()
+            rows.append((did, " ".join(variant)))
+            did += 1
+    for _ in range(n_noise):
+        rows.append((did, " ".join(fresh_word() for _ in range(doc_words))))
+        did += 1
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")

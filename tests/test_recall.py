@@ -124,3 +124,74 @@ class TestClusteredFixture:
             ctruth,
         )
         assert r >= 0.9, r
+
+
+class TestDedupRecall:
+    """Measured LSH near-dup recall vs exact n-gram Jaccard truth on
+    the controlled-variant corpus (tools/dedup_recall.py is the full
+    sweep; these floors pin the shipped defaults). Theory for k=12:
+    P(candidate) = 1 - (1 - J^(12/b))^b — the measured points track it
+    within a few points (e.g. J~0.74 at b=4 -> 0.875 predicted)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        from keenwa_spark.pipeline.fixtures import make_near_dup_corpus
+
+        return make_near_dup_corpus(spark).localCheckpoint()
+
+    def _truth(self, corpus, tau):
+        from keenwa_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        return {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(corpus, threshold=tau).collect()
+        }
+
+    def test_high_jaccard_recall_floor(self, corpus):
+        from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+
+        truth = self._truth(corpus, 0.9)
+        assert len(truth) >= 50  # the fixture provides a J>=0.9 tier
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(corpus, bands=4).collect()
+        }
+        recall = len(truth & cand) / len(truth)
+        assert recall >= 0.95, recall  # measured 1.000
+
+    def test_mid_jaccard_recall_floor_and_band_tradeoff(self, corpus):
+        from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+
+        truth = self._truth(corpus, 0.7)
+        c4 = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(corpus, bands=4).collect()
+        }
+        c6 = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(corpus, bands=6).collect()
+        }
+        r4 = len(truth & c4) / len(truth)
+        r6 = len(truth & c6) / len(truth)
+        assert r4 >= 0.8, r4   # measured 0.922
+        assert r6 >= 0.95, r6  # measured 1.000 — more bands = higher recall
+        assert len(c6) >= len(c4)  # ...bought with more candidates
+
+    def test_verified_pairs_are_exactly_truth_within_candidates(self, corpus):
+        """Verification precision is 1.0 BY CONSTRUCTION: the verified
+        set must equal truth ∩ candidates exactly."""
+        from keenwa_spark.pipeline.dedup import (
+            lsh_verified_pairs,
+            minhash_lsh_pairs,
+        )
+
+        truth = self._truth(corpus, 0.7)
+        cand = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(corpus, bands=4).collect()
+        }
+        ver = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_verified_pairs(corpus, threshold=0.7, bands=4).collect()
+        }
+        assert ver == (truth & cand)
