@@ -408,3 +408,55 @@ def exact_interpolated_percentiles(
         else:
             out.append((hi - x) * float(at[lo]) + (x - lo) * float(at[hi]))
     return out
+
+
+def with_global_rank(
+    df: DataFrame,
+    col: str,
+    out_col: str = "rk",
+    descending: bool = False,
+    dense: bool = False,
+    n_buckets: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """``RANK()`` (gaps) or ``DENSE_RANK()`` ``OVER (ORDER BY col)`` as
+    bigint ``out_col`` — two-pass, no single-partition window.
+
+    Single-key order only: with the bucket column equal to the one
+    order key, a tie group can never straddle a bucket boundary (the
+    ``bucket_of`` ties rule), so global rank = exclusive row-count
+    offset + local rank, and global dense rank = exclusive
+    distinct-value offset + local dense rank. Heavy-value
+    tie-splitting is deliberately OFF here — it would split a tie
+    group, which rank semantics cannot tolerate (a mega-tie is ONE
+    output rank anyway; the per-bucket window cost of a mega-tie
+    group is one count, not a sort of distinct rows)."""
+    if materialize:
+        df = df.localCheckpoint(eager=False)
+    cuts = fit_bucket_cuts(df, col, n_buckets)
+    b = df.withColumn(_BKT, bucket_of(F.col(col), cuts, descending))
+    stats = _bucket_stats(
+        b,
+        [
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.count_distinct(F.col(col)).cast("bigint").alias("d"),
+        ],
+    )
+    offs, run_rows, run_vals = [], 0, 0
+    for k in range(len(cuts) + 1):
+        offs.append(run_vals if dense else run_rows)
+        if k in stats:
+            run_rows += stats[k]["c"]
+            run_vals += stats[k]["d"]
+    order = [F.col(col).desc() if descending else F.col(col)]
+    w = Window.partitionBy(_BKT).orderBy(*order)
+    local = F.dense_rank() if dense else F.rank()
+    return (
+        b.withColumn(
+            out_col,
+            (local.over(w).cast("bigint") + _offset_lookup(offs, "bigint")).cast(
+                "bigint"
+            ),
+        )
+        .drop(_BKT)
+    )

@@ -485,3 +485,43 @@ sql_query(
     "is the portable UNION ALL spelling.",
     tags=("analytics", "unpivot"),
 )
+
+
+from keenwa_spark.queries import df_query  # noqa: E402
+
+
+@df_query(
+    "an_price_rank_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(RANK() OVER (ORDER BY o_totalprice DESC) AS BIGINT) AS rk,
+           CAST(DENSE_RANK() OVER (ORDER BY o_totalprice DESC) AS BIGINT)
+             AS drk
+    FROM orders
+    WHERE o_totalprice > 400000
+    """,
+    doc="GLOBAL RANK + DENSE_RANK over order prices (gaps and no-gaps "
+    "side by side) via the two-pass range-bucket scheme "
+    "(operators/ordered.py with_global_rank): per-bucket rank windows "
+    "in parallel plus exclusive row-count / distinct-value offsets — "
+    "the leaderboard query shape that a partitionless window would "
+    "single-task at scale. Filter first (pushed to the scan), rank "
+    "the survivors.",
+    tags=("analytics", "rank", "ordered"),
+)
+def an_price_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.operators.ordered import with_global_rank
+
+    filtered = (
+        spark.table("orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    ranked = with_global_rank(
+        filtered, "o_totalprice", out_col="rk", descending=True
+    )
+    return with_global_rank(
+        ranked, "o_totalprice", out_col="drk", descending=True, dense=True
+    ).select("o_orderkey", "o_totalprice", "rk", "drk")

@@ -268,3 +268,19 @@ def test_exact_interpolated_percentiles_empty(spark):
 
     d = spark.createDataFrame([], "v double")
     assert exact_interpolated_percentiles(d, "v", [0.5]) == []
+
+
+@pytest.mark.parametrize("dense", [False, True])
+@pytest.mark.parametrize("descending", [False, True])
+def test_global_rank_and_dense_rank_match_window(vals, dense, descending):
+    from keenwa_spark.operators.ordered import with_global_rank
+
+    got = with_global_rank(
+        vals, "v", out_col="rk", descending=descending, dense=dense, n_buckets=8
+    )
+    order = F.col("v").desc() if descending else F.col("v")
+    fn = F.dense_rank() if dense else F.rank()
+    exp = vals.withColumn("rk", fn.over(Window.orderBy(order)).cast("bigint"))
+    assert {(r["id"], r["rk"]) for r in got.collect()} == {
+        (r["id"], r["rk"]) for r in exp.collect()
+    }
