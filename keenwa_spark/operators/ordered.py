@@ -71,6 +71,13 @@ def fit_bucket_cuts(
     (approximate quantiles; collapses under heavy ties — fewer, still
     monotone, buckets)."""
     spark = df.sparkSession
+    if not _is_numeric(df, bucket_col):
+        raise ValueError(
+            f"bucket column {bucket_col!r} must be numeric for the "
+            f"quantile fit, got {df.schema[bucket_col].dataType.simpleString()} "
+            "— add a monotone double shadow (cast, unix_micros, ...) "
+            "and bucket on that"
+        )
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     if n_buckets < 1:

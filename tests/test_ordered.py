@@ -284,3 +284,14 @@ def test_global_rank_and_dense_rank_match_window(vals, dense, descending):
     assert {(r["id"], r["rk"]) for r in got.collect()} == {
         (r["id"], r["rk"]) for r in exp.collect()
     }
+
+
+def test_non_numeric_bucket_column_rejected(spark):
+    d = spark.createDataFrame([("a", 1)], "s string, id int")
+    with pytest.raises(ValueError, match="must be numeric"):
+        with_global_row_number(d, ["s", "id"], "s")
+
+
+def test_bad_n_buckets_rejected(vals):
+    with pytest.raises(ValueError, match="n_buckets"):
+        with_global_row_number(vals, ["v", "id"], "v", n_buckets=0)
