@@ -467,3 +467,67 @@ def with_global_rank(
         )
         .drop(_BKT)
     )
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    col: str,
+    keys: list[str],
+    probs: list[float],
+    out_prefix: str = "__q",
+) -> DataFrame:
+    """PER-GROUP exact linear-interpolated percentiles — bit-identical
+    to a grouped ``percentile`` aggregate, WITHOUT its per-group value
+    array (the aggregate buffers every value of the group in one
+    aggregator; group sizes grow with the data, so that's the same
+    scale cliff the global fit had). One row per key combination with
+    ``out_prefix{i}`` (double) per probability.
+
+    Plan: a per-group rank window (PARTITIONED by the keys — spillable
+    sort, never a value buffer) + per-group count, filter to the ≤ 2
+    order statistics each probability needs, one grouped max-pick, and
+    the exact interpolation ``(h-x)·lo + (x-l)·hi`` evaluated from the
+    group's own n. NULL values excluded (percentile semantics); empty
+    groups simply don't appear."""
+    from functools import reduce
+    from operator import or_
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    vals = df.where(F.col(col).isNotNull()).select(*keys, col)
+    w = Window.partitionBy(*keys).orderBy(F.col(col))
+    ranked = vals.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+
+    def _pos(p: float):
+        x = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        return x, F.floor(x), F.ceil(x)
+
+    conds, aggs = [], []
+    for i, p in enumerate(probs):
+        _, lo, hi = _pos(p)
+        idx = (F.col("__rn") - 1).cast("bigint")
+        is_lo, is_hi = idx == lo.cast("bigint"), idx == hi.cast("bigint")
+        conds.append(is_lo | is_hi)
+        aggs.append(
+            F.max(F.when(is_lo, F.col(col))).alias(f"{out_prefix}{i}_lo")
+        )
+        aggs.append(
+            F.max(F.when(is_hi, F.col(col))).alias(f"{out_prefix}{i}_hi")
+        )
+    picked = ranked.where(reduce(or_, conds))
+    stats = picked.groupBy(*keys).agg(
+        *aggs, F.max("__n").cast("bigint").alias("__n")
+    )
+    outs = []
+    for i, p in enumerate(probs):
+        x, lo, hi = _pos(p)
+        vlo = F.col(f"{out_prefix}{i}_lo").cast("double")
+        vhi = F.col(f"{out_prefix}{i}_hi").cast("double")
+        outs.append(
+            F.when(lo == hi, vlo)
+            .otherwise((hi - x) * vlo + (x - lo) * vhi)
+            .alias(f"{out_prefix}{i}")
+        )
+    return stats.select(*keys, *outs)

@@ -57,19 +57,23 @@ def robust_scale(
     NULL when the group's IQR is 0 (constant-ish group) or the value is
     NULL.
 
-    Plan: one grouped exact-percentile pass fits (p25, p50, p75) per
-    group, joined back on the keys — broadcast under bounded group
-    cardinality.
+    Plan: the per-group rank path fits (p25, p50, p75) per group
+    (operators/ordered.py ``grouped_exact_percentiles`` — a
+    partitioned, spillable window rather than the percentile
+    aggregate's per-group value buffer, which grows with group size;
+    bit-identical results), joined back on the keys — broadcast under
+    bounded group cardinality.
     """
     out_col = out_col or f"{col}_robust"
-    stats = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(*keys)
-        .agg(
-            F.percentile(F.col(col), F.lit(0.25)).alias("__p25"),
-            F.percentile(F.col(col), F.lit(0.5)).alias("__p50"),
-            F.percentile(F.col(col), F.lit(0.75)).alias("__p75"),
-        )
+    from keenwa_spark.operators.ordered import grouped_exact_percentiles
+
+    stats = grouped_exact_percentiles(
+        df, col, list(keys), [0.25, 0.5, 0.75]
+    ).select(
+        *keys,
+        F.col("__q0").alias("__p25"),
+        F.col("__q1").alias("__p50"),
+        F.col("__q2").alias("__p75"),
     )
     iqr = F.col("__p75") - F.col("__p25")
     return (

@@ -257,9 +257,12 @@ def winsorize(
     quantile_cont — the cross-engine-verified pair). The UNGROUPED
     case uses the distributed two-pass order statistics
     (operators/ordered.py — the percentile aggregate would collect
-    the whole column into one aggregator); grouped fits keep the ONE
-    group aggregate + broadcast join-back (per-group aggregator
-    memory is bounded by the group, and groups are catalog-scale).
+    the whole column into one aggregator); grouped fits use the
+    per-group rank path (``grouped_exact_percentiles`` — a
+    partitioned, spillable window instead of a per-group value
+    buffer, since group SIZES grow with the data even when group
+    counts are catalog-scale). Both are bit-identical to the
+    aggregate.
     """
     if not 0.0 <= lower_q < upper_q <= 1.0:
         raise ValueError(f"need 0 <= lower_q < upper_q <= 1, got {lower_q}, {upper_q}")
@@ -273,14 +276,16 @@ def winsorize(
             "q_lo", F.lit(lo).cast("double")
         ).withColumn("q_hi", F.lit(hi).cast("double"))
     else:
-        # column-expression percentiles — the column name stays data,
-        # not interpolated SQL text (same discipline as
-        # cluster_keep_by_priority)
-        aggs = [
-            F.percentile(F.col(value_col), F.lit(float(lower_q))).alias("q_lo"),
-            F.percentile(F.col(value_col), F.lit(float(upper_q))).alias("q_hi"),
-        ]
-        joined = df.join(F.broadcast(df.groupBy(group_col).agg(*aggs)), group_col)
+        from keenwa_spark.operators.ordered import grouped_exact_percentiles
+
+        stats = grouped_exact_percentiles(
+            df, value_col, [group_col], [lower_q, upper_q]
+        ).select(
+            group_col,
+            F.col("__q0").alias("q_lo"),
+            F.col("__q1").alias("q_hi"),
+        )
+        joined = df.join(F.broadcast(stats), group_col)
     return joined.withColumn(
         f"{value_col}_w", F.least(F.greatest(v, F.col("q_lo")), F.col("q_hi"))
     )

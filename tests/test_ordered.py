@@ -295,3 +295,28 @@ def test_non_numeric_bucket_column_rejected(spark):
 def test_bad_n_buckets_rejected(vals):
     with pytest.raises(ValueError, match="n_buckets"):
         with_global_row_number(vals, ["v", "id"], "v", n_buckets=0)
+
+
+def test_grouped_exact_percentiles_bit_match_aggregate(spark):
+    """Per-group distributed exact percentiles must be bit-identical
+    to the grouped percentile aggregate, including a mega-tie group."""
+    import random
+
+    from keenwa_spark.operators.ordered import grouped_exact_percentiles
+
+    rng = random.Random(5)
+    data = [(i % 4, round(rng.random() * 100, 3)) for i in range(8000)]
+    data += [(1, 42.0)] * 300
+    d = spark.createDataFrame(data, "g int, v double")
+    probs = [0.01, 0.25, 0.5, 0.99]
+    ref = {
+        r["g"]: list(r["c"])
+        for r in d.groupBy("g")
+        .agg(F.percentile("v", F.array(*[F.lit(p) for p in probs])).alias("c"))
+        .collect()
+    }
+    got = {
+        r["g"]: [r[f"__q{i}"] for i in range(len(probs))]
+        for r in grouped_exact_percentiles(d, "v", ["g"], probs).collect()
+    }
+    assert got == ref
