@@ -2900,26 +2900,30 @@ def pl_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "or the join upstream is broken. Norm is a sequential array fold "
     "(deterministic, same order both engines); the summary uses only "
     "order-independent (min/max) and exact-interpolation (median) "
-    "aggregates — a mean of norms would be partition-order-dependent.",
+    "aggregates — a mean of norms would be partition-order-dependent. "
+    "The median rides the per-group rank path (operators/ordered.py "
+    "grouped_exact_percentiles — spillable, bit-identical to the "
+    "percentile aggregate whose per-group value buffer grows with "
+    "label size).",
     tags=("pipeline", "embeddings", "quality"),
 )
 def pl_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.ordered import grouped_exact_percentiles
+
     norm = (
         "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
         "CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
     )
-    return (
-        spark.table("embeddings")
-        .select("label", F.expr(norm).alias("nrm"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.min("nrm").alias("min_norm"),
-            F.max("nrm").alias("max_norm"),
-            F.percentile(F.col("nrm"), F.lit(0.5)).alias("median_norm"),
-        )
-        .orderBy("label")
+    norms = spark.table("embeddings").select("label", F.expr(norm).alias("nrm"))
+    summary = norms.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
     )
+    medians = grouped_exact_percentiles(norms, "nrm", ["label"], [0.5]).select(
+        "label", F.col("__q0").alias("median_norm")
+    )
+    return summary.join(medians, "label").orderBy("label")
 
 
 @df_query(
