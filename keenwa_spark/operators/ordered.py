@@ -427,46 +427,46 @@ def with_global_rank(
     materialize: bool = True,
 ) -> DataFrame:
     """``RANK()`` (gaps) or ``DENSE_RANK()`` ``OVER (ORDER BY col)`` as
-    bigint ``out_col`` — two-pass, no single-partition window.
-
-    Single-key order only: with the bucket column equal to the one
-    order key, a tie group can never straddle a bucket boundary (the
-    ``bucket_of`` ties rule), so global rank = exclusive row-count
-    offset + local rank, and global dense rank = exclusive
-    distinct-value offset + local dense rank. Heavy-value
-    tie-splitting is deliberately OFF here — it would split a tie
-    group, which rank semantics cannot tolerate (a mega-tie is ONE
-    output rank anyway; the per-bucket window cost of a mega-tie
-    group is one count, not a sort of distinct rows)."""
+    bigint ``out_col`` — two-pass, no single-partition window, and no
+    mega-tie straggler either: every row of a tie group shares one
+    rank, so ranks are computed over the DISTINCT values (rank = 1 +
+    exclusive running count of rows on earlier values, dense rank =
+    the value's ordinal — both via the range-bucket machinery over
+    the grouped counts) and joined back on the value. A value owning
+    90% of the corpus costs one grouped count and one join probe, not
+    a 90%-of-the-data window partition. Single-key order only (rank
+    over a composite order has no tie groups to exploit — use
+    ``with_global_row_number``)."""
     if materialize:
         df = df.localCheckpoint(eager=False)
-    cuts = fit_bucket_cuts(df, col, n_buckets)
-    b = df.withColumn(_BKT, bucket_of(F.col(col), cuts, descending))
-    stats = _bucket_stats(
-        b,
-        [
-            F.count(F.lit(1)).cast("bigint").alias("c"),
-            F.count_distinct(F.col(col)).cast("bigint").alias("d"),
-        ],
-    )
-    offs, run_rows, run_vals = [], 0, 0
-    for k in range(len(cuts) + 1):
-        offs.append(run_vals if dense else run_rows)
-        if k in stats:
-            run_rows += stats[k]["c"]
-            run_vals += stats[k]["d"]
-    order = [F.col(col).desc() if descending else F.col(col)]
-    w = Window.partitionBy(_BKT).orderBy(*order)
-    local = F.dense_rank() if dense else F.rank()
-    return (
-        b.withColumn(
-            out_col,
-            (local.over(w).cast("bigint") + _offset_lookup(offs, "bigint")).cast(
-                "bigint"
-            ),
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    if dense:
+        vals = with_global_row_number(
+            counts,
+            [col],
+            col,
+            out_col=out_col,
+            descending=descending,
+            n_buckets=n_buckets,
+            materialize=True,
         )
-        .drop(_BKT)
-    )
+    else:
+        vals = (
+            with_global_cumsum(
+                counts,
+                [col],
+                col,
+                {"__cum": "__c"},
+                descending=descending,
+                n_buckets=n_buckets,
+                materialize=True,
+            )
+            .withColumn(
+                out_col, (F.col("__cum") - F.col("__c") + 1).cast("bigint")
+            )
+            .drop("__cum")
+        )
+    return df.join(vals.select(col, out_col), on=col)
 
 
 def grouped_exact_percentiles(

@@ -320,3 +320,23 @@ def test_grouped_exact_percentiles_bit_match_aggregate(spark):
         for r in grouped_exact_percentiles(d, "v", ["g"], probs).collect()
     }
     assert got == ref
+
+
+def test_global_rank_mega_tie_no_straggler(spark):
+    """A 90%-one-value corpus: ranks stay exact AND the plan's window
+    runs over the distinct-value table, never the raw rows."""
+    from keenwa_spark.operators.ordered import with_global_rank
+
+    d = spark.range(3000).select(
+        F.col("id"),
+        F.when(F.col("id") < 2700, F.lit(5.0))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    for dense in (False, True):
+        got = with_global_rank(d, "v", out_col="rk", dense=dense, n_buckets=8)
+        fn = F.dense_rank() if dense else F.rank()
+        exp = d.withColumn("rk", fn.over(Window.orderBy("v")).cast("bigint"))
+        assert {(r["id"], r["rk"]) for r in got.collect()} == {
+            (r["id"], r["rk"]) for r in exp.collect()
+        }
