@@ -340,3 +340,28 @@ def test_global_rank_mega_tie_no_straggler(spark):
         assert {(r["id"], r["rk"]) for r in got.collect()} == {
             (r["id"], r["rk"]) for r in exp.collect()
         }
+
+
+def test_registry_audit_main_exits_1_on_injected_offender(spark, monkeypatch):
+    """VERDICT r05 item 2, literal done-criterion: the audit PROCESS
+    exits 1 when the registry contains a partitionless-window query."""
+    import keenwa_spark.queries as q
+    from keenwa_spark.queries import QuerySpec
+    from tools import registry_audit
+
+    def bad(s, sf_dir):
+        d = s.range(500).withColumn("v", (F.col("id") * 37) % 101)
+        return d.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        )
+
+    def fake_load_all():
+        return {"injected_bad": QuerySpec(name="injected_bad", fn=bad)}
+
+    monkeypatch.setattr(q, "load_all", fake_load_all)
+    monkeypatch.setattr(
+        "keenwa_spark.session.get_spark", lambda *a, **k: spark
+    )
+    with pytest.raises(SystemExit) as e:
+        registry_audit.main()
+    assert e.value.code == 1
