@@ -90,6 +90,8 @@ HEADLINE = [
     "pl_chunk_pack_fused",
     "pl_curriculum_stages",
     "ev_spend_gini",
+    # the end-to-end curation flagship: gate -> dedup -> sample -> pack
+    "pl_training_data_flow",
 ]
 
 

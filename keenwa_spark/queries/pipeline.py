@@ -3542,3 +3542,103 @@ def pl_distinct_estimate_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+@df_query(
+    "pl_training_data_flow",
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id, text, {_D_NORM.format(c='text')} AS norm
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM normed
+      WHERE len(string_split(norm, ' ')) >= 30
+    ),
+    reps AS (
+      SELECT md5(norm) AS h, MIN(doc_id) AS keep_id
+      FROM kept GROUP BY md5(norm)
+    ),
+    dedup AS (
+      SELECT k.* FROM kept k JOIN reps r ON k.doc_id = r.keep_id
+    ),
+    sampled AS (
+      SELECT * FROM dedup
+      WHERE {_duck_bucket('doc_id', 'flow')} < 600000
+    ),
+    docs2 AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(norm, ' ')) AS BIGINT) AS nt
+      FROM sampled WHERE len(trim(text)) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, shard, nt,
+             unnest(generate_series(CAST(0 AS BIGINT), (nt - 1) // 24))
+               AS chunk_id
+      FROM docs2
+    ),
+    sized AS (
+      SELECT doc_id, shard, chunk_id,
+             CAST(LEAST(32, nt - chunk_id * 24) AS BIGINT) AS n_chunk_tokens
+      FROM chunks
+    ),
+    cum AS (
+      SELECT *, CAST(SUM(n_chunk_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_after
+      FROM sized
+    ),
+    spans AS (
+      SELECT *, cum_after - n_chunk_tokens AS cum_before,
+             unnest(generate_series(
+               CAST((cum_after - n_chunk_tokens) // 128 AS BIGINT),
+               CAST((cum_after - 1) // 128 AS BIGINT))) AS win
+      FROM cum
+    )
+    SELECT shard,
+           CAST(COUNT(DISTINCT win) AS BIGINT) AS n_seqs,
+           CAST(COUNT(*) AS BIGINT) AS n_span_rows,
+           CAST(SUM(LEAST(n_chunk_tokens, (win + 1) * 128 - cum_before)
+                    - GREATEST(0, win * 128 - cum_before)) AS BIGINT)
+             AS n_tokens
+    FROM spans GROUP BY shard ORDER BY shard
+    """,
+    doc="END-TO-END training-data curation flow as ONE declarative "
+    "plan — the flagship composition for the LLM-pipeline layer: "
+    "quality gate (>=30 normalized words) -> exact dedup keep-first "
+    "(16-byte digest groupBy + semi-join back) -> deterministic "
+    "hash sample (60%, engine-portable md5 buckets, zero shuffle) -> "
+    "fused chunk->pack (doc-sharded, one Exchange) -> per-shard "
+    "yield report (sequences, span rows, packed tokens). Every stage "
+    "is the library operator (pipeline/dedup.py exact_dedup, "
+    "sampling.py hash_sample, packing.py chunk_and_pack) and the "
+    "oracle replays the full chain in DuckDB — the 'a user could run "
+    "their pipeline on this' claim, verified by value.",
+    tags=("pipeline", "composition", "flagship"),
+)
+def pl_training_data_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dedup import exact_dedup, normalized_text
+    from keenwa_spark.pipeline.packing import chunk_and_pack
+    from keenwa_spark.pipeline.sampling import hash_sample
+
+    docs = spark.table("documents")
+    norm_words = f"size(split({normalized_text('text')}, ' '))"
+    kept = docs.where(F.expr(f"{norm_words} >= 30"))
+    reps = exact_dedup(kept).select("doc_id")
+    dedup = kept.join(reps, "doc_id", "left_semi")
+    sampled = hash_sample(dedup, "doc_id", 0.6, salt="flow")
+    packed = chunk_and_pack(
+        sampled, chunk_tokens=32, overlap=8, seq_len=128, n_shards=8
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count_distinct("win").cast("bigint").alias("n_seqs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_span_rows"),
+            F.sum(F.col("tok_end") - F.col("tok_start"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
