@@ -45,6 +45,7 @@ def _probes():
         "pl_ann_ivf_topk",        # IVF train/assign/search
         "pl_pack_sequences",      # sharded cumulative packing
         "pl_chunk_pack_fused",    # fused chunk->pack, one exchange
+        "pl_training_data_flow",  # gate -> dedup -> sample -> pack
         "pl_curriculum_stages",   # two-pass global rank (r6 rewrite)
         "pl_text_stats",          # pure codegen map
         "pl_lm_surprisal",        # explode + model aggs + join
