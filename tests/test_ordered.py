@@ -365,3 +365,24 @@ def test_registry_audit_main_exits_1_on_injected_offender(spark, monkeypatch):
     with pytest.raises(SystemExit) as e:
         registry_audit.main()
     assert e.value.code == 1
+
+
+def test_global_cumsum_descending_matches_window(vals):
+    got = with_global_cumsum(
+        vals, ["v", "id"], "v", {"cw": "w"}, descending=True, n_buckets=8
+    )
+    w = Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    exp = vals.withColumn("cw", F.sum("w").over(w))
+    assert {(r["id"], r["cw"]) for r in got.collect()} == {
+        (r["id"], r["cw"]) for r in exp.collect()
+    }
+
+
+def test_grouped_percentiles_rejects_empty_probs(spark):
+    from keenwa_spark.operators.ordered import grouped_exact_percentiles
+
+    d = spark.createDataFrame([(1, 1.0)], "g int, v double")
+    with pytest.raises(ValueError, match="probs"):
+        grouped_exact_percentiles(d, "v", ["g"], [])

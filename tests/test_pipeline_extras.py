@@ -874,3 +874,31 @@ def test_chunk_and_pack_single_exchange(docs):
     assert final.count("Exchange hashpartitioning") == 1, final
     assert "BroadcastExchange" not in final
     assert partitionless_windows(plan) == []
+
+
+def test_chunk_and_pack_zero_overlap_and_short_docs(spark):
+    """overlap=0 (disjoint chunks) and docs shorter than one chunk:
+    every token still lands in exactly one chunk and one sequence."""
+    from keenwa_spark.pipeline.packing import chunk_and_pack
+
+    rows = [(1, "a b c d e f g"), (2, "x"), (3, "p q r")]
+    d = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = chunk_and_pack(d, chunk_tokens=3, overlap=0, seq_len=5, n_shards=2)
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r["doc_id"], 0)
+        per_doc[r["doc_id"]] += r["tok_end"] - r["tok_start"]
+    # packed token totals equal each doc's chunked token count
+    assert per_doc == {1: 7, 2: 1, 3: 3}
+
+
+def test_chunk_and_pack_rejects_bad_params(spark):
+    from keenwa_spark.pipeline.packing import chunk_and_pack
+
+    d = spark.createDataFrame([(1, "a b")], "doc_id BIGINT, text STRING")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_and_pack(d, chunk_tokens=3, overlap=3)
+    with _pytest.raises(ValueError):
+        chunk_and_pack(d, seq_len=0)
