@@ -428,9 +428,42 @@ SUPERSET_R4 = _cases(
     ),
 )
 
+# Round-6 Spark-superset reshapes: PIVOT (long -> wide) and the
+# stack() UNPIVOT (wide -> long); DuckDB spellings are the portable
+# conditional-aggregation / UNION ALL forms.
+SUPERSET_R6 = _cases(
+    "superset_r6",
+    (
+        "SELECT * FROM (SELECT a1, a2 FROM a WHERE a1 IS NOT NULL) "
+        "PIVOT (COUNT(*) AS n, SUM(a2) AS s FOR a1 IN (1 AS one, 3 AS three)) ",
+        {
+            "strict": False,
+            "duck_sql": (
+                "SELECT COUNT(CASE WHEN a1 = 1 THEN 1 END) AS one_n, "
+                "SUM(CASE WHEN a1 = 1 THEN a2 END) AS one_s, "
+                "COUNT(CASE WHEN a1 = 3 THEN 1 END) AS three_n, "
+                "SUM(CASE WHEN a1 = 3 THEN a2 END) AS three_s "
+                "FROM (SELECT a1, a2 FROM a WHERE a1 IS NOT NULL)"
+            ),
+        },
+    ),
+    (
+        "SELECT a1, m, v FROM (SELECT a1, a2, a3 FROM a WHERE a1 = 2) "
+        "LATERAL VIEW stack(2, 'a2', a2, 'a3', a3) AS m, v",
+        {
+            "strict": False,
+            "duck_sql": (
+                "WITH w AS (SELECT a1, a2, a3 FROM a WHERE a1 = 2) "
+                "SELECT a1, 'a2' AS m, a2 AS v FROM w "
+                "UNION ALL SELECT a1, 'a3', a3 FROM w"
+            ),
+        },
+    ),
+)
+
 CORPUS: list[Case] = (
     BASIC + AGGREGATE + WINDOW + JOINS + SETOPS + CTE + SUBQ + EXPR + INTERVAL + VALUES_EMPTY
-    + SUPERSET_R4
+    + SUPERSET_R4 + SUPERSET_R6
 )
 
 
