@@ -296,10 +296,14 @@ class PlanBuilder:
         per ANSI scalar-subquery semantics — at most one row (an
         aggregate or ``limit(1)``; like the reference, which plans but
         never executes, the builder cannot check cardinality at build
-        time). The plan is a broadcast cross join of the 1-row
-        sub-result: Catalyst evaluates the subquery once and streams
-        it to every task — the same shape Spark plans for a SQL
-        scalar subquery, with no per-row re-execution."""
+        time — a >1-row sub silently multiplies rows, documented
+        divergence). The plan is a broadcast LEFT join on a TRUE
+        condition against the 1-row sub-result: Catalyst evaluates
+        the subquery once and streams it to every task — and, per
+        ANSI (reference ``Expr::SubQuery``), an EMPTY sub-relation
+        yields a NULL scalar rather than annihilating the outer
+        relation (ADVICE r06 item 4: a cross join would return zero
+        rows there)."""
         sub_df = sub._require()
         if len(sub_df.columns) != 1:
             raise ArgumentError(
@@ -307,7 +311,9 @@ class PlanBuilder:
                 f"{len(sub_df.columns)} columns: {sub_df.columns}"
             )
         scalar = sub_df.select(F.col(sub_df.columns[0]).alias(alias))
-        return self._next(self._require().crossJoin(F.broadcast(scalar)))
+        return self._next(
+            self._require().join(F.broadcast(scalar), F.lit(True), "left")
+        )
 
     # -- set operators (reference :591-621, set_ops.rs) ---------------------
 

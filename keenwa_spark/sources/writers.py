@@ -179,23 +179,45 @@ def compact_parquet(
 
     Driver cost: one file listing (sizes), bounded by file count — the
     quantity compaction exists to keep bounded.
+
+    Concurrency: compaction requires a QUIESCED table — no concurrent
+    writer (streaming sink, upsert store, backfill) may append while
+    it runs, or the appended files would be silently dropped with the
+    ``.old`` copy (ADVICE r06 item 5). The swap is guarded: the
+    parquet listing is re-taken just before the install and, if any
+    file appeared or vanished since the read, the compaction ABORTS
+    (tmp output removed, live dir untouched) with a RuntimeError
+    instead of losing the concurrent write. The check is
+    listing-based, so a writer that lands between the re-check and
+    the rename can still race — the guard converts the silent data
+    loss into a near-certain loud failure, not a lock; pause writers
+    for a correctness guarantee.
     """
     import os
     import shutil
 
-    sizes = [
-        os.path.getsize(os.path.join(r, f))
-        for r, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    ]
-    files_before = len(sizes)
+    def _listing() -> dict[str, int]:
+        return {
+            os.path.join(r, f): os.path.getsize(os.path.join(r, f))
+            for r, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        }
+
+    before = _listing()
+    files_before = len(before)
     if files_before == 0:
         return 0, 0
-    n_out = max(1, math.ceil(sum(sizes) / target_file_bytes))
+    n_out = max(1, math.ceil(sum(before.values()) / target_file_bytes))
     df = spark.read.parquet(path)
     tmp, old = f"{path}.tmp-compact", f"{path}.old"
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    if _listing() != before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_parquet aborted: {path} changed during compaction "
+            "(concurrent writer detected) — quiesce writers and retry"
+        )
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)

@@ -207,6 +207,22 @@ def test_scalar_subquery_in_filter_and_project(b):
     assert all(r["above_by"] > 0 for r in rows)
 
 
+def test_scalar_subquery_empty_sub_yields_null(b):
+    """ADVICE r06 item 4: an EMPTY sub-relation must yield a NULL
+    scalar (ANSI), not annihilate the outer relation."""
+    empty = (
+        b.sub_query_builder()
+        .from_("nation")
+        .select("n_nationkey < 0")
+        .project(["n_nationkey AS m"])
+        .limit(1)
+    )
+    out = b.from_("region").scalar_subquery(empty, "m").build()
+    rows = out.collect()
+    assert len(rows) == 5  # outer cardinality preserved
+    assert all(r["m"] is None for r in rows)
+
+
 def test_scalar_subquery_requires_one_column(b):
     wide = b.sub_query_builder().from_("region")
     with pytest.raises(ArgumentError):

@@ -386,3 +386,149 @@ def test_grouped_percentiles_rejects_empty_probs(spark):
     d = spark.createDataFrame([(1, 1.0)], "g int, v double")
     with pytest.raises(ValueError, match="probs"):
         grouped_exact_percentiles(d, "v", ["g"], [])
+
+
+# ---- round-7 fixes (ADVICE r06 items 1-3, VERDICT r06 items 2+7) -----------
+
+
+def test_global_rank_keeps_null_rows_nullsafe_join(spark):
+    """ADVICE r06 item 1: RANK() OVER (ORDER BY col) ranks NULL rows
+    (NULLS FIRST asc); the join-back must be null-safe so they
+    survive — row count preserved, NULL ranks match the window."""
+    from keenwa_spark.operators.ordered import with_global_rank
+
+    d = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(
+            ((F.col("id") * 37) % 83).cast("double")
+        ).alias("v"),
+    )
+    for dense in (False, True):
+        for descending in (False, True):
+            got = with_global_rank(
+                d, "v", out_col="rk", dense=dense, descending=descending,
+                n_buckets=8,
+            )
+            assert got.count() == 1000, (dense, descending)
+            order = F.col("v").desc() if descending else F.col("v")
+            fn = F.dense_rank() if dense else F.rank()
+            exp = d.withColumn(
+                "rk", fn.over(Window.orderBy(order)).cast("bigint")
+            )
+            assert {(r["id"], r["rk"]) for r in got.collect()} == {
+                (r["id"], r["rk"]) for r in exp.collect()
+            }, (dense, descending)
+
+
+def test_global_rank_join_back_broadcasts_small_domain(vals):
+    """VERDICT r06 item 7: with a small distinct domain the ranks side
+    must take the broadcast path (no shuffle of df on the join key)."""
+    from keenwa_spark.operators.ordered import with_global_rank
+
+    got = with_global_rank(vals, "v", out_col="rk", n_buckets=8)
+    plan = _executed(got)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+
+
+def test_mega_tie_bigint_beyond_double_precision(spark):
+    """ADVICE r06 item 2: two distinct bigint values that collide at
+    double precision (2^53 and 2^53+1), one of them a mega-tie — the
+    native-typed comparisons must keep them apart and the global
+    row number exact."""
+    hv = 2**53
+    d = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") < 1800, F.lit(hv))
+        .when(F.col("id") < 1900, F.lit(hv + 1))
+        .otherwise(F.col("id"))
+        .cast("bigint")
+        .alias("v"),
+    )
+    assert float(hv) == float(hv + 1)  # the collision is real
+    got = with_global_row_number(
+        d, ["v", "id"], "v", out_col="i", n_buckets=8, tie_bucket_col="id"
+    )
+    exp = d.withColumn(
+        "i", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+    )
+    assert {(r["id"], r["i"]) for r in got.collect()} == {
+        (r["id"], r["i"]) for r in exp.collect()
+    }
+
+
+def test_global_cumsum_nullable_all_null_bucket_prefix(spark):
+    """ADVICE r06 item 3: a row in bucket k>0 whose LOCAL prefix is
+    all-NULL must take the earlier buckets' running sum (not NULL),
+    while a row with no non-null value anywhere before it stays NULL
+    — exactly the window semantics."""
+    d = spark.range(2000).select(
+        F.col("id"),
+        F.col("id").cast("double").alias("v"),
+        # NULL except a narrow early band: rows id>=100 in later
+        # buckets have all-NULL local prefixes; rows id<50 have no
+        # non-null anywhere before them (must stay NULL)
+        F.when((F.col("id") >= 50) & (F.col("id") < 100), F.col("id") % 7)
+        .cast("bigint")
+        .alias("w"),
+    )
+    got = with_global_cumsum(d, ["v", "id"], "v", {"cw": "w"}, n_buckets=8)
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = d.withColumn("cw", F.sum("w").over(w))
+    assert {(r["id"], r["cw"]) for r in got.collect()} == {
+        (r["id"], r["cw"]) for r in exp.collect()
+    }
+    # the scenario is actually exercised: late rows are non-NULL
+    assert got.where((F.col("id") > 500) & F.col("cw").isNull()).count() == 0
+    assert got.where((F.col("id") < 50) & F.col("cw").isNotNull()).count() == 0
+
+
+def _spark_jobs(spark, group, action):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        action()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+
+
+def test_mega_tie_refit_is_single_extra_pass(spark):
+    """VERDICT r06 item 2 done-criterion: the mega-tie refinement must
+    cost exactly ONE extra Spark job (the shared percentile_approx
+    pass) over the no-heavy-value tie path — not df.count() plus a
+    filtered approxQuantile scan per heavy value."""
+    flat = spark.range(2000).select(
+        F.col("id"), ((F.col("id") * 37) % 997).cast("double").alias("v")
+    )
+    tied = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") < 1800, F.lit(5.0))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    # AQE splits multi-stage actions into a variable number of jobs;
+    # disable it here so one action == one job and the pass count is
+    # exactly observable
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        jobs_flat = _spark_jobs(
+            spark,
+            "kw-r7-flat",
+            lambda: with_global_row_number(
+                flat, ["v", "id"], "v", out_col="i", n_buckets=8,
+                tie_bucket_col="id",
+            ).count(),
+        )
+        jobs_tied = _spark_jobs(
+            spark,
+            "kw-r7-tied",
+            lambda: with_global_row_number(
+                tied, ["v", "id"], "v", out_col="i", n_buckets=8,
+                tie_bucket_col="id",
+            ).count(),
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert jobs_tied == jobs_flat + 1, (jobs_flat, jobs_tied)

@@ -359,6 +359,40 @@ class TestCompaction:
         assert spark.read.parquet(p).count() == 100
         assert recover_compaction(p) is False  # no-op when healthy
 
+    def test_aborts_on_concurrent_writer(self, spark, tmp_path, monkeypatch):
+        """ADVICE r06 item 5: a file landing in the live dir during
+        compaction must abort the swap (loud failure, no data loss),
+        leaving the live dir — including the concurrent file — and
+        removing the tmp output."""
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from keenwa_spark.sources import writers
+
+        p = str(tmp_path / "t3")
+        spark.range(100).repartition(4).write.parquet(p)
+        real_walk = _os.walk
+        calls = {"n": 0}
+
+        def sneaky_walk(top, *a, **k):
+            calls["n"] += 1
+            if calls["n"] == 2 and str(top) == p:
+                # a concurrent writer lands between read and swap
+                pq.write_table(
+                    pa.table({"id": pa.array([999], type=pa.int64())}),
+                    _os.path.join(p, "part-concurrent.parquet"),
+                )
+            return real_walk(top, *a, **k)
+
+        monkeypatch.setattr(_os, "walk", sneaky_walk)
+        with pytest.raises(RuntimeError, match="concurrent"):
+            writers.compact_parquet(spark, p, target_file_bytes=1 << 30)
+        monkeypatch.undo()
+        assert spark.read.parquet(p).count() == 101
+        assert not _os.path.exists(p + ".tmp-compact")
+
     def test_empty_dir_noop(self, spark, tmp_path):
         from keenwa_spark.sources.writers import compact_parquet
 
