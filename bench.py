@@ -33,11 +33,21 @@ REGRESSION_RATIO = 1.25
 REGRESSION_MIN_SEC = 0.5
 
 
-def load_prev_round() -> tuple[int | None, dict[str, float]]:
+def _read_round(path: str) -> tuple[dict[str, float], float | None, dict]:
+    """(queries, control median, full parsed body) of one BENCH file."""
+    with open(path) as f:
+        data = json.load(f)
+    body = data.get("parsed") or data
+    q = body.get("queries") or {}
+    return dict(q), body.get("control_median_sec"), body
+
+
+def load_prev_round() -> tuple[int | None, dict[str, float], float | None]:
     """Latest recorded BENCH_r{N}.json (the driver writes one per
-    round): (round number, per-query seconds)."""
+    round): (round number, per-query seconds, control median if that
+    round recorded one — the A/B reference for the probe)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best_q = None, {}
+    best_n, best_q, best_c = None, {}, None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -46,14 +56,47 @@ def load_prev_round() -> tuple[int | None, dict[str, float]]:
         if best_n is not None and n <= best_n:
             continue
         try:
-            with open(path) as f:
-                data = json.load(f)
-            q = (data.get("parsed") or {}).get("queries") or data.get("queries") or {}
+            q, c, _ = _read_round(path)
             if q:
-                best_n, best_q = n, dict(q)
+                best_n, best_q, best_c = n, q, c
         except (OSError, json.JSONDecodeError, AttributeError):
             continue
-    return best_n, best_q
+    return best_n, best_q, best_c
+
+
+def probe_watchlist(prev_n: int | None) -> set[str]:
+    """Queries whose PREVIOUS round already looked slow — recorded
+    regressions plus anything whose r{N} time exceeded its r{N-1} time
+    by the flag ratio even below the loud-flag floor (the
+    'unflagged-by-threshold-quirk' shape). These get probed this round
+    regardless of current timings, so last round's drift adjudication
+    is re-checked by the A/B protocol instead of standing as prose."""
+    if prev_n is None:
+        return set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    by_round: dict[int, str] = {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            by_round[int(m.group(1))] = path
+    if prev_n not in by_round:
+        return set()
+    try:
+        prev_q, _, prev_body = _read_round(by_round[prev_n])
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return set()
+    watch = set(prev_body.get("regressions") or {})
+    if prev_n - 1 not in by_round:
+        return watch
+    try:
+        pp_q, _, _ = _read_round(by_round[prev_n - 1])
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return watch
+    for name, t in prev_q.items():
+        p = pp_q.get(name)
+        if p and t / p > REGRESSION_RATIO:
+            watch.add(name)
+    return watch
 
 HEADLINE = [
     "flagship_top_customers",
@@ -136,8 +179,9 @@ def main() -> None:
     # regression gate: diff against the previous round's recorded bench
     # and flag >REGRESSION_RATIO slowdowns loudly (perf losses must be
     # caught before snapshot, not by the judge)
-    prev_n, prev_q = load_prev_round()
+    prev_n, prev_q, prev_control = load_prev_round()
     regressions: dict[str, float] = {}
+    probe_set: set[str] = set()
     common_now = common_prev = 0.0
     for name, t in timings.items():
         p = prev_q.get(name)
@@ -145,6 +189,10 @@ def main() -> None:
             continue
         common_now += t
         common_prev += p
+        if t / p > REGRESSION_RATIO:
+            # every over-ratio query gets an A/B probe, even the
+            # sub-floor ones the loud flag exempts as noise
+            probe_set.add(name)
         if t > REGRESSION_MIN_SEC and t / p > REGRESSION_RATIO:
             regressions[name] = round(t / p, 2)
             print(
@@ -153,6 +201,24 @@ def main() -> None:
                 file=sys.stderr,
             )
     vs_prev = round(common_now / common_prev, 3) if common_prev else None
+
+    # self-adjudicating probe (VERDICT r06 item 1): interleaved A/B
+    # runs against the pinned control for every flagged query, plus
+    # last round's watchlist, so drift vs regression needs no prose
+    from tools.perf_probe import probe, session_control_median
+
+    probe_set |= probe_watchlist(prev_n) & set(registry)
+    probes: dict[str, dict] = {}
+    for name in sorted(probe_set):
+        fn = registry[name].fn
+        probes[name] = probe(
+            spark,
+            lambda: fn(spark, sf_dir).count(),
+            prev_q.get(name),
+            prev_control,
+        )
+        print(f"# probe {name}: {json.dumps(probes[name])}", file=sys.stderr)
+    control_med = session_control_median(spark)
 
     print(
         json.dumps(
@@ -166,6 +232,8 @@ def main() -> None:
                 "prev_round": prev_n,
                 "vs_prev_common_ratio": vs_prev,
                 "regressions": regressions,
+                "control_median_sec": control_med,
+                "probe": probes,
             }
         )
     )

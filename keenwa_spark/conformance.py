@@ -510,6 +510,120 @@ ERROR_CORPUS: list[ErrorCase] = [
     ErrorCase("window", "SELECT sum(a1) OVER (PARTITION BY no_col) FROM a", id="err_window_col"),
     # subquery shape (subqueries_tests.yaml error cases)
     ErrorCase("subq", "SELECT a1 FROM a WHERE a1 IN (SELECT b1, b2 FROM b)", id="err_in_arity"),
+    # ------------------------------------------------------------------
+    # Round-7 additions (VERDICT r06 missing item 1): one EXECUTABLE
+    # error case per reference rejection family, exercised through
+    # Engine.sql so the strict dialect gate and the analyzer are both
+    # witnessed in the executable corpus (reference rejection sites:
+    # src/sql/mod.rs:102-144 statements, :174 recursive CTE, :210
+    # GROUP BY modifiers, :341-343 LATERAL/UNNEST, :539 FETCH, :561
+    # NULLS FIRST/LAST, :594 named windows, :610 compound identifiers,
+    # :1235-1240 frames, :1339 window ORDER BY; error rows alongside ok
+    # rows in basic_tests.yaml:47-57).
+    # ------------------------------------------------------------------
+    ErrorCase(
+        "dialect",
+        "WITH RECURSIVE t AS (SELECT 1 AS x) SELECT * FROM t",
+        gate=True,
+        id="err_recursive_cte",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT a1, sum(a2) FROM a GROUP BY GROUPING SETS ((a1), ())",
+        gate=True,
+        id="err_grouping_sets",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT a1, a2, sum(a3) FROM a GROUP BY CUBE (a1, a2)",
+        gate=True,
+        id="err_group_by_cube",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT a1, a2, sum(a3) FROM a GROUP BY ROLLUP (a1, a2)",
+        gate=True,
+        id="err_group_by_rollup",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT * FROM a, LATERAL (SELECT a1 + 1 AS x) t",
+        gate=True,
+        id="err_lateral",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT * FROM UNNEST(ARRAY(1, 2, 3))",
+        gate=True,
+        id="err_unnest",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT a1 FROM a ORDER BY a1 FETCH FIRST 3 ROWS ONLY",
+        gate=True,
+        id="err_fetch_first",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT a1 FROM a ORDER BY a1 NULLS FIRST",
+        gate=True,
+        id="err_nulls_first",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT sum(a1) OVER w FROM a WINDOW w AS (PARTITION BY a2)",
+        gate=True,
+        id="err_named_window",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT sum(a1) OVER (PARTITION BY a2 ROWS BETWEEN 1 PRECEDING"
+        " AND CURRENT ROW) FROM a",
+        gate=True,
+        id="err_window_frame",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT row_number() OVER (PARTITION BY a2 ORDER BY a1) FROM a",
+        gate=True,
+        id="err_window_order_by",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT cat.tbl.col1 FROM a",
+        gate=True,
+        id="err_compound_identifier",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY a1) FROM a",
+        gate=True,
+        id="err_within_group",
+    ),
+    ErrorCase(
+        "dialect",
+        "SELECT a3[1:4:2] FROM a",
+        gate=True,
+        id="err_slice_stride",
+    ),
+    ErrorCase(
+        "dialect",
+        "INSERT INTO a VALUES (9, 90, 900, 9000)",
+        gate=True,
+        id="err_dml_insert",
+    ),
+    ErrorCase(
+        "dialect",
+        "CREATE TABLE t_new (x INT)",
+        gate=True,
+        id="err_ddl_create",
+    ),
+    ErrorCase(
+        "dialect",
+        "WITH t AS (SELECT 1 AS x) INSERT INTO a SELECT x, x, x, x FROM t",
+        gate=True,
+        id="err_cte_dml_bypass",
+    ),
 ]
 
 

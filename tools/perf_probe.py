@@ -1,87 +1,179 @@
-"""Ad-hoc perf probe for the round-4 regression triage (judge items
-1-2): time individual queries / operator variants in isolation at
-sf0.1, best-of-N, same session setup as bench.py.
+"""Interleaved A/B perf probe — makes bench regression flags
+SELF-ADJUDICATING (VERDICT r06 next-round item 1).
 
-Usage: python tools/perf_probe.py ivf lsh_collect lsh_selfjoin sessionize
+Three consecutive rounds of bench flags were adjudicated by prose as
+"the box runs hot late-session". This protocol replaces the prose: for
+every flagged query, alternate runs of the query with a PINNED
+do-nothing control workload in the SAME session (C Q C Q ... ×5),
+take medians of both, and normalize the query's vs-previous-round
+ratio by how hot the box currently is relative to the control's
+reference time. The control is pure synthetic Spark (range → hash
+arithmetic → one shuffle → aggregate): its cost is independent of
+every repo code path, so it moves ONLY when the box does.
+
+Adjudication:
+    ratio      = min(query runs) / prev_round_seconds
+    hotness    = median(control) / control_reference
+    ratio_norm = ratio / max(hotness, 1.0)
+    verdict    = "drift" if ratio_norm <= REGRESSION_RATIO else "regression"
+
+The query statistic is the MIN because the recorded per-query bench
+values being compared against are best-of-N minimums — comparing a
+median against a min would bias every ratio upward by the box's
+run-to-run spread (1.3-1.7x here) and manufacture regressions. The
+median is recorded alongside for visibility; the control uses its
+median (it is tight). ``max(hotness, 1.0)``: the control can only
+EXCUSE a flag (hot box → discount the ratio), never indict a query on
+a cold box. The control reference is the previous round's recorded
+control median when the BENCH file has one (true A/B across rounds);
+otherwise the pinned calibration constant below.
+
+bench.py runs this automatically for every flag and embeds the result
+as the ``probe`` block of the bench JSON, so BENCH_r{N}.json needs no
+adjudication prose. Standalone:
+
+    python tools/perf_probe.py q1_pricing_summary flagship_top_customers
 """
 
 from __future__ import annotations
 
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: control median on this box, steady state (median of 5 post-warmup
+#: runs, calibrated round 7). Used only when no previous BENCH file
+#: recorded a control median.
+CONTROL_REF = 0.88
+
+#: same threshold as bench.py's flag gate
+REGRESSION_RATIO = 1.25
+
+PROBE_RUNS = 5
+
+#: fixed parquet input for the I/O half of the control (raw
+#: spark.read — no repo code); skipped if absent
+CONTROL_PARQUET = os.path.join(
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    "lineitem.parquet",
+)
 
 
-def lsh_pairs_selfjoin(df, id_col="doc_id", text_col="text", bands=4, max_bucket=1000):
-    """r2 variant: bucket self-join with a window size guard."""
-    from keenwa_spark.pipeline.dedup import minhash_signatures
-    from keenwa_spark.pipeline.hashing import MINHASH_AB
-    from pyspark.sql.window import Window
-
-    sig = minhash_signatures(df, id_col, text_col)
-    rows_per_band = len(MINHASH_AB) // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        key = ", '-', ".join(f"CAST({c} AS STRING)" for c in cols)
-        band_structs.append(f"struct({b} AS band, concat({key}) AS bkey)")
-    buckets = sig.select(
-        F.col(id_col),
-        F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    sized = buckets.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bkey"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    a = sized.select(F.col(id_col).alias("id_a"), "band", "bkey")
-    b = sized.select(F.col(id_col).alias("id_b"), "band", "bkey")
-    return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+def control_run(spark) -> float:
+    """One timed run of the pinned control, covering the two ways this
+    box gets slow: (a) CPU + shuffle — 40M-row range, hash arithmetic,
+    one 9973-key exchange; (b) I/O + wide shuffle — a raw parquet scan
+    of the bench lineitem file with a high-cardinality groupBy. Touches
+    no repo code, so it moves only when the box does."""
+    t0 = time.time()
+    (
+        spark.range(0, 40_000_000)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            ((F.col("id") * 2654435761) % 1000003).alias("v"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.avg("v").alias("a"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .agg(F.sum("s"), F.min("a"), F.sum("c"))
+        .collect()
     )
+    if os.path.exists(CONTROL_PARQUET):
+        (
+            spark.read.parquet(CONTROL_PARQUET)
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("q"), F.sum("c"))
+            .collect()
+        )
+    return time.time() - t0
+
+
+def probe(
+    spark,
+    thunk,
+    prev_seconds: float | None,
+    control_ref: float | None = None,
+    runs: int = PROBE_RUNS,
+) -> dict:
+    """Interleave ``runs`` control runs with ``runs`` query runs
+    (control first, so each query run is preceded by a fresh box
+    sample) and adjudicate against ``prev_seconds``."""
+    ref = control_ref or CONTROL_REF
+    control_run(spark)  # warm the control's codegen path (not timed)
+    qts: list[float] = []
+    cts: list[float] = []
+    for _ in range(runs):
+        cts.append(control_run(spark))
+        t0 = time.time()
+        thunk()
+        qts.append(time.time() - t0)
+    min_q = min(qts)
+    med_c = statistics.median(cts)
+    out = {
+        "min_sec": round(min_q, 3),
+        "median_sec": round(statistics.median(qts), 3),
+        "runs_sec": [round(t, 3) for t in qts],
+        "control_median_sec": round(med_c, 3),
+        "control_ref_sec": round(ref, 3),
+        "hotness": round(med_c / ref, 3),
+    }
+    if prev_seconds:
+        ratio = min_q / prev_seconds
+        ratio_norm = ratio / max(med_c / ref, 1.0)
+        out.update(
+            {
+                "prev_sec": prev_seconds,
+                "ratio": round(ratio, 3),
+                "ratio_norm": round(ratio_norm, 3),
+                "verdict": (
+                    "drift" if ratio_norm <= REGRESSION_RATIO else "regression"
+                ),
+            }
+        )
+    return out
+
+
+def session_control_median(spark, runs: int = PROBE_RUNS) -> float:
+    """Median control time of this session (recorded in every bench
+    JSON so the NEXT round has a true A/B reference)."""
+    control_run(spark)  # warmup (not timed)
+    return round(statistics.median(control_run(spark) for _ in range(runs)), 3)
 
 
 def main() -> None:
+    import json
+
     from keenwa_spark.queries import load_all
     from keenwa_spark.session import get_spark
 
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
     spark = get_spark("perf_probe")
-    registry["get_scan"].fn(spark, SF_DIR).count()  # warmup
+    registry["get_scan"].fn(spark, sf_dir).count()  # warmup
 
-    names = set(sys.argv[1:]) or {"ivf", "lsh_collect", "lsh_selfjoin", "sessionize"}
+    import bench
 
-    def run(tag: str, thunk) -> None:
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            n = thunk().count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        print(f"## {tag}: best {best:.3f}s ({n} rows)")
-
-    if "ivf" in names:
-        run("ivf", lambda: registry["pl_ann_ivf_topk"].fn(spark, SF_DIR))
-    if "lsh_collect" in names:
-        run("lsh_collect", lambda: registry["pl_minhash_lsh_pairs"].fn(spark, SF_DIR))
-    if "lsh_selfjoin" in names:
-        fn = registry["pl_minhash_lsh_pairs"].fn
-
-        def thunk():
-            df = fn(spark, SF_DIR)  # registers views; then rebuild variant
-            return lsh_pairs_selfjoin(spark.table("documents"))
-
-        run("lsh_selfjoin", thunk)
-    if "sessionize" in names:
-        run("sessionize", lambda: registry["ev_sessionize"].fn(spark, SF_DIR))
+    _, prev_q, prev_control = bench.load_prev_round()
+    results = {}
+    for name in sys.argv[1:]:
+        fn = registry[name].fn
+        results[name] = probe(
+            spark,
+            lambda: fn(spark, sf_dir).count(),
+            prev_q.get(name),
+            prev_control,
+        )
+        print(f"# {name}: {json.dumps(results[name])}", file=sys.stderr)
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
