@@ -122,6 +122,10 @@ DRIVER_PREFIX_ROTATION = (
     "st_window_counts",
     "pl_curriculum_stages",
     "bld_scalar_subquery",
+    # round 7: the multimodal family's driver witness (VERDICT r06
+    # item 4) — PNG decode + aHash banded dedup vs a brute-force
+    # constant oracle
+    "pl_image_ahash_dedup",
 )
 
 #: §2 rows moved out of the prefix to make room (chosen because each
@@ -133,6 +137,10 @@ _ROTATED_OUT = (
     "win_multiple_functions",
     "win_partition_only",
     "join_natural",
+    # round 7: builder IN-subquery — bld_exists stays as the builder
+    # subquery prefix witness; the IN semantics stay witnessed by
+    # subq_in / subq_not_in / subq_not_in_nulls
+    "bld_in_subquery",
 )
 
 
@@ -163,6 +171,7 @@ def load_all() -> dict[str, QuerySpec]:
         builder_queries,
         events,
         expressions,
+        multimodal_queries,
         pipeline,
         streaming_queries,
         temporal,
@@ -174,10 +183,11 @@ def load_all() -> dict[str, QuerySpec]:
         for n in REGISTRY
         if n not in DRIVER_PREFIX_ROTATION and n not in _ROTATED_OUT
     ]
+    n_core = 50 - len(DRIVER_PREFIX_ROTATION)
     order = (
-        core[:44]
+        core[:n_core]
         + list(DRIVER_PREFIX_ROTATION)
         + list(_ROTATED_OUT)
-        + core[44:]
+        + core[n_core:]
     )
     return {n: REGISTRY[n] for n in order}

@@ -67,8 +67,7 @@ def test_registry_prefix_is_survey_core_plus_rotation():
     from keenwa_spark.queries import DRIVER_PREFIX_ROTATION, load_all
 
     names = list(load_all())[:50]
-    core_prefixes = ("join_", "subq_", "win_", "expr_array", "bld_exists",
-                     "bld_in_subquery")
+    core_prefixes = ("join_", "subq_", "win_", "expr_array", "bld_exists")
     core_exact = {
         "get_scan", "filter_select", "projection_exprs", "agg_group_having",
         "agg_global", "union_all_distinct", "intersect_all_distinct",
@@ -89,5 +88,8 @@ def test_registry_prefix_is_survey_core_plus_rotation():
         assert required in names
     # the prefix-pattern check above can't catch a new win_*/subq_*
     # registration in a core module silently evicting the tail — pin
-    # the exact last six slots (the rotation block)
-    assert names[44:50] == list(DRIVER_PREFIX_ROTATION)
+    # the exact last slots (the rotation block; 7 entries since r7's
+    # multimodal witness joined)
+    assert names[50 - len(DRIVER_PREFIX_ROTATION):50] == list(
+        DRIVER_PREFIX_ROTATION
+    )
