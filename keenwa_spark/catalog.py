@@ -236,12 +236,29 @@ class Catalog:
         """Realize declared index metadata as the Spark-native layout it
         advises: a managed table bucketed by the leading index column
         and sorted by all index columns — the IndexOnlyScanRule analog
-        (reference rules/implementation/index.rs:10-77). Returns the
+        (reference rules/implementation/index.rs:10-77, whose point is
+        satisfying an ordering REQUIREMENT without a Sort; ordering
+        model at reference src/catalog/mod.rs:297-301). Returns the
         managed table name; joins/aggregations on the leading column
-        against it plan with no Exchange (asserted in tests)."""
+        against it plan with no Exchange AND no Sort (both asserted in
+        tests/test_catalog_engine.py).
+
+        Sort elimination needs two things this method provides/sets:
+        (1) ONE file per bucket (write_bucketed repartitions by the
+        bucket column before writing — concatenating several sorted
+        files would break the ordering, so Spark refuses to report it
+        otherwise), and (2) ``spark.sql.legacy.bucketedTableScan.
+        outputOrdering=true`` — Spark 3 turned the sorted-bucket scan
+        ordering off by default because the one-file-per-bucket check
+        costs a listing on tables that don't qualify; this layout
+        qualifies by construction, so the conf is set here
+        (runtime-settable, session-scoped)."""
         if name not in self.indexes:
             raise ArgumentError(f"index does not exist: {name}")
         idx = self.indexes[name]
+        self.spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
         from keenwa_spark.sources.bucketing import write_bucketed
 
         managed = f"{idx.table}_idx_{idx.name}"

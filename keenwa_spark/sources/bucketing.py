@@ -23,12 +23,24 @@ def write_bucketed(
     n_buckets: int = 32,
     sort: bool | list[str] = True,
     mode: str = "overwrite",
+    single_file_buckets: bool = True,
 ) -> None:
     """Persist as a bucketed (and bucket-sorted) managed table.
 
     ``sort=True`` sorts within buckets by the bucket column; a list
     sorts by those columns (leading column first — the multi-column
-    index layout used by Catalog.materialize_index)."""
+    index layout used by Catalog.materialize_index).
+
+    ``single_file_buckets`` repartitions by the bucket column before
+    the write (repartition hashing == bucket hashing, so each bucket's
+    rows land in exactly one task) producing ONE file per bucket. This
+    is both the at-scale layout (without it every input partition
+    writes a file into every bucket — tasks x buckets small files) and
+    the precondition for Spark reporting the sorted-bucket scan
+    ordering that eliminates the SMJ Sort (see
+    Catalog.materialize_index)."""
+    if single_file_buckets:
+        df = df.repartition(n_buckets, bucket_col)
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort is True:
         writer = writer.sortBy(bucket_col)
