@@ -1,0 +1,153 @@
+"""Sketch aggregates: approximate distinct counts, mergeable HLL
+sketches, approximate quantiles — WITH their error contracts made
+executable.
+
+At 100 TB these are the primitives that replace exact aggregations
+whose state grows with the data: a distinct count over billions of
+user ids is a fixed-size HLL register array with map-side partials and
+lossless merge, an approximate quantile is a bounded Greenwald-Khanna
+/ KLL summary — both stream through executors at constant memory where
+COUNT(DISTINCT) shuffles every distinct value and an exact percentile
+buffers them.
+
+Verification model (what makes these oracle-checkable): approximate
+answers differ across engines, so the registry rows output the EXACT
+answer alongside a BOUND-CHECK of the approximation — "estimate within
+the published error of exact" is the sketch's actual contract, it is
+deterministic for a fixed input (no RNG in HLL++/GK), and the DuckDB
+oracle recomputes the exact side plus the expected TRUE flags. A
+regression that degrades the sketch past its bound flips a flag and
+fails the value-hash compare.
+
+Reference parity note: the reference optimizer carries no sketch
+functions; this family belongs to the beyond-reference pipeline
+mandate (same tier as dedup/ANN: SURVEY §2's "beyond" block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_distinct_bounds(
+    df: DataFrame,
+    col: str,
+    keys: list[str],
+    rsd: float = 0.05,
+    tolerance_mult: float = 3.0,
+) -> DataFrame:
+    """Per-key exact distinct count + HLL++ estimate + bound check.
+
+    Output: keys..., ``n_exact`` (bigint), ``approx_ok`` (boolean —
+    |estimate - exact| <= tolerance_mult * rsd * exact, the standard
+    3-sigma band on HLL++'s relative standard deviation). The exact
+    side exists for the oracle; production callers drop it and keep
+    the one-pass constant-state estimate."""
+    est = F.approx_count_distinct(col, rsd).alias("__est")
+    exact = F.count_distinct(F.col(col)).alias("n_exact")
+    out = df.groupBy(*keys).agg(exact, est)
+    bound = F.lit(tolerance_mult * rsd) * F.col("n_exact").cast("double")
+    return out.select(
+        *keys,
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("__est").cast("double") - F.col("n_exact").cast("double"))
+            <= F.greatest(bound, F.lit(1.0))
+        ).alias("approx_ok"),
+    )
+
+
+def hll_merge_equivalence(
+    df: DataFrame,
+    col: str,
+    split_col,
+    lg_k: int = 12,
+    tolerance: float = 0.03,
+) -> DataFrame:
+    """The MERGEABILITY contract of the Datasketches HLL functions
+    (Spark 4 ``hll_sketch_agg`` / ``hll_union`` /
+    ``hll_sketch_estimate``): sketching two disjoint halves and
+    unioning the binary sketches must estimate EXACTLY what one sketch
+    over the whole input estimates (HLL union is lossless at equal
+    lg_k), and that estimate must sit within ``tolerance`` of the
+    exact distinct count.
+
+    One row: ``n_exact`` (bigint), ``merged_eq_whole`` (boolean, exact
+    equality of the two estimates), ``within_bound`` (boolean). This
+    is the distributed-correctness statement that lets a 100 TB
+    distinct count be computed as per-partition sketches + one tiny
+    merge instead of a distinct-value shuffle."""
+    half = df.select(F.col(col).alias("__v"), split_col.alias("__h"))
+    parts = half.groupBy("__h").agg(
+        F.hll_sketch_agg("__v", F.lit(lg_k)).alias("__sk")
+    )
+    merged = parts.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est_merged")
+    )
+    whole = half.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("__v", F.lit(lg_k))
+        ).alias("__est_whole"),
+        F.count_distinct(F.col("__v")).alias("n_exact"),
+    )
+    return whole.crossJoin(merged).select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.col("__est_merged") == F.col("__est_whole")).alias("merged_eq_whole"),
+        (
+            F.abs(F.col("__est_whole").cast("double") - F.col("n_exact"))
+            <= F.lit(tolerance) * F.col("n_exact").cast("double")
+        ).alias("within_bound"),
+    )
+
+
+def approx_quantile_bounds(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """Approximate percentiles with their RANK-error contract checked:
+    ``approx_percentile(col, p, accuracy)`` must return a value whose
+    exact rank lies within ``relative_error * n`` of ``p * n`` (the
+    Greenwald-Khanna guarantee — value-space closeness is NOT promised
+    and not checked, and interpolated exact values are deliberately
+    NOT output: their last-ulp varies across engines). One row per
+    probability: ``prob``, ``n_values`` (bigint, the exact non-null
+    count), ``rank_ok`` (boolean).
+
+    The approx aggregate is one constant-state pass; the rank check
+    needs each returned value's exact rank, computed with one
+    conditional-aggregation pass — oracle scaffolding, not part of the
+    production call."""
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    accuracy = int(1.0 / relative_error) * 100
+    prob_arr = ", ".join(str(float(p)) for p in probs)
+    picked = df.agg(
+        F.count(F.col(col)).alias("__n"),
+        F.expr(
+            f"approx_percentile({col}, array({prob_arr}), {accuracy})"
+        ).alias("__ap"),
+    ).collect()[0]
+    n = picked["__n"]
+    ap_vals = list(picked["__ap"] or [])
+    # exact rank of each returned value: count of rows <= it, all
+    # probabilities in ONE conditional-aggregation pass
+    le = df.agg(
+        *[
+            F.sum(
+                F.when(F.col(col) <= F.lit(float(ap_vals[i])), 1).otherwise(0)
+            ).alias(f"__le{i}")
+            for i in range(len(probs))
+        ]
+    ).collect()[0]
+    out_rows = []
+    for i, p in enumerate(probs):
+        # GK guarantee: the returned value's rank is within eps*n of
+        # the target rank p*n (+1 slack for the discrete boundary)
+        ok = abs(le[f"__le{i}"] - p * n) <= relative_error * n + 1
+        out_rows.append((float(p), int(n), bool(ok)))
+    return df.sparkSession.createDataFrame(
+        out_rows, "prob double, n_values bigint, rank_ok boolean"
+    )

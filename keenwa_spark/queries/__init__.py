@@ -173,6 +173,7 @@ def load_all() -> dict[str, QuerySpec]:
         expressions,
         multimodal_queries,
         pipeline,
+        sketch_queries,
         streaming_queries,
         temporal,
         tpch_full,

@@ -1,0 +1,88 @@
+"""Sketch-aggregate registry rows (pipeline/sketches.py): approximate
+distinct / mergeable HLL / approximate quantiles, each with its error
+CONTRACT in the output so the DuckDB oracle can check it exactly
+(approximate values themselves differ across engines; the flags and
+exact companions do not — see pipeline/sketches.py docstring)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from keenwa_spark.queries import df_query
+
+
+@df_query(
+    "pl_sketch_distinct_bounds",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Per-type approximate distinct users (HLL++, rsd=0.05) with "
+    "the 3-sigma bound checked against the exact count "
+    "(pipeline/sketches.py approx_distinct_bounds). At scale the "
+    "estimate is one constant-state pass with map-side partials; the "
+    "exact side exists for the oracle.",
+    tags=("pipeline", "sketch"),
+)
+def pl_sketch_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sketches import approx_distinct_bounds
+
+    return approx_distinct_bounds(
+        spark.table("events"), "user_id", ["event_type"]
+    ).orderBy("event_type")
+
+
+@df_query(
+    "pl_sketch_hll_merge",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS merged_eq_whole,
+           TRUE AS within_bound
+    FROM events
+    """,
+    doc="Datasketches HLL mergeability contract: sketch two disjoint "
+    "halves (event_id parity), union the binary sketches, and the "
+    "estimate must EQUAL the whole-input sketch's estimate (lossless "
+    "union at equal lg_k) and sit within 3% of exact "
+    "(pipeline/sketches.py hll_merge_equivalence) — the property that "
+    "turns a 100 TB distinct count into per-partition sketches plus "
+    "one tiny merge.",
+    tags=("pipeline", "sketch"),
+)
+def pl_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sketches import hll_merge_equivalence
+
+    ev = spark.table("events")
+    return hll_merge_equivalence(
+        ev, "user_id", (F.col("event_id") % 2).alias("__h")
+    )
+
+
+@df_query(
+    "pl_sketch_quantile_bounds",
+    oracle="""
+    SELECT p AS prob,
+           (SELECT CAST(COUNT(value) AS BIGINT) FROM events) AS n_values,
+           TRUE AS rank_ok
+    FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(p)
+    ORDER BY p
+    """,
+    doc="approx_percentile rank-error contract (Greenwald-Khanna, "
+    "eps=0.01): each returned value's EXACT rank must lie within "
+    "eps*n of its target rank (pipeline/sketches.py "
+    "approx_quantile_bounds); interpolated exact values deliberately "
+    "not output (cross-engine last-ulp).",
+    tags=("pipeline", "sketch"),
+)
+def pl_sketch_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sketches import approx_quantile_bounds
+
+    return approx_quantile_bounds(
+        spark.table("events").where(F.col("value").isNotNull()),
+        "value",
+        [0.1, 0.5, 0.9, 0.99],
+    ).orderBy("prob")
