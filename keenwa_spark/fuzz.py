@@ -1,0 +1,226 @@
+"""Seeded cross-engine SQL fuzzer over the conformance mini-catalog.
+
+The reference proves search-order independence by re-running golden
+plans under seeded rule-order shuffles (reference src/testing.rs:57).
+We can do strictly better — execute: generate random queries from a
+grammar confined to the SHARED exact dialect (integer arithmetic,
+joins, grouping, set ops, IN/EXISTS subqueries — no floats, no
+division, no order-dependent output) and run every one on BOTH Spark
+and DuckDB over the same mini-catalog data, comparing canonicalized
+multisets. Any divergence is either an engine-semantics gap the
+conformance corpus missed or a generator rule that strayed outside the
+shared dialect — both worth failing loudly.
+
+Dialect confinement rules (each prevents a known cross-engine trap):
+- INT columns only, all arithmetic operands CAST to BIGINT: Spark's
+  non-ANSI int32 multiply wraps silently where DuckDB promotes.
+- no division/modulo (DuckDB '/' is float division), no AVG (decimal
+  vs double), SUM/COUNT/MIN/MAX only (exact on integers).
+- no ORDER BY/LIMIT in compared output (NULLS FIRST/LAST defaults
+  differ; compare is multiset), subqueries only where ANSI pins the
+  semantics (IN/NOT IN with 3VL, EXISTS).
+
+Deterministic by seed. Used by tools/sql_fuzz.py (wide sweeps) and
+tests/test_fuzz.py (pinned-seed corpus in CI).
+"""
+
+from __future__ import annotations
+
+import random
+
+from keenwa_spark import conformance as cf
+
+TABLES = {
+    "a": ["a1", "a2", "a3", "a4"],
+    "b": ["b1", "b2", "b3"],
+    "c": ["c1", "c2", "c3"],
+    "ab": ["a1", "b2"],
+}
+
+_CMP = ["=", "<>", "<", "<=", ">", ">="]
+_AGGS = ["sum", "count", "min", "max"]
+_JOINS = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+_SETOPS = ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]
+
+
+class QueryGen:
+    """One seeded generator; ``query()`` yields a self-contained SQL
+    string runnable verbatim on Spark and DuckDB."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+
+    # -- scalar expressions (integer-exact) -----------------------------
+    def _col(self, cols: list[str]) -> str:
+        return f"CAST({self.rng.choice(cols)} AS BIGINT)"
+
+    def _lit(self) -> str:
+        return str(self.rng.randint(-50, 5000))
+
+    def _expr(self, cols: list[str], depth: int = 0) -> str:
+        r = self.rng.random()
+        if depth >= 2 or r < 0.45:
+            return self._col(cols) if self.rng.random() < 0.75 else self._lit()
+        if r < 0.65:
+            op = self.rng.choice(["+", "-", "*"])
+            # at most one '*' per chain keeps magnitudes far from int64
+            nxt = depth + (2 if op == "*" else 1)
+            return f"({self._expr(cols, nxt)} {op} {self._expr(cols, nxt)})"
+        if r < 0.8:
+            return f"(- {self._expr(cols, depth + 1)})"
+        return (
+            f"(CASE WHEN {self._pred(cols, depth + 1)} "
+            f"THEN {self._expr(cols, depth + 1)} "
+            f"ELSE {self._expr(cols, depth + 1)} END)"
+        )
+
+    # -- predicates ------------------------------------------------------
+    def _pred(self, cols: list[str], depth: int = 0) -> str:
+        r = self.rng.random()
+        if depth >= 2 or r < 0.5:
+            kind = self.rng.random()
+            if kind < 0.55:
+                return (
+                    f"{self._expr(cols, 2)} {self.rng.choice(_CMP)} "
+                    f"{self._expr(cols, 2)}"
+                )
+            if kind < 0.7:
+                neg = "NOT " if self.rng.random() < 0.5 else ""
+                return f"{self._col(cols)} IS {neg}NULL"
+            if kind < 0.85:
+                lits = ", ".join(self._lit() for _ in range(self.rng.randint(1, 4)))
+                neg = "NOT " if self.rng.random() < 0.3 else ""
+                return f"{self._col(cols)} {neg}IN ({lits})"
+            lo, hi = sorted(
+                (self.rng.randint(-50, 3000), self.rng.randint(-50, 3000))
+            )
+            return f"{self._col(cols)} BETWEEN {lo} AND {hi}"
+        if r < 0.85:
+            con = self.rng.choice(["AND", "OR"])
+            return (
+                f"({self._pred(cols, depth + 1)} {con} "
+                f"{self._pred(cols, depth + 1)})"
+            )
+        return f"(NOT {self._pred(cols, depth + 1)})"
+
+    # -- FROM clause -----------------------------------------------------
+    def _from(self) -> tuple[str, list[str]]:
+        if self.rng.random() < 0.55:
+            t = self.rng.choice(list(TABLES))
+            return t, list(TABLES[t])
+        t1, t2 = self.rng.sample(list(TABLES), 2)
+        c1 = self.rng.choice(TABLES[t1])
+        c2 = self.rng.choice(TABLES[t2])
+        jt = self.rng.choice(_JOINS)
+        cols = [f"{t1}.{c}" for c in TABLES[t1]] + [
+            f"{t2}.{c}" for c in TABLES[t2]
+        ]
+        return (
+            f"{t1} {jt} {t2} ON {t1}.{c1} = {t2}.{c2}",
+            cols,
+        )
+
+    # -- IN/EXISTS subqueries (ANSI-pinned semantics) --------------------
+    def _subquery_pred(self, cols: list[str]) -> str:
+        t = self.rng.choice(list(TABLES))
+        sc = self.rng.choice(TABLES[t])
+        inner_pred = self._pred([sc], 1)
+        if self.rng.random() < 0.5:
+            neg = "NOT " if self.rng.random() < 0.4 else ""
+            return (
+                f"{self._col(cols)} {neg}IN "
+                f"(SELECT CAST({sc} AS BIGINT) FROM {t} WHERE {inner_pred})"
+            )
+        neg = "NOT " if self.rng.random() < 0.4 else ""
+        return f"{neg}EXISTS (SELECT 1 FROM {t} WHERE {inner_pred})"
+
+    # -- SELECT statements ----------------------------------------------
+    def _select(self) -> str:
+        frm, cols = self._from()
+        where = ""
+        if self.rng.random() < 0.75:
+            p = (
+                self._subquery_pred(cols)
+                if self.rng.random() < 0.25
+                else self._pred(cols)
+            )
+            where = f" WHERE {p}"
+        if self.rng.random() < 0.45:  # grouped
+            n_keys = self.rng.randint(1, 2)
+            keys = self.rng.sample(cols, min(n_keys, len(cols)))
+            sel = [f"{k} AS g{i}" for i, k in enumerate(keys)]
+            n_aggs = self.rng.randint(1, 3)
+            having = ""
+            agg_exprs = []
+            for i in range(n_aggs):
+                fn = self.rng.choice(_AGGS)
+                arg = "*" if fn == "count" and self.rng.random() < 0.3 else self._expr(cols, 1)
+                agg_exprs.append(f"CAST({fn}({arg}) AS BIGINT)")
+                sel.append(f"{agg_exprs[-1]} AS m{i}")
+            if self.rng.random() < 0.4:
+                having = (
+                    f" HAVING {self.rng.choice(agg_exprs)} "
+                    f"{self.rng.choice(_CMP)} {self._lit()}"
+                )
+            return (
+                f"SELECT {', '.join(sel)} FROM {frm}{where} "
+                f"GROUP BY {', '.join(keys)}{having}"
+            )
+        distinct = "DISTINCT " if self.rng.random() < 0.2 else ""
+        n_out = self.rng.randint(1, 4)
+        sel = [f"{self._expr(cols)} AS c{i}" for i in range(n_out)]
+        return f"SELECT {distinct}{', '.join(sel)} FROM {frm}{where}"
+
+    def query(self) -> str:
+        if self.rng.random() < 0.15:
+            # set op: two projections of the SAME table/columns so the
+            # arity and types line up by construction
+            t = self.rng.choice(list(TABLES))
+            cols = TABLES[t]
+            n_out = self.rng.randint(1, len(cols))
+            picked = self.rng.sample(cols, n_out)
+            sel = ", ".join(
+                f"CAST({c} AS BIGINT) AS c{i}" for i, c in enumerate(picked)
+            )
+            p1, p2 = self._pred(cols, 1), self._pred(cols, 1)
+            op = self.rng.choice(_SETOPS)
+            return (
+                f"SELECT {sel} FROM {t} WHERE {p1} "
+                f"{op} SELECT {sel} FROM {t} WHERE {p2}"
+            )
+        return self._select()
+
+
+def run_fuzz(spark, duck, seed: int, n: int) -> list[dict]:
+    """Generate ``n`` queries from ``seed`` and run each on both
+    engines; returns the mismatches (empty == clean sweep). Engine
+    errors count as mismatches (the grammar is confined to the shared
+    dialect, so neither engine may reject)."""
+    gen = QueryGen(seed)
+    mismatches = []
+    for i in range(n):
+        sql = gen.query()
+        try:
+            got = cf.canon_rows(
+                [tuple(r) for r in spark.sql(sql).collect()], ordered=False
+            )
+        except Exception as e:  # noqa: BLE001 — engine error IS the finding
+            mismatches.append({"i": i, "sql": sql, "error": f"spark: {e}"})
+            continue
+        try:
+            want = cf.canon_rows(duck.execute(sql).fetchall(), ordered=False)
+        except Exception as e:  # noqa: BLE001
+            mismatches.append({"i": i, "sql": sql, "error": f"duckdb: {e}"})
+            continue
+        if got != want:
+            mismatches.append(
+                {
+                    "i": i,
+                    "sql": sql,
+                    "spark_rows": len(got),
+                    "duck_rows": len(want),
+                    "spark_head": got[:3],
+                    "duck_head": want[:3],
+                }
+            )
+    return mismatches
