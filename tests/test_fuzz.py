@@ -41,8 +41,8 @@ def test_generator_covers_major_shapes():
     """The grammar actually emits joins, grouping, set ops and
     subqueries (a generator silently collapsing to trivial selects
     would make the clean sweeps vacuous)."""
-    qs = [QueryGen(11).query() for _ in range(300)]
-    text = " ".join(qs)
+    gen = QueryGen(11)
+    text = " ".join(gen.query() for _ in range(300))
     for shape in ("JOIN", "GROUP BY", "HAVING", "UNION", "EXISTS",
                   " IN (SELECT", "CASE WHEN", "BETWEEN", "DISTINCT"):
         assert shape in text, shape
