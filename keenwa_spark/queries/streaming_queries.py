@@ -366,6 +366,72 @@ def st_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "st_sketch_distinct",
+    oracle="""
+    SELECT
+      strftime(CAST(date_trunc('day', ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        AS win_start,
+      event_type,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+      TRUE AS approx_ok
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="STREAMING approximate distinct users per (day window, type): "
+    "exact COUNT(DISTINCT) cannot run incrementally (it would buffer "
+    "every distinct value per open window) but HLL++ is mergeable "
+    "fixed-size state under the same watermark eviction "
+    "(streaming/events.py approx_distinct_stream). The registry row "
+    "checks the sketch contract: each streamed estimate within the "
+    "3-sigma band of the batch-exact count.",
+    tags=("streaming", "sketch"),
+)
+def st_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming import run_available_now
+    from keenwa_spark.streaming.events import approx_distinct_stream
+
+    rsd = 0.05
+    est = run_available_now(
+        approx_distinct_stream(_stream_source(spark, sf_dir), rsd=rsd)
+    ).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "approx_users",
+    )
+    exact = (
+        spark.table("events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return (
+        exact.join(est, ["win_start", "event_type"])
+        .select(
+            "win_start",
+            "event_type",
+            "n_exact",
+            (
+                F.abs(
+                    F.col("approx_users").cast("double")
+                    - F.col("n_exact").cast("double")
+                )
+                <= F.greatest(
+                    F.lit(3 * rsd) * F.col("n_exact").cast("double"),
+                    F.lit(1.0),
+                )
+            ).alias("approx_ok"),
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@df_query(
     "st_anomaly",
     oracle="""
     WITH scored AS (

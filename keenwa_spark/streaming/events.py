@@ -100,6 +100,32 @@ def windowed_type_counts(
     )
 
 
+def approx_distinct_stream(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-window, per-type APPROXIMATE distinct users — the streaming
+    face of pipeline/sketches.py: exact COUNT(DISTINCT) is not
+    executable under incremental streaming (it would buffer every
+    distinct value per open window), but HLL++ is a mergeable
+    fixed-size aggregate, so the same watermark-evicted windowed state
+    carries a constant-size register array per (window, type). This is
+    THE pattern for distinct-cardinality dashboards over unbounded
+    streams."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "approx_users",
+        )
+    )
+
+
 def session_stats_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -46,3 +46,44 @@ def test_generator_covers_major_shapes():
     for shape in ("JOIN", "GROUP BY", "HAVING", "UNION", "EXISTS",
                   " IN (SELECT", "CASE WHEN", "BETWEEN", "DISTINCT"):
         assert shape in text, shape
+
+
+def test_mini_tables_have_no_full_row_duplicates():
+    """The ROW_NUMBER fuzz shape relies on ORDER BY all-columns being a
+    total order — which holds iff no table has a fully duplicated row."""
+    for name, (_schema, rows) in cf.MINI_TABLES.items():
+        assert len(rows) == len(set(rows)), name
+
+
+def test_generator_emits_window_and_cte_shapes():
+    gen = QueryGen(5)
+    text = " ".join(gen.query() for _ in range(300))
+    for shape in ("OVER (PARTITION BY", "ROW_NUMBER()", "NULLS FIRST",
+                  "WITH t AS", ") AS t"):
+        assert shape in text, shape
+
+
+@pytest.mark.xfail(
+    strict=False,
+    reason="Spark 4.1.2 wrong-results bug found by this fuzzer: "
+    "ReplaceExceptWithFilter (non-excludable) transplants the right "
+    "side's filter through SWAPPED output aliases — WHERE c1 IS NULL "
+    "becomes isnotnull(c2) on the left. When a Spark upgrade makes "
+    "this pass, remove the xfail and re-allow shadowing aliases in "
+    "the generator.",
+)
+def test_known_spark_except_swapped_alias_bug(mini, duck):
+    """EXCEPT over two projections of table c whose aliases SWAP the
+    source column names, right side filtered on a swapped name. ANSI
+    (and DuckDB, and Spark's own anti-join path) removes the NULL-c1
+    row; Spark's filter-pushdown rewrite keeps it."""
+    sql = (
+        "SELECT CAST(c2 AS BIGINT) AS c1, CAST(c1 AS BIGINT) AS c2 FROM c "
+        "EXCEPT "
+        "SELECT CAST(c2 AS BIGINT) AS c1, CAST(c1 AS BIGINT) AS c2 FROM c "
+        "WHERE CAST(c1 AS BIGINT) IS NULL"
+    )
+    got = cf.canon_rows([tuple(r) for r in mini.sql(sql).collect()], False)
+    want = cf.canon_rows(duck.execute(sql).fetchall(), False)
+    assert want == [(100, 1), (300, 3), (700, 7)]  # the ANSI answer
+    assert got == want
