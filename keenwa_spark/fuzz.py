@@ -211,6 +211,44 @@ class QueryGen:
         where = f" WHERE {self._pred(cols, 1)}" if self.rng.random() < 0.4 else ""
         return f"SELECT {', '.join(sel)} FROM {t}{where}"
 
+    def _ordered_select(self) -> str:
+        """ORDER BY all columns (explicit NULLS FIRST — the engines'
+        defaults differ) + LIMIT: deterministic because the mini
+        tables have no full-row duplicates, so the compare can be
+        row-SEQUENCE equality — the only shapes that exercise TopK /
+        global-sort paths cross-engine."""
+        t = self.rng.choice(list(TABLES))
+        cols = TABLES[t]
+        sel = ", ".join(f"CAST({c} AS BIGINT) AS o{i}" for i, c in enumerate(cols))
+        dirs = [
+            f"{c} {self.rng.choice(['ASC', 'DESC'])} NULLS FIRST" for c in cols
+        ]
+        where = f" WHERE {self._pred(cols, 1)}" if self.rng.random() < 0.5 else ""
+        limit = f" LIMIT {self.rng.randint(1, 8)}" if self.rng.random() < 0.6 else ""
+        return (
+            f"SELECT {sel} FROM {t}{where} ORDER BY {', '.join(dirs)}{limit}"
+        )
+
+    def _frame_window_select(self) -> str:
+        """Aggregate over an explicit ROWS frame on a total order —
+        deterministic for ANY aggregate because ROWS frames (unlike
+        the default RANGE frame) are defined by position, and the
+        order is total."""
+        t = self.rng.choice(list(TABLES))
+        cols = TABLES[t]
+        order = ", ".join(f"{c} NULLS FIRST" for c in cols)
+        fn = self.rng.choice(_AGGS)
+        arg = "*" if fn == "count" else self._expr(cols, 1)
+        lo = self.rng.choice(["UNBOUNDED PRECEDING", "2 PRECEDING", "1 PRECEDING"])
+        hi = self.rng.choice(["CURRENT ROW", "1 FOLLOWING"])
+        part = f"PARTITION BY {self.rng.choice(cols)} " if self.rng.random() < 0.5 else ""
+        sel = [f"CAST({c} AS BIGINT) AS k{i}" for i, c in enumerate(cols)]
+        sel.append(
+            f"CAST({fn}({arg}) OVER ({part}ORDER BY {order} "
+            f"ROWS BETWEEN {lo} AND {hi}) AS BIGINT) AS w0"
+        )
+        return f"SELECT {', '.join(sel)} FROM {t}"
+
     def query(self) -> str:
         r = self.rng.random()
         if r < 0.12:
@@ -223,8 +261,10 @@ class QueryGen:
             if self.rng.random() < 0.5:
                 return f"WITH t AS ({inner}) SELECT {outer_cols} FROM t"
             return f"SELECT {outer_cols} FROM ({inner}) AS t"
-        if r < 0.24:
+        if r < 0.20:
             return self._window_select()
+        if r < 0.26:
+            return self._frame_window_select()
         if r < 0.36:
             # set op: two projections of the SAME table/columns so the
             # arity and types line up by construction
@@ -252,16 +292,19 @@ def run_fuzz(spark, duck, seed: int, n: int) -> list[dict]:
     gen = QueryGen(seed)
     mismatches = []
     for i in range(n):
-        sql = gen.query()
+        # every ~8th query is an ORDER BY/LIMIT shape compared as a
+        # row SEQUENCE (deterministic total order by construction)
+        ordered = i % 8 == 7
+        sql = gen._ordered_select() if ordered else gen.query()
         try:
             got = cf.canon_rows(
-                [tuple(r) for r in spark.sql(sql).collect()], ordered=False
+                [tuple(r) for r in spark.sql(sql).collect()], ordered=ordered
             )
         except Exception as e:  # noqa: BLE001 — engine error IS the finding
             mismatches.append({"i": i, "sql": sql, "error": f"spark: {e}"})
             continue
         try:
-            want = cf.canon_rows(duck.execute(sql).fetchall(), ordered=False)
+            want = cf.canon_rows(duck.execute(sql).fetchall(), ordered=ordered)
         except Exception as e:  # noqa: BLE001
             mismatches.append({"i": i, "sql": sql, "error": f"duckdb: {e}"})
             continue

@@ -86,3 +86,43 @@ def pl_sketch_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         [0.1, 0.5, 0.9, 0.99],
     ).orderBy("prob")
+
+
+# ---------------------------------------------------------------------------
+# Shard-export manifest (sources/shards.py) — grouped here with the
+# other integrity-contract rows
+# ---------------------------------------------------------------------------
+
+def _shard_oracle(n_shards: int) -> str:
+    from keenwa_spark.pipeline.hashing import duck_hash64
+
+    key = duck_hash64("CAST(doc_id AS VARCHAR)")
+    row = duck_hash64("concat(coalesce(CAST(text AS VARCHAR), ''))")
+    return f"""
+    WITH s AS (
+      SELECT {key} % {n_shards} AS shard, {row} AS rh FROM documents
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh) AS BIGINT) AS checksum
+    FROM s GROUP BY shard ORDER BY shard
+    """
+
+
+@df_query(
+    "pl_shard_manifest",
+    oracle=_shard_oracle(8),
+    doc="Deterministic training-shard manifest: content-hash shard "
+    "assignment (pure function of doc_id — re-export reproduces "
+    "byte-identical membership) + per-shard row count and an "
+    "order-independent summed row-hash checksum (sources/shards.py "
+    "shard_manifest; write/verify faces tested in "
+    "tests/test_sources.py). One hash exchange at export; the oracle "
+    "replays the identical portable md5 arithmetic.",
+    tags=("pipeline", "export"),
+)
+def pl_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.sources.shards import shard_manifest
+
+    return shard_manifest(
+        spark.table("documents"), "doc_id", ["text"], 8
+    ).orderBy("shard")

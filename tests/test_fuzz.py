@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 
 from keenwa_spark import conformance as cf
-from keenwa_spark.fuzz import QueryGen, run_fuzz
+from keenwa_spark.fuzz import TABLES, QueryGen, run_fuzz
 
 
 @pytest.fixture(scope="module")
@@ -59,8 +59,23 @@ def test_generator_emits_window_and_cte_shapes():
     gen = QueryGen(5)
     text = " ".join(gen.query() for _ in range(300))
     for shape in ("OVER (PARTITION BY", "ROW_NUMBER()", "NULLS FIRST",
-                  "WITH t AS", ") AS t"):
+                  "WITH t AS", ") AS t", "ROWS BETWEEN"):
         assert shape in text, shape
+    ordered = " ".join(gen._ordered_select() for _ in range(20))
+    assert "ORDER BY" in ordered and "LIMIT" in ordered
+
+
+def test_generator_never_shadows_source_columns():
+    """Output aliases shadowing source columns triggered the pinned
+    Spark EXCEPT bug — the grammar must never emit them."""
+    import re
+
+    gen = QueryGen(13)
+    source_cols = {c for cols in TABLES.values() for c in cols}
+    for _ in range(400):
+        q = gen.query()
+        aliases = set(re.findall(r" AS (\w+)", q)) - {"BIGINT", "t"}
+        assert not (aliases & source_cols), (aliases & source_cols, q)
 
 
 @pytest.mark.xfail(
