@@ -135,6 +135,11 @@ HEADLINE = [
     "ev_spend_gini",
     # the end-to-end curation flagship: gate -> dedup -> sample -> pack
     "pl_training_data_flow",
+    # round-7 additions: sketch aggregate (HLL++ + exact-distinct
+    # oracle side) and the shard-export manifest (hash assignment +
+    # order-independent checksum agg)
+    "pl_sketch_distinct_bounds",
+    "pl_shard_manifest",
 ]
 
 

@@ -49,6 +49,9 @@ def _probes():
         "pl_curriculum_stages",   # two-pass global rank (r6 rewrite)
         "pl_text_stats",          # pure codegen map
         "pl_lm_surprisal",        # explode + model aggs + join
+        # round-7 additions
+        "pl_sketch_distinct_bounds",  # HLL++ + exact distinct (oracle side)
+        "pl_shard_manifest",          # hash-shard assignment + checksum agg
     ]
     return [(n, reg[n].fn) for n in names]
 
