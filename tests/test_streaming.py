@@ -544,3 +544,32 @@ def test_rollup_refresh_store_bounded_by_buckets(views, tmp_path_factory):
     assert in_b == in_a * 3
     assert store_a == store_b  # buckets (2 types x 1 day), not rows
     assert store_a > 0
+
+
+def test_sketch_distinct_state_bounded_by_watermark(views, tmp_path_factory):
+    """st_sketch_distinct's windowed HLL aggregate: constant-size
+    sketch registers per (window, type), watermark-evicted — 3x the
+    stream length must not hold ~3x the state rows."""
+    from keenwa_spark.streaming.events import (
+        approx_distinct_stream,
+        read_event_stream,
+    )
+
+    short = _hourly_event_files(tmp_path_factory.mktemp("hll_s"), hours=6)
+    longer = _hourly_event_files(tmp_path_factory.mktemp("hll_l"), hours=18)
+    peak_short = _max_agg_state_rows(
+        views,
+        approx_distinct_stream(
+            read_event_stream(views, short, maxFilesPerTrigger=1),
+            window="1 hour", watermark="2 hours",
+        ),
+    )
+    peak_long = _max_agg_state_rows(
+        views,
+        approx_distinct_stream(
+            read_event_stream(views, longer, maxFilesPerTrigger=1),
+            window="1 hour", watermark="2 hours",
+        ),
+    )
+    assert peak_short > 0
+    assert peak_long <= peak_short * 1.5, (peak_short, peak_long)
