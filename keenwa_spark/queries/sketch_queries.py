@@ -126,3 +126,51 @@ def pl_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(
         spark.table("documents"), "doc_id", ["text"], 8
     ).orderBy("shard")
+
+
+@df_query(
+    "pl_mixture_export_manifest",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, source,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix0'), 1, 8))::BIGINT)
+               % 1000000 AS bk
+      FROM documents
+    ),
+    sampled AS (
+      SELECT doc_id, text FROM b
+      WHERE bk < (CASE WHEN source = 'src0' THEN 1000000
+                       WHEN source = 'src1' THEN 600000
+                       WHEN source = 'src2' THEN 200000
+                       ELSE 50000 END)
+    ),
+    s AS (
+      SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 8 AS shard,
+             (('0x' || substr(md5(concat(coalesce(CAST(text AS VARCHAR), ''))), 1, 8))::BIGINT) AS rh
+      FROM sampled
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(rh) AS BIGINT) AS checksum
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+    doc="END-TO-END mixture export: domain-mixture sampling (per-source "
+    "deterministic Bernoulli recipe, one codegen CASE filter fused into "
+    "the scan) feeding the content-hash shard manifest — the 'make the "
+    "training mix and ship it verifiably' composition; both stages are "
+    "the library operators (pipeline/sampling.py mixture_sample -> "
+    "sources/shards.py shard_manifest) and the oracle replays the whole "
+    "chain arithmetically.",
+    tags=("pipeline", "sampling", "export"),
+)
+def pl_mixture_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sampling import mixture_sample
+    from keenwa_spark.sources.shards import shard_manifest
+
+    mixed = mixture_sample(
+        spark.table("documents"),
+        "source",
+        {"src0": 1.0, "src1": 0.6, "src2": 0.2},
+        key_col="doc_id",
+        default_rate=0.05,
+    )
+    return shard_manifest(mixed, "doc_id", ["text"], 8).orderBy("shard")
