@@ -27,6 +27,12 @@ Dialect confinement rules (each prevents a known cross-engine trap):
   pinned by test).
 - CTEs and derived tables wrap any generated select (pure renaming —
   but they exercise both engines' scoping/inlining paths).
+- correlated subqueries in the ANSI-pinned shapes only: scalar
+  aggregates in the select list (COUNT -> 0 on an empty group,
+  SUM/MIN/MAX -> NULL) and correlated EXISTS / correlated IN
+  predicates — the decorrelation rewrites are historically the
+  buggiest optimizer corner on every engine, which is exactly why
+  they belong in the sweep.
 - output aliases (o*/g*/m*/k*/w*) NEVER shadow a source column name:
   the fuzzer's first sweep with shadowing aliases (c0/c1/c2 over table
   c) caught a REAL wrong-results bug in this Spark build —
@@ -151,6 +157,42 @@ class QueryGen:
         neg = "NOT " if self.rng.random() < 0.4 else ""
         return f"{neg}EXISTS (SELECT 1 FROM {t} WHERE {inner_pred})"
 
+    # -- correlated subqueries (decorrelation is where engines break) ----
+    def _correlated_select(self) -> str:
+        """Outer table aliased t_out; select list carries a correlated
+        scalar aggregate (COUNT -> 0 on empty group, SUM/MIN/MAX ->
+        NULL — ANSI-pinned on both engines) and the WHERE may carry a
+        correlated EXISTS / correlated IN."""
+        t_out = self.rng.choice(list(TABLES))
+        t_in = self.rng.choice(list(TABLES))
+        oc = self.rng.choice(TABLES[t_out])
+        ic = self.rng.choice(TABLES[t_in])
+        fn = self.rng.choice(_AGGS)
+        arg = "*" if fn == "count" else f"CAST({self.rng.choice(TABLES[t_in])} AS BIGINT)"
+        corr = f"{t_in}.{ic} = t_out.{oc}"
+        extra = f" AND {self._pred([f'{t_in}.{c}' for c in TABLES[t_in]], 2)}"             if self.rng.random() < 0.5 else ""
+        scalar = (
+            f"(SELECT CAST({fn}({arg}) AS BIGINT) FROM {t_in} "
+            f"WHERE {corr}{extra})"
+        )
+        sel = [f"CAST(t_out.{c} AS BIGINT) AS k{i}" for i, c in enumerate(TABLES[t_out])]
+        sel.append(f"{scalar} AS s0")
+        where = ""
+        r = self.rng.random()
+        if r < 0.35:
+            neg = "NOT " if self.rng.random() < 0.4 else ""
+            where = (
+                f" WHERE {neg}EXISTS (SELECT 1 FROM {t_in} "
+                f"WHERE {corr}{extra})"
+            )
+        elif r < 0.6:
+            oc2 = self.rng.choice(TABLES[t_out])
+            where = (
+                f" WHERE CAST(t_out.{oc2} AS BIGINT) IN "
+                f"(SELECT CAST({ic} AS BIGINT) FROM {t_in} WHERE {corr})"
+            )
+        return f"SELECT {', '.join(sel)} FROM {t_out} t_out{where}"
+
     # -- SELECT statements ----------------------------------------------
     def _select(self) -> str:
         frm, cols = self._from()
@@ -261,10 +303,12 @@ class QueryGen:
             if self.rng.random() < 0.5:
                 return f"WITH t AS ({inner}) SELECT {outer_cols} FROM t"
             return f"SELECT {outer_cols} FROM ({inner}) AS t"
-        if r < 0.20:
+        if r < 0.18:
             return self._window_select()
-        if r < 0.26:
+        if r < 0.24:
             return self._frame_window_select()
+        if r < 0.30:
+            return self._correlated_select()
         if r < 0.36:
             # set op: two projections of the SAME table/columns so the
             # arity and types line up by construction

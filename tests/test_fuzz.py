@@ -55,6 +55,19 @@ def test_mini_tables_have_no_full_row_duplicates():
         assert len(rows) == len(set(rows)), name
 
 
+def test_generator_emits_correlated_shapes():
+    """The correlated family (scalar aggregate in the select list,
+    correlated EXISTS / correlated IN) must actually appear — these
+    exercise both engines' decorrelation rewrites."""
+    gen = QueryGen(17)
+    qs = [gen.query() for _ in range(300)]
+    text = " ".join(qs)
+    assert "= t_out." in text  # correlation predicate emitted
+    assert any(") AS s0" in q for q in qs)  # scalar agg in select list
+    assert any("= t_out." in q and "EXISTS (SELECT 1" in q for q in qs)
+    assert any("= t_out." in q and " IN (SELECT" in q for q in qs)
+
+
 def test_generator_emits_window_and_cte_shapes():
     gen = QueryGen(5)
     text = " ".join(gen.query() for _ in range(300))
