@@ -278,6 +278,93 @@ def near_dup_cosine_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cv",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest centroid by
+    cosine (ties broken on the smaller centroid id), then flag as
+    duplicate any row with a SAME-cluster neighbor at
+    ``cos >= threshold`` and a smaller id — the greedy
+    keep-lowest-id policy, one deterministic pass.
+
+    ``centroids`` is any small (cent_id, vector) relation — a k-means
+    fit (ivf_train), label_centroids output, or a deterministic seed
+    pick. Returns one row per input vector:
+    ``(id_col, cluster_id, cos_to_centroid, is_dup)``.
+
+    100 TB notes: the centroid side is k rows and explicitly
+    broadcast, so assignment is a map-side join + partial-aggregate
+    argmax — the corpus is never shuffled for it; the only
+    corpus-sized exchanges are the id join-back and the single
+    cluster_id self-join, whose candidate pairs are cluster-local,
+    never corpus^2 (the same containment argument as
+    near_dup_cosine_pairs' sign buckets). For exact duplicate-GROUP
+    semantics (transitive closure instead of the greedy flag), feed
+    the same-cluster pairs to clustering.connected_components /
+    dedup_groups.
+
+    Reference parity: the reference has no embedding operators; this
+    extends the pipeline layer the same way dedup.py does (SURVEY §2
+    beyond-reference additions).
+    """
+    c = emb.select(
+        F.col(id_col), F.expr(_as_double(vec_col)).alias("v")
+    )
+    k = centroids.select(
+        F.col(cent_id_col).alias("cent_id"),
+        F.expr(_as_double(cent_vec_col)).alias("cv"),
+    )
+    scored = c.join(F.broadcast(k)).withColumn(
+        "cos_c", F.expr(_COS.format(a="v", b="cv"))
+    )
+    # argmax via struct-max: (cos, -cent_id) orders ties to the
+    # smaller centroid id; partial aggregation keeps it map-side.
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("cos_c"), (-F.col("cent_id")).alias("neg_cent")
+            )
+        ).alias("best")
+    )
+    asg = best.select(
+        F.col(id_col),
+        (-F.col("best.neg_cent")).cast("bigint").alias("cluster_id"),
+        F.col("best.cos_c").alias("cos_to_centroid"),
+    ).join(c, id_col)
+    a = asg.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cluster_id"
+    )
+    b = asg.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cluster_id"
+    )
+    dup_ids = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_ab", F.expr(_COS.format(a="va", b="vb")))
+        .filter(F.col("cos_ab") >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        asg.drop("v")
+        .join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "cos_to_centroid",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def filtered_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -560,6 +560,56 @@ def pl_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_cosine_pairs(spark.table("embeddings"), threshold=0.3)
 
 
+@df_query(
+    "pl_semantic_dedup",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, {_D_VEC_D} AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (SELECT vec_id, {_D_VEC_D} AS v FROM embeddings),
+    scored AS (
+      SELECT vec_id, cent_id, {_duck_cosine('v', 'cv')} AS cos_c FROM c, cents
+    ),
+    asg AS (
+      SELECT vec_id, cent_id AS cluster_id, cos_c AS cos_to_centroid
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cos_c DESC, cent_id
+        ) AS rn FROM scored
+      ) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      JOIN c ca ON ca.vec_id = a.vec_id
+      JOIN c cb ON cb.vec_id = b.vec_id
+      WHERE {_duck_cosine('ca.v', 'cb.v')} >= 0.3
+    )
+    SELECT asg.vec_id, cluster_id, cos_to_centroid,
+           (dups.vec_id IS NOT NULL) AS is_dup
+    FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023): broadcast "
+    "nearest-centroid assignment (struct-max argmax, map-side partial "
+    "agg), then greedy keep-lowest-id duplicate flags over "
+    "CLUSTER-LOCAL cosine pairs — never corpus^2 "
+    "(pipeline/similarity.py semantic_dedup). Centroids here are the "
+    "deterministic seed pick vec_id < 8 so the oracle replicates the "
+    "assignment exactly; threshold 0.3 for the same non-vacuity reason "
+    "as pl_near_dup_cosine.",
+    tags=("pipeline", "dedup", "similarity"),
+)
+def pl_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import semantic_dedup
+
+    emb = spark.table("embeddings")
+    cents = emb.filter("vec_id < 8").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    return semantic_dedup(emb, cents, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -52,3 +52,43 @@ def test_filtered_cosine_topk_respects_predicate(spark):
         df, df.where("vec_id = 0"), "label = 2", k=2
     ).collect()
     assert [r.neighbor_id for r in out] == [2, 3]  # label-1 rows excluded
+
+
+def test_semantic_dedup_flags_and_assignment(spark):
+    """Engineered two-cluster fixture: assignment goes to the nearest
+    centroid (cosine, smaller-cent-id tie-break), dup flags follow the
+    greedy keep-lowest-id rule within clusters only — the cross-cluster
+    near-identical pair must NOT flag."""
+    from keenwa_spark.pipeline.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # cluster 10
+        (1, [0.99, 0.01, 0.0]),  # near-dup of 0, same cluster -> dup
+        (2, [0.0, 1.0, 0.0]),    # cluster 20
+        (3, [0.0, 0.99, 0.01]),  # near-dup of 2, same cluster -> dup
+        (4, [0.6, 0.0, 0.8]),    # cluster 10 (cos .6 vs 0), far -> kept
+        (5, [0.7, 0.7, 0.0]),    # equidistant: tie-break -> cluster 10
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (20, [0.0, 1.0, 0.0])],
+        "cent_id BIGINT, cv ARRAY<FLOAT>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(emb, cents, threshold=0.95).collect()
+    }
+    assert len(out) == 6
+    assert {i: out[i].cluster_id for i in out} == {
+        0: 10, 1: 10, 2: 20, 3: 20, 4: 10, 5: 10
+    }
+    assert {i: out[i].is_dup for i in out} == {
+        0: False, 1: True, 2: False, 3: True, 4: False, 5: False
+    }
+    assert out[0].cos_to_centroid == pytest.approx(1.0)
+    # threshold low enough to chain 5 behind 0 (cos(0,5)=.7/ sqrt(.98))
+    out2 = {
+        r.vec_id: r.is_dup
+        for r in semantic_dedup(emb, cents, threshold=0.7).collect()
+    }
+    assert out2[5] is True and out2[0] is False
