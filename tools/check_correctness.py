@@ -9,6 +9,12 @@ Usage:
     python tools/check_correctness.py            # all queries
     python tools/check_correctness.py name1 ...  # subset
     SF_DIR=/root/testdata/sf0.001 python tools/check_correctness.py
+    REGIME_SEED=1 python tools/check_correctness.py
+        # run the WHOLE registry under one seeded optimizer regime
+        # (AQE x CBO x broadcast-threshold sampled from the same
+        # 8-regime grid as tests/test_conf_regimes.py) — results must
+        # be oracle-exact under every physical-plan regime, not just
+        # the tuned session defaults
 """
 
 from __future__ import annotations
@@ -124,6 +130,24 @@ def main() -> int:
         from keenwa_spark.session import get_spark
 
         spark = get_spark("check_correctness")
+    if os.environ.get("REGIME_SEED"):
+        import itertools
+        import random
+
+        grid = [
+            {
+                "spark.sql.adaptive.enabled": str(aqe).lower(),
+                "spark.sql.cbo.enabled": str(cbo).lower(),
+                "spark.sql.autoBroadcastJoinThreshold": bcast,
+            }
+            for aqe, cbo, bcast in itertools.product(
+                (True, False), (True, False), ("-1", "10485760")
+            )
+        ]
+        regime = random.Random(int(os.environ["REGIME_SEED"])).choice(grid)
+        for k, v in regime.items():
+            spark.conf.set(k, v)
+        print(f"# regime (seed {os.environ['REGIME_SEED']}): {regime}")
     con = duck_con(SF_DIR)
 
     n_pass = n_fail = n_rows_only = 0
