@@ -33,6 +33,12 @@ Dialect confinement rules (each prevents a known cross-engine trap):
   predicates — the decorrelation rewrites are historically the
   buggiest optimizer corner on every engine, which is exactly why
   they belong in the sweep.
+- set ops include the ALL multiset forms (INTERSECT ALL / EXCEPT ALL
+  — bag semantics are ANSI-pinned), aggregates include DISTINCT args
+  (exact on integers; the distinct-rewrite is its own planner path),
+  join ON may carry a non-equi residual conjunct (ANSI outer-join ON
+  semantics), and GROUP BY may key on a computed expression repeated
+  verbatim in the select list (the ANSI-portable form).
 - output aliases (o*/g*/m*/k*/w*) NEVER shadow a source column name:
   the fuzzer's first sweep with shadowing aliases (c0/c1/c2 over table
   c) caught a REAL wrong-results bug in this Spark build —
@@ -63,7 +69,14 @@ TABLES = {
 _CMP = ["=", "<>", "<", "<=", ">", ">="]
 _AGGS = ["sum", "count", "min", "max"]
 _JOINS = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
-_SETOPS = ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]
+_SETOPS = [
+    "UNION ALL",
+    "UNION",
+    "INTERSECT",
+    "EXCEPT",
+    "INTERSECT ALL",
+    "EXCEPT ALL",
+]
 
 
 class QueryGen:
@@ -138,10 +151,13 @@ class QueryGen:
         cols = [f"{t1}.{c}" for c in TABLES[t1]] + [
             f"{t2}.{c}" for c in TABLES[t2]
         ]
-        return (
-            f"{t1} {jt} {t2} ON {t1}.{c1} = {t2}.{c2}",
-            cols,
-        )
+        on = f"{t1}.{c1} = {t2}.{c2}"
+        if self.rng.random() < 0.25:
+            # compound ON: equi key + an extra conjunct — ANSI pins
+            # outer-join ON semantics, and the non-equi residual
+            # exercises a different physical-join selection
+            on = f"{on} AND {self._pred(cols, 2)}"
+        return (f"{t1} {jt} {t2} ON {on}", cols)
 
     # -- IN/EXISTS subqueries (ANSI-pinned semantics) --------------------
     def _subquery_pred(self, cols: list[str]) -> str:
@@ -207,13 +223,31 @@ class QueryGen:
         if self.rng.random() < 0.45:  # grouped
             n_keys = self.rng.randint(1, 2)
             keys = self.rng.sample(cols, min(n_keys, len(cols)))
+            if self.rng.random() < 0.3:
+                # group by a computed expression (repeated verbatim in
+                # the select list — the ANSI-portable form). The key
+                # MUST reference a column: a pure-literal key (even a
+                # parenthesized/negated one — Spark constant-folds
+                # first) is parsed as a GROUP BY ORDINAL and errors.
+                e = self._expr(cols, 1)
+                if not any(c in e for c in cols):
+                    e = self._col(cols)
+                keys[0] = e
             sel = [f"{k} AS g{i}" for i, k in enumerate(keys)]
             n_aggs = self.rng.randint(1, 3)
             having = ""
             agg_exprs = []
             for i in range(n_aggs):
                 fn = self.rng.choice(_AGGS)
-                arg = "*" if fn == "count" and self.rng.random() < 0.3 else self._expr(cols, 1)
+                if fn == "count" and self.rng.random() < 0.3:
+                    arg = "*"
+                elif self.rng.random() < 0.2:
+                    # DISTINCT aggregate: exact on integers, and the
+                    # distinct-rewrite (expand/partial-dedup) is its
+                    # own planner path worth shaking
+                    arg = f"DISTINCT {self._col(cols)}"
+                else:
+                    arg = self._expr(cols, 1)
                 agg_exprs.append(f"CAST({fn}({arg}) AS BIGINT)")
                 sel.append(f"{agg_exprs[-1]} AS m{i}")
             if self.rng.random() < 0.4:
