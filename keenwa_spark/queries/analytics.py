@@ -402,7 +402,10 @@ sql_query(
 sql_query(
     "an_pivot_segments",
     """
-    SELECT *
+    SELECT n_name,
+           building_total, COALESCE(building_n, 0) AS building_n,
+           machinery_total, COALESCE(machinery_n, 0) AS machinery_n,
+           automobile_total, COALESCE(automobile_n, 0) AS automobile_n
     FROM (
       SELECT n.n_name, c.c_mktsegment,
              CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
@@ -440,7 +443,12 @@ sql_query(
     "ROLLUP/CUBE): per-nation account-balance totals and counts pivoted "
     "across three market segments in one grouped pass — Catalyst plans "
     "it as conditional aggregation, which is exactly what the portable "
-    "oracle spells out. Decimal sums, one final double cast per cell.",
+    "oracle spells out. Decimal sums, one final double cast per cell. "
+    "Empty-cell semantics: Spark PIVOT yields NULL even for COUNT "
+    "(absent group, not zero rows counted) where conditional "
+    "aggregation yields 0 — the count columns COALESCE to 0 "
+    "explicitly; found by the sf0.001 sweep (sf0.01 populates every "
+    "nation x segment cell and masked it).",
     tags=("analytics", "pivot"),
 )
 

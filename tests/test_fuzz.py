@@ -42,9 +42,10 @@ def test_generator_covers_major_shapes():
     subqueries (a generator silently collapsing to trivial selects
     would make the clean sweeps vacuous)."""
     gen = QueryGen(11)
-    text = " ".join(gen.query() for _ in range(300))
+    text = " ".join(gen.query() for _ in range(500))
     for shape in ("JOIN", "GROUP BY", "HAVING", "UNION", "EXISTS",
-                  " IN (SELECT", "CASE WHEN", "BETWEEN", "DISTINCT"):
+                  " IN (SELECT", "CASE WHEN", "BETWEEN", "DISTINCT",
+                  "INTERSECT ALL", "EXCEPT ALL", "(DISTINCT CAST"):
         assert shape in text, shape
 
 
