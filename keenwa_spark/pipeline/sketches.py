@@ -67,15 +67,24 @@ def hll_merge_equivalence(
 ) -> DataFrame:
     """The MERGEABILITY contract of the Datasketches HLL functions
     (Spark 4 ``hll_sketch_agg`` / ``hll_union`` /
-    ``hll_sketch_estimate``): sketching two disjoint halves and
-    unioning the binary sketches must estimate EXACTLY what one sketch
-    over the whole input estimates (HLL union is lossless at equal
-    lg_k), and that estimate must sit within ``tolerance`` of the
-    exact distinct count.
+    ``hll_sketch_estimate``): sketching disjoint splits and unioning
+    the binary sketches must land within ``tolerance`` of BOTH the
+    whole-input sketch's estimate and the exact distinct count.
 
-    One row: ``n_exact`` (bigint), ``merged_eq_whole`` (boolean, exact
-    equality of the two estimates), ``within_bound`` (boolean). This
-    is the distributed-correctness statement that lets a 100 TB
+    Exact estimate equality (merged == whole) is deliberately NOT the
+    contract: it holds only when union and direct sketch take the same
+    internal mode. Below ~lg_k distinct values the sketches sit in
+    sparse/coupon mode, and hll_union_agg's promotion through the
+    HLL_8 union gadget can land a slightly different estimate than
+    the whole-input sketch that stayed sparse — measured on the sf0.1
+    events table: merged 1488 vs whole 1499 vs exact 1500 at lg_k=12
+    (sf0.01's 150 users agreed exactly, masking it; found by the
+    multi-SF sweep).
+
+    One row: ``n_exact`` (bigint), ``merged_within_bound`` /
+    ``whole_within_bound`` (each estimate vs exact) and
+    ``merge_drift_ok`` (|merged - whole| <= tolerance * n_exact).
+    This is the distributed-correctness statement that lets a 100 TB
     distinct count be computed as per-partition sketches + one tiny
     merge instead of a distinct-value shuffle."""
     half = df.select(F.col(col).alias("__v"), split_col.alias("__h"))
@@ -91,13 +100,24 @@ def hll_merge_equivalence(
         ).alias("__est_whole"),
         F.count_distinct(F.col("__v")).alias("n_exact"),
     )
+    tol = F.lit(tolerance) * F.col("n_exact").cast("double")
     return whole.crossJoin(merged).select(
         F.col("n_exact").cast("bigint").alias("n_exact"),
-        (F.col("__est_merged") == F.col("__est_whole")).alias("merged_eq_whole"),
+        (
+            F.abs(F.col("__est_merged").cast("double") - F.col("n_exact"))
+            <= tol
+        ).alias("merged_within_bound"),
         (
             F.abs(F.col("__est_whole").cast("double") - F.col("n_exact"))
-            <= F.lit(tolerance) * F.col("n_exact").cast("double")
-        ).alias("within_bound"),
+            <= tol
+        ).alias("whole_within_bound"),
+        (
+            F.abs(
+                F.col("__est_merged").cast("double")
+                - F.col("__est_whole").cast("double")
+            )
+            <= tol
+        ).alias("merge_drift_ok"),
     )
 
 

@@ -284,8 +284,9 @@ sql_query(
       SELECT o_orderstatus,
              COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
-                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+             CAST(CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))))
+                  AS DECIMAL(38,0)) AS DOUBLE) AS s2
       FROM orders
       GROUP BY o_orderstatus
     )
@@ -303,7 +304,15 @@ sql_query(
     "accumulation is partition-order-dependent and can't be "
     "hash-verified cross-engine), then the sample-variance formula "
     "runs once per group in double. The same one-pass shape the "
-    "built-in uses, with deterministic results at any partitioning.",
+    "built-in uses, with deterministic results at any partitioning. "
+    "The squared-sum is FLOORed to an integral DECIMAL(38,0) before "
+    "the double cast: once value x 10^scale exceeds 2^53, DuckDB's "
+    "decimal->double (int128 conversion then scale division) "
+    "double-rounds where Spark's BigDecimal cast single-rounds — a "
+    "1-ulp stddev divergence that appeared only at sf0.1 (multi-SF "
+    "sweep find). An integral decimal below 2^53 casts EXACTLY in "
+    "both engines; valid while sum(x^2) < 9e15, i.e. ~2x this sf — "
+    "beyond that, center the values first (shifted moments).",
     tags=("analytics", "aggregate", "stats"),
 )
 

@@ -40,17 +40,20 @@ def pl_sketch_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pl_sketch_hll_merge",
     oracle="""
     SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
-           TRUE AS merged_eq_whole,
-           TRUE AS within_bound
+           TRUE AS merged_within_bound,
+           TRUE AS whole_within_bound,
+           TRUE AS merge_drift_ok
     FROM events
     """,
     doc="Datasketches HLL mergeability contract: sketch two disjoint "
-    "halves (event_id parity), union the binary sketches, and the "
-    "estimate must EQUAL the whole-input sketch's estimate (lossless "
-    "union at equal lg_k) and sit within 3% of exact "
+    "halves (event_id parity), union the binary sketches, and BOTH "
+    "estimates must sit within 3% of exact with bounded merge drift "
     "(pipeline/sketches.py hll_merge_equivalence) — the property that "
     "turns a 100 TB distinct count into per-partition sketches plus "
-    "one tiny merge.",
+    "one tiny merge. Exact merged==whole equality is deliberately not "
+    "claimed: sparse-mode union promotion can shift the estimate "
+    "(1488 vs 1499 on sf0.1 events; masked at sf0.01 — found by the "
+    "multi-SF sweep).",
     tags=("pipeline", "sketch"),
 )
 def pl_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
