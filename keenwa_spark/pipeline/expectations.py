@@ -116,8 +116,10 @@ def validate_expectations(
     for i, e in enumerate(checks):
         c = F.col(e.column) if e.column else None
         if e.kind == "not_null":
+            # coalesce: SUM over an EMPTY table is NULL, but zero rows
+            # mean zero violations (vacuous pass), not an unknown one
             aggs.append(
-                F.sum(F.when(c.isNull(), 1).otherwise(0))
+                F.coalesce(F.sum(F.when(c.isNull(), 1).otherwise(0)), F.lit(0))
                 .cast("bigint")
                 .alias(f"__m_{i}")
             )
@@ -127,20 +129,26 @@ def validate_expectations(
             aggs.append(F.countDistinct(c).cast("bigint").alias(f"__dst_{i}"))
         elif e.kind == "accepted_values":
             aggs.append(
-                F.sum(
-                    F.when(c.isNotNull() & ~c.isin(*e.values), 1).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(c.isNotNull() & ~c.isin(*e.values), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("bigint")
                 .alias(f"__m_{i}")
             )
         elif e.kind == "value_range":
             aggs.append(
-                F.sum(
-                    F.when(
-                        c.isNotNull()
-                        & ((c < F.lit(e.lo)) | (c > F.lit(e.hi))),
-                        1,
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            c.isNotNull()
+                            & ((c < F.lit(e.lo)) | (c > F.lit(e.hi))),
+                            1,
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("bigint")
                 .alias(f"__m_{i}")

@@ -129,6 +129,13 @@ def _train(
          .filter(F.col("vid") < train_rows)
          .collect()),
     )
+    if not rows:
+        raise ValueError(
+            "cannot train an IVF quantizer on an empty corpus "
+            f"(no rows with {id_col} < {train_rows}); a silently empty "
+            "centroid model would make every downstream search return "
+            "nothing — fail loudly instead"
+        )
     X = np.array([v for _, v in rows], dtype=np.float64)
     cents: Cents = [(vid, v) for vid, v in rows if vid < k_cells]
     for _ in range(iters):

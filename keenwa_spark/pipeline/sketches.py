@@ -152,6 +152,13 @@ def approx_quantile_bounds(
     ).collect()[0]
     n = picked["__n"]
     ap_vals = list(picked["__ap"] or [])
+    if n == 0 or not ap_vals:
+        # empty input: approx_percentile returns NULL; the rank
+        # contract is vacuously satisfied (no value can violate it)
+        rows = [(float(p), 0, True) for p in probs]
+        return df.sparkSession.createDataFrame(
+            rows, "prob DOUBLE, n_values BIGINT, rank_ok BOOLEAN"
+        )
     # exact rank of each returned value: count of rows <= it, all
     # probabilities in ONE conditional-aggregation pass
     le = df.agg(

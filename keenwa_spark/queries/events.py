@@ -653,7 +653,7 @@ def ev_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM o)
     SELECT
-      MAX(n.c) AS n_values,
+      (SELECT c FROM n) AS n_values,
       MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.50 * n.c) AS BIGINT))
                THEN v END) AS p50,
       MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.90 * n.c) AS BIGINT))

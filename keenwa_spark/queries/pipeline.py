@@ -2502,8 +2502,10 @@ def pl_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              0.0
       UNION ALL
       SELECT 'not_null', 'o_custkey',
-             CAST((SELECT COUNT(*) FROM orders
-                   WHERE o_custkey IS NULL) AS DOUBLE) / (SELECT n FROM t),
+             CASE WHEN (SELECT n FROM t) = 0 THEN 0.0
+                  ELSE CAST((SELECT COUNT(*) FROM orders
+                             WHERE o_custkey IS NULL) AS DOUBLE)
+                       / (SELECT n FROM t) END,
              0.0
       UNION ALL
       SELECT 'unique', 'o_orderkey',
@@ -2522,7 +2524,9 @@ def pl_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM checks
     UNION ALL
     SELECT 'row_count', '__table__', (SELECT n FROM t),
-           CAST(NULL AS DOUBLE), (SELECT n FROM t) >= 1.0
+           CASE WHEN (SELECT n FROM t) >= 1.0 THEN CAST(NULL AS DOUBLE)
+                ELSE 1.0 END,
+           (SELECT n FROM t) >= 1.0
     ORDER BY check_type, target
     """,
     doc="Declarative data-quality expectations on orders: null-rate "
@@ -3464,6 +3468,7 @@ def pl_numeric_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
            chi.chi2 AS chi2,
            sqrt(chi.chi2 / (m.n * (LEAST(m.r, m.c) - 1))) AS cramers_v
     FROM chi CROSS JOIN margins m
+    WHERE m.n > 0
     """,
     doc="Cramér's V association between two categorical columns "
     "(documents.lang x source): chi-square over the contingency table "

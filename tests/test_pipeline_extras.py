@@ -902,3 +902,19 @@ def test_chunk_and_pack_rejects_bad_params(spark):
         chunk_and_pack(d, chunk_tokens=3, overlap=3)
     with _pytest.raises(ValueError):
         chunk_and_pack(d, seq_len=0)
+
+
+def test_ivf_train_empty_corpus_fails_loudly(spark):
+    """An accidentally-empty corpus must not yield a silently empty
+    centroid model (every downstream search would return nothing) —
+    the trainer raises with a clear message instead (found by the
+    empty-input sweep: previously a bare IndexError)."""
+    import pytest as _pytest
+
+    from keenwa_spark.pipeline.ivf import ivf_train
+
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    with _pytest.raises(ValueError, match="empty corpus"):
+        ivf_train(empty, k_cells=4)

@@ -75,3 +75,16 @@ def test_approx_quantile_rank_contract(ev):
 def test_approx_quantile_rejects_empty_probs(ev):
     with pytest.raises(ValueError, match="probs"):
         approx_quantile_bounds(ev, "value", [])
+
+
+def test_approx_quantile_empty_input_vacuous_contract(ev):
+    """Empty input: approx_percentile returns NULL; the rank contract
+    is vacuously satisfied — one row per prob, n_values 0, no crash
+    (found by the empty-input sweep: previously IndexError)."""
+    rows = approx_quantile_bounds(
+        ev.where("1 = 0"), "value", [0.5, 0.9]
+    ).collect()
+    assert [(r.prob, r.n_values, r.rank_ok) for r in rows] == [
+        (0.5, 0, True),
+        (0.9, 0, True),
+    ]
