@@ -298,8 +298,9 @@ sql_query(
     SELECT o_orderstatus,
            n,
            s1 / n AS mean_price,
-           (s2 - s1 * s1 / n) / (n - 1) AS var_price,
-           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_price
+           CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1) END AS var_price,
+           CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END
+             AS stddev_price
     FROM m
     ORDER BY o_orderstatus
     """,
@@ -317,7 +318,10 @@ sql_query(
     "1-ulp stddev divergence that appeared only at sf0.1 (multi-SF "
     "sweep find). An integral decimal below 2^53 casts EXACTLY in "
     "both engines; valid while sum(x^2) < 9e15, i.e. ~2x this sf — "
-    "beyond that, center the values first (shifted moments).",
+    "beyond that, center the values first (shifted moments). "
+    "n=1 groups yield NULL variance (sample variance undefined — the "
+    "stddev_samp convention; 1-row sweep find: ANSI division by "
+    "n-1=0 errored).",
     tags=("analytics", "aggregate", "stats"),
 )
 

@@ -1797,6 +1797,7 @@ def pl_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(j AS BIGINT) AS j,
            CASE WHEN c = doc_id THEN (c + 1) % nn ELSE c END AS negative_id
     FROM cand
+    WHERE CASE WHEN c = doc_id THEN (c + 1) % nn ELSE c END <> doc_id
     ORDER BY anchor_id, j
     """,
     doc="Deterministic negative sampling (contrastive-pair mining): 3 "
@@ -3368,7 +3369,9 @@ def pl_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
            d AS ks_stat,
            v AS at_value
-    FROM ranked WHERE rn = 1
+    FROM ranked
+    WHERE rn = 1
+      AND (SELECT COUNT(*) FROM a) > 0 AND (SELECT COUNT(*) FROM b) > 0
     """,
     doc="Two-sample Kolmogorov-Smirnov drift statistic for a numeric "
     "column (first vs second half of January): the max gap between "
@@ -3413,6 +3416,10 @@ def pl_numeric_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = (
         with_global_cumsum(pts, ["v"], "v", {"cca": "ca", "ccb": "cb"})
         .crossJoin(F.broadcast(totals))
+        # KS is defined only when BOTH samples are non-empty: filter
+        # BEFORE the CDF divisions (ANSI divide-by-zero otherwise —
+        # 1-row sweep find); one empty side -> zero output rows
+        .where((F.col("__na") > 0) & (F.col("__nb") > 0))
         .select(
             "v",
             "__na",
@@ -3466,7 +3473,9 @@ def pl_numeric_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m.n AS n_docs, m.r AS n_langs, m.c AS n_sources,
            chi.chi2 AS chi2,
-           sqrt(chi.chi2 / (m.n * (LEAST(m.r, m.c) - 1))) AS cramers_v
+           CASE WHEN LEAST(m.r, m.c) > 1
+                THEN sqrt(chi.chi2 / (m.n * (LEAST(m.r, m.c) - 1))) END
+             AS cramers_v
     FROM chi CROSS JOIN margins m
     WHERE m.n > 0
     """,
@@ -3523,9 +3532,12 @@ def pl_association_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("n_langs"),
         F.col("c").alias("n_sources"),
         "chi2",
-        F.sqrt(
-            F.col("chi2") / (F.col("n") * (F.least("r", "c") - F.lit(1)))
-        ).alias("cramers_v"),
+        F.when(
+            F.least("r", "c") > 1,
+            F.sqrt(
+                F.col("chi2") / (F.col("n") * (F.least("r", "c") - F.lit(1)))
+            ),
+        ).alias("cramers_v"),  # V undefined for a 1 x k table (1-row sweep)
     )
 
 
@@ -3548,16 +3560,20 @@ def pl_association_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom AS (
       SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk FROM grams
       ORDER BY h LIMIT 256
+    ),
+    est AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM bottom) < 256
+                  THEN CAST((SELECT COUNT(*) FROM grams) AS DOUBLE)
+                  ELSE CAST(255 AS DOUBLE)
+                       / (CAST((SELECT h FROM bottom WHERE rk = 256) AS DOUBLE)
+                          / 4294967296.0) END AS e
     )
     SELECT CAST((SELECT COUNT(*) FROM grams) AS BIGINT) AS exact_distinct,
-           CAST(255 AS DOUBLE)
-             / (CAST((SELECT h FROM bottom WHERE rk = 256) AS DOUBLE)
-                / 4294967296.0) AS kmv_estimate,
-           abs(CAST(255 AS DOUBLE)
-               / (CAST((SELECT h FROM bottom WHERE rk = 256) AS DOUBLE)
-                  / 4294967296.0)
-               - (SELECT COUNT(*) FROM grams))
-             / (SELECT COUNT(*) FROM grams) AS rel_error
+           est.e AS kmv_estimate,
+           CASE WHEN (SELECT COUNT(*) FROM grams) > 0
+                THEN abs(est.e - (SELECT COUNT(*) FROM grams))
+                     / (SELECT COUNT(*) FROM grams) END AS rel_error
+    FROM est
     """,
     doc="K-minimum-values distinct-count estimation over the corpus's "
     "3-gram shingles (k=256): the bottom-k sketch whose estimate "
@@ -3583,17 +3599,28 @@ def pl_distinct_estimate_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     bottom = grams.orderBy("h").limit(k)
-    kth = bottom.agg(F.max("h").cast("double").alias("__hk"))
+    kth = bottom.agg(
+        F.max("h").cast("double").alias("__hk"),
+        F.count(F.lit(1)).cast("bigint").alias("__nb"),
+    )
     exact = grams.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
-    est = F.lit(float(k - 1)) / (F.col("__hk") / F.lit(4294967296.0))
+    # under-filled sketch (< k hashes seen): the bottom-k IS the whole
+    # distinct set, so the estimate is the exact count (KMV convention;
+    # 1-row sweep find — (k-1)/u_k over a non-kth hash was garbage)
+    est = F.when(
+        F.col("__nb") < F.lit(k), F.col("exact_distinct").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("__hk") / F.lit(4294967296.0))
+    )
     return (
         exact.crossJoin(F.broadcast(kth))
         .select(
             "exact_distinct",
             est.alias("kmv_estimate"),
-            (
+            F.when(
+                F.col("exact_distinct") > 0,
                 F.abs(est - F.col("exact_distinct"))
-                / F.col("exact_distinct")
+                / F.col("exact_distinct"),
             ).alias("rel_error"),
         )
     )
