@@ -73,7 +73,10 @@ Cents = list[tuple[int, list[float]]]
 
 
 def _as_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return emb.select(
+    # NULL vectors can neither train a quantizer nor be assigned to a
+    # cell — excluded here so every IVF pass shares the rule (a corpus
+    # that is ALL null then hits ivf_train's loud empty-corpus error)
+    return emb.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
     )

@@ -75,13 +75,27 @@ def decode_batch(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            # NULL payload (absent asset): metadata is unknown, not
+            # zero — emit an all-NULL row (all-NULL-column sweep find:
+            # len(None) crashed the whole batch)
+            decoded = [
+                _fake_decode(p) if p is not None else (None, None, None)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "width": pd.Series([d[0] for d in decoded], dtype="int64"),
-                    "height": pd.Series([d[1] for d in decoded], dtype="int64"),
+                    "n_bytes": pd.array(
+                        [len(p) if p is not None else None
+                         for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
+                    "width": pd.array(
+                        [d[0] for d in decoded], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [d[1] for d in decoded], dtype="Int64"
+                    ),
                     "format": [d[2] for d in decoded],
                 }
             )
@@ -388,9 +402,12 @@ def explode_video_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payload: an absent asset has no frames (skip — the
+            # byte-arithmetic oracle agrees via NULL series propagation)
             rows = [
                 (int(i), idx, n, crc)
                 for i, p in zip(pdf[id_col], pdf["payload"])
+                if p is not None
                 for idx, n, crc in _frames_of(p)
             ]
             yield pd.DataFrame(

@@ -397,7 +397,15 @@ def _centroid_assign(
     """Shared core of the centroid evaluators: fit per-label centroids,
     broadcast them as ONE row of (label, vector) structs, and assign
     every embedding to its nearest centroid by squared L2 with the
-    lowest-label tie-break. Returns (label, pred) per vector."""
+    lowest-label tie-break. Returns (label, pred) per vector.
+
+    Rows missing either the label or the vector are excluded up
+    front: a NULL label cannot train a centroid and a NULL vector
+    cannot be assigned (all-NULL-column sweep find — they previously
+    leaked a phantom NULL-label group into the report)."""
+    emb = emb.where(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
     cents = label_centroids(emb, label_col=label_col, vec_col=vec_col)
     cvecs = cents.groupBy(label_col).agg(
         F.expr(

@@ -366,8 +366,12 @@ sql_query(
     "agg_string_concat",
     """
     SELECT c_nationkey,
-           concat_ws(',', sort_array(collect_list(c_mktsegment))) AS segments,
-           concat_ws('|', array_sort(collect_set(c_mktsegment))) AS distinct_segments
+           CASE WHEN COUNT(c_mktsegment) > 0
+                THEN concat_ws(',', sort_array(collect_list(c_mktsegment)))
+           END AS segments,
+           CASE WHEN COUNT(c_mktsegment) > 0
+                THEN concat_ws('|', array_sort(collect_set(c_mktsegment)))
+           END AS distinct_segments
     FROM customer
     WHERE c_custkey <= 60
     GROUP BY c_nationkey
@@ -388,7 +392,11 @@ sql_query(
     "equivalent to DuckDB's string_agg(... ORDER BY). The DISTINCT "
     "variant goes through collect_set + array_sort. Both stay in the "
     "partial-aggregable path (arrays merge associatively; the sort "
-    "is final-stage only).",
+    "is final-stage only). A group with NO non-null values yields NULL "
+    "(the SQL aggregate convention string_agg follows) — Spark's "
+    "collect_list skips NULLs into an EMPTY array whose concat_ws is "
+    "'', so the count guard restores the convention (all-NULL-column "
+    "sweep find).",
     tags=("analytics", "aggregate", "strings"),
 )
 

@@ -526,6 +526,7 @@ def ev_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM events
+      WHERE ts IS NOT NULL
     ),
     sessioned AS (
       SELECT user_id, ts,
@@ -550,7 +551,9 @@ def ev_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "timeout starts a new session; session_window ends are exclusive) "
     "and the gap-padded session_end. One user_id shuffle either way; "
     "the builtin additionally merges sessions inside the aggregation "
-    "operator, the shape watermarked streaming reuses (st_session_stats).",
+    "operator, the shape watermarked streaming reuses (st_session_stats). "
+    "NULL-ts events are unsessionizable and dropped by the builtin; "
+    "the oracle filters them to the same contract.",
     tags=("events", "sessionize", "window"),
 )
 def ev_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -313,7 +313,7 @@ sql_query(
       c_custkey,
       CAST(bit_length(c_name) AS BIGINT)   AS name_bits,
       CAST(length(c_mktsegment) AS BIGINT) AS seg_chars,
-      concat(c_name, '-', c_mktsegment)    AS cat,
+      c_name || '-' || c_mktsegment        AS cat,
       lower(c_name)                        AS lo,
       upper(c_mktsegment)                  AS up,
       CAST(position('#' IN c_name) AS BIGINT) AS hash_pos,
@@ -325,8 +325,10 @@ sql_query(
     doc="The complete reference scalar function inventory: bit_length, "
     "character_length, concat, lower, position, to_hex, replace, upper "
     "(reference funcs.rs:9-18, signatures :38-47). concat args are all "
-    "non-null here (DuckDB concat skips NULLs, Spark propagates — "
-    "divergence documented; `||` used for nullable concat). 3-arg replace "
+    "non-null in the base data (DuckDB concat skips NULLs, Spark "
+    "propagates — divergence documented); the ORACLE spells the "
+    "expression with `||` (NULL-propagating in both engines, equal to "
+    "Spark's concat on every input incl. the all-NULL sweep). 3-arg replace "
     "per standard SQL (the reference declares a 2-arg quirk, funcs.rs:45 — "
     "documented divergence per SURVEY §2c).",
     tags=("expr", "functions"),
@@ -434,7 +436,8 @@ sql_query(
       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
       reverse(c_mktsegment)                   AS rev,
       repeat('-', 3) || c_mktsegment          AS dashed,
-      split_part(c_name, '#', 2)              AS after_hash,
+      CASE WHEN c_name IS NULL THEN NULL
+           ELSE split_part(c_name, '#', 2) END AS after_hash,
       left(c_name, 4)                         AS l4,
       right(c_name, 4)                        AS r4
     FROM customer
@@ -444,7 +447,9 @@ sql_query(
     "trim family with custom chars, substring, lpad, reverse, repeat, "
     "split_part, left/right. NB Spark's 2-arg ltrim/rtrim take the TRIM "
     "set FIRST (ltrim(trimStr, str)); DuckDB takes it second — separate "
-    "oracle text.",
+    "oracle text. DuckDB's split_part maps a NULL input to '' (its "
+    "documented quirk) where Spark propagates NULL — oracle guarded "
+    "(all-NULL-column sweep find).",
     tags=("expr", "functions", "superset"),
 )
 
@@ -626,7 +631,7 @@ sql_query(
       GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           CAST(list_sum(qs) AS BIGINT) AS fold_sum,
+           COALESCE(CAST(list_sum(qs) AS BIGINT), 0) AS fold_sum,
            CAST(len(list_filter(qs, x -> x >= 25)) AS BIGINT) AS n_heavy,
            len(list_filter(qs, x -> x >= 49)) > 0 AS any_near_max,
            len(list_filter(qs, x -> x < 1)) = 0 AS all_pos,
@@ -639,7 +644,10 @@ sql_query(
     "filter, exists, forall, zip_with — the expression toolkit the "
     "pipeline operators lean on, proven cross-engine against DuckDB's "
     "list functions. collect_list is order-nondeterministic, so the "
-    "array is sort_array'd before any lambda touches it.",
+    "array is sort_array'd before any lambda touches it. A fold over "
+    "an EMPTY array returns its init (0) by definition; DuckDB's "
+    "list_sum is aggregate-flavored and returns NULL there — oracle "
+    "COALESCEd (all-NULL-column sweep find).",
     tags=("expr", "higherorder", "superset"),
 )
 

@@ -954,7 +954,8 @@ def pl_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS width,
            CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS height,
-           CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0
+           CASE WHEN text IS NULL THEN NULL
+                WHEN ascii(substr(text, 1, 1)) % 2 = 0
                 THEN 'fake-a' ELSE 'fake-b' END AS format
     FROM documents
     """,
@@ -983,6 +984,7 @@ def pl_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT))) AS frame_idx,
              CAST(octet_length(encode(text)) AS BIGINT) AS nb
       FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT doc_id, frame_idx,
            CAST(LEAST(256, nb - frame_idx * 256) AS BIGINT) AS frame_bytes
@@ -1873,6 +1875,7 @@ def pl_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN bk < 800000 THEN 'train'
                 WHEN bk < 1000000 THEN 'test' END AS split
     FROM b
+    WHERE bk < 1000000
     ORDER BY doc_id
     """,
     doc="Group-aware (leakage-safe) splits: the hash key is the SOURCE "
@@ -1880,7 +1883,9 @@ def pl_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the same split — near-duplicates and templated content within a "
     "domain can never straddle train/test (the classic contamination "
     "path of row-wise splits). Same zero-shuffle deterministic bucket "
-    "math as hash_split (pipeline/sampling.py), keyed by group.",
+    "math as hash_split (pipeline/sampling.py), keyed by group. A NULL "
+    "group key hashes to a NULL bucket and is dropped (hash_split's "
+    "documented split-IS-NULL filter; oracle's WHERE replays it).",
     tags=("pipeline", "sampling", "splits"),
 )
 def pl_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2467,8 +2472,16 @@ def pl_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN source = 'src0' THEN 0.9 WHEN source = 'src1' THEN 0.5 "
         "WHEN source = 'src2' THEN 0.1 ELSE 0.25 END"
     )
+    kept_counts = kept_counts.withColumnRenamed("source", "__ksource")
     return (
-        totals.join(kept_counts, "source", "left")
+        # null-SAFE left join: a NULL domain is still a domain row in
+        # the report (it samples at default_rate); the plain equi-join
+        # dropped its kept-count (all-NULL-column sweep find)
+        totals.join(
+            kept_counts,
+            totals["source"].eqNullSafe(kept_counts["__ksource"]),
+            "left",
+        )
         .select(
             "source",
             "n_total",
@@ -2976,9 +2989,18 @@ def pl_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nrm").alias("max_norm"),
     )
     medians = grouped_exact_percentiles(norms, "nrm", ["label"], [0.5]).select(
-        "label", F.col("__q0").alias("median_norm")
+        F.col("label").alias("__mlabel"), F.col("__q0").alias("median_norm")
     )
-    return summary.join(medians, "label").orderBy("label")
+    # null-SAFE left join: a NULL label is a legitimate GROUP BY group
+    # (and all-NULL norms a legitimate NULL median) — a plain inner
+    # equi-join dropped the NULL-label group (all-NULL-column sweep)
+    return (
+        summary.join(
+            medians, summary["label"].eqNullSafe(medians["__mlabel"]), "left"
+        )
+        .drop("__mlabel")
+        .orderBy("label")
+    )
 
 
 @df_query(
@@ -3097,11 +3119,15 @@ def pl_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 @df_query(
     "pl_centroid_classify",
     oracle="""
-    WITH expl AS (
+    WITH ok AS (
+      SELECT * FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL
+    ),
+    expl AS (
       SELECT label,
              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
              unnest(embedding) AS v
-      FROM embeddings
+      FROM ok
     ),
     cent AS (
       SELECT label, dim,
@@ -3120,7 +3146,7 @@ def pl_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
                for i in range(1, len(e.embedding) + 1)
              ]) AS d
-      FROM embeddings e CROSS JOIN cvecs c
+      FROM ok e CROSS JOIN cvecs c
     ),
     pred AS (
       SELECT label, cid AS pred FROM (
@@ -3155,11 +3181,15 @@ def pl_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 @df_query(
     "pl_centroid_confusion",
     oracle="""
-    WITH expl AS (
+    WITH ok AS (
+      SELECT * FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL
+    ),
+    expl AS (
       SELECT label,
              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
              unnest(embedding) AS v
-      FROM embeddings
+      FROM ok
     ),
     cent AS (
       SELECT label, dim,
@@ -3178,7 +3208,7 @@ def pl_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
                for i in range(1, len(e.embedding) + 1)
              ]) AS d
-      FROM embeddings e CROSS JOIN cvecs c
+      FROM ok e CROSS JOIN cvecs c
     ),
     pred AS (
       SELECT label, cid AS pred FROM (
@@ -3447,17 +3477,21 @@ def pl_numeric_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @df_query(
     "pl_association_cramers_v",
     oracle="""
-    WITH obs AS (
+    WITH cc AS (
+      SELECT lang, source FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+    ),
+    obs AS (
       SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
-      FROM documents GROUP BY lang, source
+      FROM cc GROUP BY lang, source
     ),
     margins AS (
-      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
-             (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents) AS r,
-             (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents) AS c
+      SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM cc) AS n,
+             (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM cc) AS r,
+             (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM cc) AS c
     ),
-    rl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nr FROM documents GROUP BY lang),
-    cl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nc FROM documents GROUP BY source),
+    rl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nr FROM cc GROUP BY lang),
+    cl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nc FROM cc GROUP BY source),
     chi AS (
       SELECT list_reduce(
                list(
@@ -3493,7 +3527,12 @@ def pl_numeric_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "quality", "association"),
 )
 def pl_association_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.table("documents")
+    # complete-case analysis: NULL categories are excluded from the
+    # contingency table (the standard chi-square practice; a NULL
+    # "category" would also break the null-unsafe margin joins)
+    docs = spark.table("documents").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
     obs = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("o")
     )

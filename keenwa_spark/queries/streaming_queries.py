@@ -42,12 +42,16 @@ def _stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_events,
       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
     doc="Streaming watermarked 1-day tumbling-window counts "
     "(streaming/events.py windowed_type_counts), drained with "
     "AvailableNow — result provably equals the batch aggregation "
-    "(oracle: plain GROUP BY date_trunc).",
+    "(oracle: plain GROUP BY date_trunc). NULL event times cannot be "
+    "watermarked/windowed and are dropped by every event-time "
+    "streaming operator; the four streaming oracles filter ts IS NOT "
+    "NULL to the same contract (all-NULL-column sweep find).",
     tags=("streaming", "window"),
 )
 def st_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,6 +81,7 @@ def st_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         THEN 1 ELSE 0 END AS new_session
       FROM events
+      WHERE ts IS NOT NULL
     ),
     sessioned AS (
       SELECT user_id, ts,
@@ -231,6 +236,7 @@ def st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_events,
       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="Streaming continuous aggregate (the Lambda handoff): hourly "
@@ -375,6 +381,7 @@ def st_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
       TRUE AS approx_ok
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,

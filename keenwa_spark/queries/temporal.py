@@ -174,6 +174,7 @@ def op_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       MAX(value) AS vmax,
       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS vavg
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY event_type, date_trunc('day', ts)
     ORDER BY event_type, bucket
     """,
@@ -184,7 +185,10 @@ def op_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "buckets), never a history rescan. The oracle recomputes the whole "
     "rollup from ALL raw events; equality (decimal-exact, order-"
     "independent sums) proves merged == recomputed "
-    "(operators/rollup.py rollup_partials/rollup_merge).",
+    "(operators/rollup.py rollup_partials/rollup_merge). NULL-ts "
+    "records belong to no time bucket and drop from both incremental "
+    "halves (NULL matches neither side of the cutoff) — the oracle "
+    "filters to the same contract (all-NULL-column sweep find).",
     tags=("temporal", "rollup", "incremental"),
 )
 def op_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,7 +748,8 @@ def op_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT user_id, event_id, event_type, value,
              ROW_NUMBER() OVER (
-               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               PARTITION BY user_id
+               ORDER BY ts DESC NULLS LAST, event_id DESC
              ) AS rn
       FROM events
     )
@@ -753,7 +758,7 @@ def op_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type AS last_type,
            value AS last_value
     FROM ranked
-    WHERE rn = 1 AND event_type <> 'error'
+    WHERE rn = 1 AND (event_type <> 'error' OR event_type IS NULL)
     ORDER BY user_id
     """,
     doc="Kafka-style log compaction: each user's event stream treated "
@@ -761,7 +766,10 @@ def op_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "'error' as the tombstone op — keys whose newest record is a "
     "tombstone disappear (operators/cdc.py changelog_compact: one key "
     "shuffle + per-partition sort, event_id as the deterministic "
-    "equal-ts tie-break).",
+    "equal-ts tie-break). A NULL op is a malformed record, NOT a "
+    "tombstone — the operator's null-safe inequality keeps the key "
+    "and the oracle replays it (all-NULL-column sweep find; NULLS "
+    "LAST pinned to Spark's DESC default).",
     tags=("temporal", "cdc"),
 )
 def op_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1340,6 +1348,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pairs AS (
       SELECT DISTINCT o_totalprice AS p, o_orderdate AS d FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
     )
     SELECT a.p AS o_totalprice,
            strftime(a.d, '%Y-%m-%d %H:%M:%S') AS o_orderdate
@@ -1356,7 +1365,9 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skyline (one window over distinct pairs, running-min dominance "
     "test — operators/skyline.py); the oracle is the quadratic "
     "NOT-EXISTS definition, so the equality also PROVES the linear "
-    "algorithm correct on this data.",
+    "algorithm correct on this data. NULL-axis rows are excluded on "
+    "both sides (skyline_2d's documented rule: NULL never dominates "
+    "and is never on a frontier).",
     tags=("temporal", "skyline", "preference"),
 )
 def op_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
