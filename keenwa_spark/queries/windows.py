@@ -99,10 +99,10 @@ sql_query(
     SELECT
       o_custkey,
       o_orderkey,
-      SUM(o_totalprice) OVER (
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         PARTITION BY o_custkey
         ORDER BY o_orderdate, o_orderkey
-      ) AS running_spend,
+      ) AS DOUBLE) AS running_spend,
       COUNT(*) OVER (
         PARTITION BY o_custkey
         ORDER BY o_orderdate, o_orderkey
@@ -112,8 +112,12 @@ sql_query(
     """,
     doc="Aggregate used as window function (reference "
     "WindowOrAggregateFunction aggregates.rs:126-129): running sum/count. "
-    "Ordered accumulation under a unique total order is deterministic "
-    "cross-engine (same addition sequence).",
+    "The running sum routes through DECIMAL: 'same ordered accumulation "
+    "sequence' is NOT a cross-engine guarantee — DuckDB's window "
+    "aggregates use tree-based (pairwise) summation, which diverged by "
+    "an ulp once partitions grew past a handful of rows "
+    "(duplicate-content sweep find); decimal running sums are "
+    "order-shape-independent.",
     tags=("window",),
 )
 
