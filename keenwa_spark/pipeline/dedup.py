@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from keenwa_spark.pipeline.hashing import MINHASH_AB, MINHASH_P, spark_hash64
 
@@ -362,6 +363,95 @@ def lsh_verified_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """EXACT duplicated-substring statistics (the Lee et al. 2022
+    "Deduplicating Training Data" primitive, word-granular): for every
+    document, how much of it is covered by a ``width``-word span that
+    occurs VERBATIM more than once in the corpus (cross-document OR
+    repeated within the same document). Complementary to MinHash —
+    near-dup scoring finds mostly-similar documents; this finds exact
+    boilerplate/quotation spans inside otherwise-unique documents.
+
+    Returns (id, n_words, dup_grams, covered_words, dup_fraction):
+    ``dup_grams`` = duplicated ``width``-gram start positions,
+    ``covered_words`` = size of the UNION of their [s, s+width-1] word
+    intervals (equal-length intervals: union = width + Σ min(width,
+    gap) over sorted starts, one lag window), ``dup_fraction`` =
+    covered_words / n_words. NULL text => NULL n_words/fraction,
+    zero counts.
+
+    Scale shape: positions are generated JVM-side (sequence + slice +
+    array_join, all codegen), the duplicate test is one
+    partial-aggregated groupBy on the gram (map-side combine absorbs
+    hot boilerplate grams — deliberately NOT a window over the gram,
+    which would hash every occurrence of a hot gram onto one reducer),
+    a left-semi join back (AQE skew-join handles Zipf grams), then one
+    doc-keyed lag window + aggregate. At 100 TB group on
+    ``xxhash64(gram)`` (or md5 for 128-bit) instead of the gram string
+    to shrink the shuffle ~width*6 bytes -> 8 bytes per position.
+    """
+    words = f"split({normalized_text(text_col)}, ' ')"
+    base = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("array<string>"))
+        .otherwise(F.expr(words))
+        .alias("__w"),
+    ).withColumn(
+        "n_words",
+        F.when(F.col("__w").isNull(), F.lit(None)).otherwise(F.size("__w")).cast("bigint"),
+    )
+    grams = (
+        base.filter(F.col("n_words") >= width)
+        .select(
+            F.col(id_col),
+            F.col("__w"),
+            F.explode(F.expr(f"sequence(1, n_words - {width} + 1)")).alias("start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("start"),
+            F.expr(f"array_join(slice(__w, start, {width}), ' ')").alias("gram"),
+        )
+    )
+    dup_grams = (
+        grams.groupBy("gram").agg(F.count("*").alias("occ")).filter(F.col("occ") > 1)
+    )
+    dup_pos = grams.join(dup_grams.select("gram"), "gram", "left_semi")
+    w_doc = Window.partitionBy(id_col).orderBy("start")
+    cov = (
+        dup_pos.withColumn("gap", F.col("start") - F.lag("start").over(w_doc))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("dup_grams"),
+            F.sum(
+                F.when(F.col("gap").isNull(), F.lit(width)).otherwise(
+                    F.least(F.lit(width), F.col("gap"))
+                )
+            )
+            .cast("bigint")
+            .alias("covered_words"),
+        )
+    )
+    return (
+        base.select(id_col, "n_words")
+        .join(cov, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.coalesce("dup_grams", F.lit(0)).cast("bigint").alias("dup_grams"),
+            F.coalesce("covered_words", F.lit(0)).cast("bigint").alias("covered_words"),
+            (
+                F.coalesce("covered_words", F.lit(0)).cast("double") / F.col("n_words")
+            ).alias("dup_fraction"),
+        )
     )
 
 

@@ -97,6 +97,87 @@ def top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranking: top-k documents for a keyword query with the full
+    Okapi scoring — clamped rational idf (module docstring) times the
+    tf-saturation / length-normalization term
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``. Unlike
+    ``search_topk`` (plain tf*idf_r), long documents no longer win by
+    repetition: tf saturates toward k1+1 and above-average-length
+    documents are penalized via dl/avgdl.
+
+    The saturation term is RATIONAL, so the whole score stays exact
+    double arithmetic — bit-identical cross-engine, no ln() anywhere
+    (constants 1.2/0.75 parse to the same doubles in every IEEE
+    engine; the expression shape is mirrored verbatim in the oracle).
+
+    Scale shape (same as search_topk): pairs filtered to the query's
+    terms right after the explode, so the corpus vocabulary is never
+    shuffled; per-doc dl rides through the explode (max within the
+    (doc, term) group — no extra join); corpus stats (n_docs, sum_dl,
+    n_rows) are ONE tiny aggregate broadcast as a 1-row table. avgdl
+    is computed as CAST(sum_dl AS DOUBLE)/n_rows — explicitly, not
+    AVG(), so the division order is pinned cross-engine. NULL text
+    contributes no terms and a NULL dl (excluded from sum_dl, counted
+    in n_rows — the documented denominator convention). Per-doc
+    relevance folds term scores in sorted order (order-stable sum).
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    words = f"split({normalized_text(text_col)}, ' ')"
+    dl_expr = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        F.expr(f"size({words})")
+    ).cast("bigint")
+    tf = (
+        df.select(
+            F.col(id_col),
+            dl_expr.alias("dl"),
+            F.explode(F.expr(words)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    stats = df.agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.sum(dl_expr).alias("sum_dl"),
+        F.count("*").alias("n_rows"),
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            F.expr(
+                "GREATEST((CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5),"
+                " CAST(0 AS DOUBLE))"
+                f" * (tf * ({k1!r} + 1.0))"
+                f" / (tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl"
+                " / (CAST(sum_dl AS DOUBLE) / n_rows)))"
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(score)), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        ).alias("relevance"),
+        F.countDistinct("term").cast("bigint").alias("n_terms_matched"),
+    )
+    return per_doc.orderBy(F.col("relevance").desc(), F.col(id_col)).limit(k)
+
+
 def search_topk(
     df: DataFrame,
     query: str,

@@ -3763,3 +3763,129 @@ def pl_training_data_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@df_query(
+    "pl_dup_span_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE {_D_WORDS.format(c='text')} END AS w
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id,
+             CASE WHEN w IS NULL THEN NULL
+                  ELSE CAST(len(w) AS BIGINT) END AS n_words, w
+      FROM base
+    ),
+    glist AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words >= 8
+                  THEN [array_to_string(w[i:i+7], ' ')
+                        for i in range(1, n_words - 6)]
+                  ELSE [] END AS gs
+      FROM sized
+    ),
+    grams AS (
+      SELECT doc_id, unnest(gs) AS gram,
+             generate_subscripts(gs, 1) AS start
+      FROM glist
+    ),
+    flagged AS (
+      SELECT doc_id, start FROM (
+        SELECT doc_id, start, COUNT(*) OVER (PARTITION BY gram) AS occ
+        FROM grams
+      ) WHERE occ > 1
+    ),
+    gaps AS (
+      SELECT doc_id,
+             start - LAG(start) OVER (PARTITION BY doc_id ORDER BY start)
+               AS gap
+      FROM flagged
+    ),
+    cov AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_grams,
+             CAST(SUM(CASE WHEN gap IS NULL THEN 8
+                           ELSE LEAST(8, gap) END) AS BIGINT)
+               AS covered_words
+      FROM gaps GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_words,
+           COALESCE(c.dup_grams, 0) AS dup_grams,
+           COALESCE(c.covered_words, 0) AS covered_words,
+           CAST(COALESCE(c.covered_words, 0) AS DOUBLE) / s.n_words
+             AS dup_fraction
+    FROM sized s LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="Exact duplicated-substring statistics (Lee et al. 2022 "
+    "word-granular primitive): per-document count of verbatim 8-word "
+    "spans occurring more than once in the corpus and the merged-"
+    "interval word coverage of those spans. Duplicate test is a "
+    "partial-aggregated groupBy on the gram (NOT a gram window — hot "
+    "boilerplate grams stay map-side combinable), left-semi join back, "
+    "one doc-keyed lag window for the interval union "
+    "(pipeline/dedup.py duplicated_spans).",
+    tags=("pipeline", "dedup"),
+)
+def pl_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dedup import duplicated_spans
+
+    return duplicated_spans(spark.table("documents"), width=8)
+
+
+@df_query(
+    "pl_search_bm25",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT doc_id,
+             CAST(len({_D_WORDS.format(c='text')}) AS BIGINT) AS dl,
+             unnest({_D_WORDS.format(c='text')}) AS term
+      FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM pairs
+      WHERE term IN ('join', 'spark', 'table')
+      GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tfc GROUP BY term),
+    stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             SUM(CASE WHEN text IS NULL THEN NULL
+                      ELSE CAST(len({_D_WORDS.format(c='text')}) AS BIGINT)
+                 END) AS sum_dl,
+             COUNT(*) AS n_rows
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, tfc.term,
+             GREATEST((CAST(n_docs AS DOUBLE) - df_t + 0.5)
+                      / (df_t + 0.5), CAST(0 AS DOUBLE))
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                            / (CAST(sum_dl AS DOUBLE) / n_rows))) AS score
+      FROM tfc JOIN dft ON tfc.term = dft.term CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id,
+             list_sum(list_sort(list(score))) AS relevance,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms_matched
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, relevance, n_terms_matched
+    FROM agg ORDER BY relevance DESC, doc_id LIMIT 10
+    """,
+    doc="Okapi BM25 search: top-10 documents for 'spark table join' with "
+    "clamped rational idf times the tf-saturation/length-normalization "
+    "term tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)), k1=1.2 b=0.75 — fully "
+    "rational, so bit-exact cross-engine (no ln()). Per-doc dl rides "
+    "through the explode (no extra join); avgdl is one broadcast 1-row "
+    "corpus aggregate pinned as sum_dl/n_rows "
+    "(pipeline/tfidf.py bm25_topk).",
+    tags=("pipeline", "tfidf", "search"),
+)
+def pl_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.tfidf import bm25_topk
+
+    return bm25_topk(spark.table("documents"), "spark table join", k=10)
