@@ -918,3 +918,47 @@ def test_ivf_train_empty_corpus_fails_loudly(spark):
     )
     with _pytest.raises(ValueError, match="empty corpus"):
         ivf_train(empty, k_cells=4)
+
+
+def test_duplicated_spans_coverage_math(spark):
+    """Hand-checkable width-3 corpus: cross-doc duplicated grams merge
+    into intervals (union = width + sum of min(width, gap)), within-doc
+    repetition counts as duplication, short docs and NULL text follow
+    the documented zero/NULL contracts."""
+    from keenwa_spark.pipeline.dedup import duplicated_spans
+
+    rows = [
+        (1, "a b c d e f"),    # "a b c","b c d" shared with doc 2
+        (2, "x a b c d y"),
+        (3, "p q r"),          # unique gram
+        (4, "z z"),            # shorter than width -> 0 grams
+        (5, None),             # NULL text
+        (6, "m m m m m m"),    # within-doc repetition: all grams dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in duplicated_spans(df, width=3).collect()}
+    assert len(out) == 6
+    # doc 1: dup starts {1,2} -> covered = 3 + min(3, 1) = 4 (a b c d)
+    assert (out[1].n_words, out[1].dup_grams, out[1].covered_words) == (6, 2, 4)
+    assert out[1].dup_fraction == 4.0 / 6.0
+    # doc 2: dup starts {2,3} -> same merged interval size
+    assert (out[2].n_words, out[2].dup_grams, out[2].covered_words) == (6, 2, 4)
+    # doc 3: unique -> zero duplication
+    assert (out[3].dup_grams, out[3].covered_words, out[3].dup_fraction) == (0, 0, 0.0)
+    # doc 4: too short for any gram
+    assert (out[4].n_words, out[4].dup_grams, out[4].dup_fraction) == (2, 0, 0.0)
+    # doc 5: NULL text -> NULL n_words/fraction, zero counts
+    assert out[5].n_words is None and out[5].dup_fraction is None
+    assert (out[5].dup_grams, out[5].covered_words) == (0, 0)
+    # doc 6: starts {1,2,3,4} -> covered 3+1+1+1 = 6, full coverage
+    assert (out[6].dup_grams, out[6].covered_words) == (4, 6)
+    assert out[6].dup_fraction == 1.0
+
+
+def test_duplicated_spans_normalization_folds_case_and_whitespace(spark):
+    from keenwa_spark.pipeline.dedup import duplicated_spans
+
+    rows = [(1, "The  Quick   brown FOX jumps"), (2, "the quick brown fox jumps")]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in duplicated_spans(df, width=5).collect()}
+    assert out[1].dup_fraction == 1.0 and out[2].dup_fraction == 1.0

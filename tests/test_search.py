@@ -92,3 +92,35 @@ def test_semantic_dedup_flags_and_assignment(spark):
         for r in semantic_dedup(emb, cents, threshold=0.7).collect()
     }
     assert out2[5] is True and out2[0] is False
+
+
+def test_bm25_topk_saturation_and_length_norm(spark):
+    """BM25 vs plain tf*idf: tf saturates (a 4x term count does not
+    score 4x) and above-average-length docs are penalized. Expected
+    values recomputed in-test with the documented formula, including
+    the NULL-text denominator convention (NULL dl out of sum_dl, row
+    still in n_rows)."""
+    from keenwa_spark.pipeline.tfidf import bm25_topk
+
+    rows = [
+        (1, "spark spark spark spark"),  # tf=4, dl=4
+        (2, "spark x"),                  # tf=1, dl=2
+        (3, "y z w q"),                  # no match, dl=4
+        (4, None),                       # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = bm25_topk(df, "spark", k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+
+    n_docs, sum_dl, n_rows, df_t = 4, 10, 4, 2
+    avgdl = sum_dl / n_rows
+    idf = max((n_docs - df_t + 0.5) / (df_t + 0.5), 0.0)
+
+    def score(tf, dl):
+        return idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+
+    rel = {r.doc_id: r.relevance for r in out}
+    assert rel[1] == pytest.approx(score(4, 4))
+    assert rel[2] == pytest.approx(score(1, 2))
+    # saturation: 4x the term frequency buys well under 4x the score
+    assert rel[1] / rel[2] < 2.5
