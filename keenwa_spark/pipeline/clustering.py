@@ -267,3 +267,85 @@ def golden_records(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.max(F.col(ts_col)).alias("last_seen"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+    exact_fold: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the score-
+    propagation counterpart of ``connected_components`` (authority
+    scoring for canonical-document selection, influence ranking over
+    interaction graphs).
+
+    Semantics (pinned, oracle-checkable): edges are deduplicated;
+    DANGLING nodes (no out-edge) get a self-loop — the bounded
+    alternative to global mass redistribution, which would need an
+    order-stable global sum every round. Then ``n_iter`` rounds of
+      rank(v) = (1-d)/N + d * sum(rank(u)/outdeg(u) for u -> v)
+    starting from rank = 1/N. All arithmetic is pinned-shape double
+    math; per-node contribution sums fold in SORTED order when
+    ``exact_fold`` (bit-identical cross-engine regardless of
+    partitioning). At 100 TB set ``exact_fold=False``: a hub node's
+    in-degree-sized collect_list becomes a plain partial-aggregated
+    SUM (order-dependent in the last ulp, map-side combinable).
+
+    Scale shape: each round is one join on src (rank table, node-keyed)
+    plus one aggregate on dst — the standard alternating join-agg
+    PageRank (GraphX lineage). The node/out-degree table is computed
+    once; N rides along as a broadcast 1-row aggregate, never a
+    driver-side collect. Lineage depth grows with ``n_iter`` — for
+    tens of rounds, checkpoint between rounds (documented; 5 default).
+    """
+    # bare float literals parse as DECIMAL in Spark SQL and DuckDB —
+    # CAST pins them to the exact double both engines then use
+    om = f"CAST({1.0 - damping!r} AS DOUBLE)"
+    d = f"CAST({damping!r} AS DOUBLE)"
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dangling = nodes.join(
+        e.select("src").distinct(),
+        nodes["node"] == e["src"],
+        "left_anti",
+    )
+    e2 = e.union(
+        dangling.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+    )
+    outd = e2.groupBy("src").agg(F.count("*").cast("bigint").alias("outd"))
+    n_row = nodes.agg(F.count("*").alias("n"))
+    base = nodes.crossJoin(F.broadcast(n_row))
+    ranks = base.withColumn("rank", F.expr("CAST(1.0 AS DOUBLE) / n")).select(
+        "node", "rank"
+    )
+    fold = (
+        "aggregate(sort_array(collect_list(c)), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        if exact_fold
+        else "sum(c)"
+    )
+    for _ in range(n_iter):
+        contribs = (
+            e2.join(outd, "src")
+            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outd")).alias("c"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(F.expr(fold).alias("s"))
+        ranks = (
+            base.join(sums, "node", "left")
+            .withColumn(
+                "rank",
+                F.expr(f"{om} / n + {d} * COALESCE(s, CAST(0 AS DOUBLE))"),
+            )
+            .select("node", "rank")
+        )
+    return ranks

@@ -3889,3 +3889,59 @@ def pl_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.tfidf import bm25_topk
 
     return bm25_topk(spark.table("documents"), "spark table join", k=10)
+
+
+def _pagerank_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-iteration PageRank CTE chain mirroring
+    pipeline/clustering.py pagerank() arithmetic shape-for-shape
+    (same float literals via repr, sorted contribution folds)."""
+    om = f"CAST({1.0 - damping!r} AS DOUBLE)"
+    d = f"CAST({damping!r} AS DOUBLE)"
+    parts = [
+        """
+    e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+    dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e0)),
+    e2 AS (SELECT src, dst FROM e0 UNION ALL SELECT node, node FROM dang),
+    outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outd FROM e2 GROUP BY src),
+    nn AS (SELECT node, (SELECT COUNT(*) FROM nodes) AS n FROM nodes),
+    it0 AS (SELECT node, n, CAST(1.0 AS DOUBLE) / n AS rank FROM nn)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    it{k} AS (
+      SELECT nn.node, nn.n,
+             {om} / nn.n + {d} * COALESCE(s.s, CAST(0 AS DOUBLE)) AS rank
+      FROM nn LEFT JOIN (
+        SELECT e2.dst AS node, list_sum(list_sort(list(r.rank / o.outd))) AS s
+        FROM e2 JOIN outd o ON e2.src = o.src JOIN it{k - 1} r ON e2.src = r.node
+        GROUP BY e2.dst
+      ) s ON nn.node = s.node)"""
+        )
+    return "WITH" + "".join(parts) + f"\n    SELECT node, rank FROM it{n_iter}"
+
+
+@df_query(
+    "pl_graph_pagerank",
+    oracle=_pagerank_oracle(5, 0.85),
+    doc="Fixed-iteration PageRank (5 rounds, d=0.85) over the directed "
+    "customer->supplier purchase graph ('c'/'s'-prefixed node ids; "
+    "dangling nodes take self-loops instead of global mass "
+    "redistribution). The iterative-algorithm family next to connected "
+    "components: alternating join-on-src / aggregate-on-dst rounds, N "
+    "as a broadcast 1-row aggregate, sorted per-node contribution "
+    "folds so every double is bit-identical to the DuckDB unrolled-CTE "
+    "oracle (pipeline/clustering.py pagerank).",
+    tags=("pipeline", "graph"),
+)
+def pl_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.clustering import pagerank
+
+    o, li = spark.table("orders"), spark.table("lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, n_iter=5, damping=0.85)

@@ -962,3 +962,34 @@ def test_duplicated_spans_normalization_folds_case_and_whitespace(spark):
     df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
     out = {r.doc_id: r for r in duplicated_spans(df, width=5).collect()}
     assert out[1].dup_fraction == 1.0 and out[2].dup_fraction == 1.0
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    """Tiny directed graph incl. a dangling node: Spark result equals a
+    pure-Python mirror of the pinned arithmetic (self-loop dangling
+    convention, sorted contribution folds); exact_fold=False agrees to
+    float tolerance."""
+    from keenwa_spark.pipeline.clustering import pagerank
+
+    raw = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d"), ("a", "b")]
+    df = spark.createDataFrame(raw, "src STRING, dst STRING")
+
+    edges = sorted(set(raw)) + [("d", "d")]          # dedup + dangling self-loop
+    nodes = sorted({n for e in edges for n in e})
+    outd = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    n = len(nodes)
+    om, d = 1.0 - 0.85, 0.85
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        ranks = {
+            v: om / n
+            + d * sum(sorted(ranks[s] / outd[s] for s, t in edges if t == v))
+            for v in nodes
+        }
+
+    got = {r.node: r.rank for r in pagerank(df, n_iter=3).collect()}
+    assert got == ranks                              # bit-exact, not approx
+
+    loose = {r.node: r.rank for r in pagerank(df, n_iter=3, exact_fold=False).collect()}
+    for v in nodes:
+        assert loose[v] == pytest.approx(ranks[v])
