@@ -3945,3 +3945,108 @@ def pl_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     )
     return pagerank(edges, n_iter=5, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+# Record linkage (blocked fuzzy match)
+# ---------------------------------------------------------------------------
+
+#: Deterministic "dirty registry" derived from customer: every 5th key
+#: keeps its exact name; the rest delete one character at a
+#: key-dependent position, covering edits in the prefix block, the
+#: body, and the suffix block (some of which are designed to be
+#: unmatchable once the degenerate 'cust' prefix block is capped).
+_LINK_DEL_POS = "(c_custkey % 18 + 1)"
+_LINK_DIRTY_NAME = (
+    f"CASE WHEN c_custkey % 5 = 0 THEN c_name "
+    f"ELSE substring(c_name, 1, {_LINK_DEL_POS} - 1) || "
+    f"substring(c_name, {_LINK_DEL_POS} + 1, length(c_name)) END"
+)
+
+
+@df_query(
+    "pl_record_linkage",
+    oracle=f"""
+    WITH clean AS (
+      SELECT c_custkey AS c_id, trim(lower(c_name)) AS c_name FROM customer
+    ),
+    dirty AS (
+      SELECT c_custkey AS d_id,
+             trim(lower({_LINK_DIRTY_NAME})) AS d_name
+      FROM customer
+    ),
+    dblk AS (
+      SELECT d_id, d_name, 'p' AS blk_pass, substring(d_name, 1, 4) AS block
+      FROM dirty WHERE d_name IS NOT NULL
+      UNION ALL
+      SELECT d_id, d_name, 's', substring(reverse(d_name), 1, 4)
+      FROM dirty WHERE d_name IS NOT NULL
+    ),
+    cblk AS (
+      SELECT c_id, c_name, 'p' AS blk_pass, substring(c_name, 1, 4) AS block
+      FROM clean WHERE c_name IS NOT NULL
+      UNION ALL
+      SELECT c_id, c_name, 's', substring(reverse(c_name), 1, 4)
+      FROM clean WHERE c_name IS NOT NULL
+    ),
+    dcap AS (
+      SELECT d_id, d_name, blk_pass, block FROM (
+        SELECT *, row_number() OVER (PARTITION BY blk_pass, block
+                                     ORDER BY d_id) AS rn
+        FROM dblk) WHERE rn <= 64
+    ),
+    ccap AS (
+      SELECT c_id, c_name, blk_pass, block FROM (
+        SELECT *, row_number() OVER (PARTITION BY blk_pass, block
+                                     ORDER BY c_id) AS rn
+        FROM cblk) WHERE rn <= 64
+    ),
+    pairs AS (
+      SELECT DISTINCT d_id, d_name, c_id, c_name
+      FROM dcap JOIN ccap USING (blk_pass, block)
+    ),
+    scored AS (
+      SELECT d_id, d_name, c_id, c_name,
+             CAST(levenshtein(d_name, c_name) AS BIGINT) AS distance
+      FROM pairs WHERE levenshtein(d_name, c_name) <= 2
+    ),
+    best AS (
+      SELECT d_id, d_name, c_id AS match_id, c_name AS match_name, distance
+      FROM (SELECT *, row_number() OVER (PARTITION BY d_id, d_name
+                ORDER BY distance, c_id, c_name) AS rn FROM scored)
+      WHERE rn = 1
+    ),
+    spine AS (SELECT DISTINCT d_id, d_name FROM dirty WHERE d_name IS NOT NULL)
+    SELECT s.d_id, s.d_name, b.match_id, b.match_name, b.distance
+    FROM spine s LEFT JOIN best b ON s.d_id = b.d_id AND s.d_name = b.d_name
+    """,
+    doc="Record linkage / entity resolution: a deterministically "
+    "perturbed customer registry (1-char deletions) fuzzy-matched back "
+    "to the clean registry via prefix+suffix blocking, codegen "
+    "levenshtein <= 2 scoring, and min(struct) best-match — never "
+    "all-pairs; the degenerate shared-prefix block is capped at 64 "
+    "rows per side (deterministic, oracle-replicated), so some "
+    "suffix-edited records stay provably unmatched "
+    "(pipeline/linkage.py fuzzy_link).",
+    tags=("pipeline", "linkage"),
+)
+def pl_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.linkage import fuzzy_link
+
+    cust = spark.table("customer")
+    dirty = cust.select(
+        F.col("c_custkey").alias("d_id"),
+        F.expr(_LINK_DIRTY_NAME).alias("d_name_raw"),
+    )
+    out = fuzzy_link(
+        dirty,
+        cust,
+        dirty_id="d_id",
+        dirty_name="d_name_raw",
+        clean_id="c_custkey",
+        clean_name="c_name",
+        block_len=4,
+        max_dist=2,
+        max_block=64,
+    )
+    return out.withColumn("distance", F.col("distance").cast("long"))
