@@ -158,7 +158,7 @@ def test_mega_tie_bucket_sub_splits_and_stays_exact(spark):
         .otherwise(F.col("id").cast("double"))
         .alias("v"),
     )
-    b, n_final = _bucketed(d, "v", "id", False, 8)
+    b, n_final, _stats = _bucketed(d, "v", "id", False, 8)
     assert n_final > 8  # the tied bucket actually split
     sizes = [r["c"] for r in b.groupBy(_BKT).agg(F.count(F.lit(1)).alias("c")).collect()]
     assert max(sizes) < 1800  # no bucket holds the whole tie
@@ -493,11 +493,16 @@ def _spark_jobs(spark, group, action):
     return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
 
 
-def test_mega_tie_refit_is_single_extra_pass(spark):
-    """VERDICT r06 item 2 done-criterion: the mega-tie refinement must
-    cost exactly ONE extra Spark job (the shared percentile_approx
-    pass) over the no-heavy-value tie path — not df.count() plus a
-    filtered approxQuantile scan per heavy value."""
+def test_mega_tie_detection_free_refit_bounded(spark):
+    """VERDICT r07 item 1 done-criterion: heavy-value detection must be
+    FREE when no skew exists — the balanced tie path runs exactly the
+    jobs the plain path needs (quantile fit + offset stats + action),
+    with the detection signal read off the stats collect instead of a
+    dedicated value-count pass (the r7 shape that regressed
+    ev_spend_gini 1.49x). A genuine mega-tie pays exactly three extra
+    jobs: the bucket-restricted value count, the shared
+    percentile_approx grid, and the re-stats over the refined
+    assignment."""
     flat = spark.range(2000).select(
         F.col("id"), ((F.col("id") * 37) % 997).cast("double").alias("v")
     )
@@ -531,4 +536,8 @@ def test_mega_tie_refit_is_single_extra_pass(spark):
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
-    assert jobs_tied == jobs_flat + 1, (jobs_flat, jobs_tied)
+    # balanced: approxQuantile fit + stats collect + the final count —
+    # NOTHING else (no detection pass); skewed: + value scan + grid +
+    # re-stats
+    assert jobs_flat == 3, jobs_flat
+    assert jobs_tied == jobs_flat + 3, (jobs_flat, jobs_tied)
