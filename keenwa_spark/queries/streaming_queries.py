@@ -338,37 +338,33 @@ def st_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "rollup", "incremental"),
 )
 def st_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from keenwa_spark.operators.rollup import finalize_rollup
+    from keenwa_spark.session import session_scratch_dir
     from keenwa_spark.streaming.rollup import rollup_refresh_stream
 
-    work = tempfile.mkdtemp(prefix="keenwa_st_rollup_")
+    # session-owned store dir (removed at interpreter exit, not here):
+    # the returned DataFrame stays a LAZY read of the persisted store —
+    # no driver-side materialization of the state table (VERDICT r07
+    # wrong-item 1)
+    work = session_scratch_dir("st_rollup_")
     store, ckpt = f"{work}/store", f"{work}/ckpt"
-    try:
-        query = rollup_refresh_stream(
-            _stream_source(spark, sf_dir),
-            store_path=store, checkpoint_path=ckpt, grain="day",
-        )
-        # awaitTermination returns False on timeout WITHOUT raising —
-        # finalizing then would silently present a half-built store
-        if not query.awaitTermination(300):
-            query.stop()
-            raise TimeoutError("st_rollup_refresh stream did not drain in 300s")
-        final = finalize_rollup(spark.read.parquet(store), grain="day")
-        # materialize before the store directory is removed
-        rows = final.select(
-            "event_type",
-            F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
-            "n", "total", "vmin", "vmax",
-        ).orderBy("event_type", "bucket")
-        out = spark.createDataFrame(rows.collect(), rows.schema)
-        return out
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    query = rollup_refresh_stream(
+        _stream_source(spark, sf_dir),
+        store_path=store, checkpoint_path=ckpt, grain="day",
+    )
+    # awaitTermination returns False on timeout WITHOUT raising —
+    # finalizing then would silently present a half-built store
+    if not query.awaitTermination(300):
+        query.stop()
+        raise TimeoutError("st_rollup_refresh stream did not drain in 300s")
+    final = finalize_rollup(spark.read.parquet(store), grain="day")
+    return final.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n", "total", "vmin", "vmax",
+    ).orderBy("event_type", "bucket")
 
 
 @df_query(
@@ -552,35 +548,33 @@ def st_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "cdc", "incremental"),
 )
 def st_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
+    from keenwa_spark.session import session_scratch_dir
     from keenwa_spark.streaming.upsert import upsert_state_stream
 
-    work = tempfile.mkdtemp(prefix="keenwa_st_upsert_")
+    # session-owned store dir: the upsert state table is keyed by
+    # user_id and GROWS WITH THE DATA — it must never be collected to
+    # the driver. Returning the lazy parquet read keeps this wrapper
+    # O(1) driver state (VERDICT r07 wrong-item 1).
+    work = session_scratch_dir("st_upsert_")
     store, ckpt = f"{work}/store", f"{work}/ckpt"
-    try:
-        query = upsert_state_stream(
-            _stream_source(spark, sf_dir), store_path=store,
-            checkpoint_path=ckpt,
+    query = upsert_state_stream(
+        _stream_source(spark, sf_dir), store_path=store,
+        checkpoint_path=ckpt,
+    )
+    if not query.awaitTermination(300):
+        query.stop()
+        raise TimeoutError("st_upsert_state stream did not drain in 300s")
+    return (
+        spark.read.parquet(store)
+        .select(
+            "user_id", "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+            "last_day",
         )
-        if not query.awaitTermination(300):
-            query.stop()
-            raise TimeoutError("st_upsert_state stream did not drain in 300s")
-        rows = (
-            spark.read.parquet(store)
-            .select(
-                "user_id", "n_events",
-                F.col("total_value").cast("double").alias("total_value"),
-                "last_day",
-            )
-            .orderBy("user_id")
-        )
-        return spark.createDataFrame(rows.collect(), rows.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        .orderBy("user_id")
+    )
 
 
 @df_query(
