@@ -126,6 +126,17 @@ DRIVER_PREFIX_ROTATION = (
     # item 4) — PNG decode + aHash banded dedup vs a brute-force
     # constant oracle
     "pl_image_ahash_dedup",
+    # round 8 (VERDICT r07 item 3): families that had never earned a
+    # driver-file row — blocked fuzzy linkage, fixed-iteration
+    # PageRank, BM25 ranking, duplicated-span statistics, the
+    # DuckDB-native ASOF attribution join, and incremental rollup
+    # maintenance
+    "pl_record_linkage",
+    "pl_graph_pagerank",
+    "pl_search_bm25",
+    "pl_dup_span_stats",
+    "op_asof_attribution",
+    "op_rollup_incremental",
 )
 
 #: §2 rows moved out of the prefix to make room (chosen because each
@@ -141,6 +152,18 @@ _ROTATED_OUT = (
     # subquery prefix witness; the IN semantics stay witnessed by
     # subq_in / subq_not_in / subq_not_in_nulls
     "bld_in_subquery",
+    # round 8: six more §2 rows, each driver-green since the r1-r7
+    # files and each with a sibling prefix row on the same code path —
+    # join_right (join_left/join_full), join_using (join_inner),
+    # subq_not_exists (subq_exists), subq_not_in (subq_not_in_nulls),
+    # win_first_last_value (win_rank/win_agg_over), derived_table
+    # (cte_reuse)
+    "join_right",
+    "join_using",
+    "subq_not_exists",
+    "subq_not_in",
+    "win_first_last_value",
+    "derived_table",
 )
 
 
