@@ -78,6 +78,54 @@ def fixture_images() -> list[tuple[int, bytes]]:
     ]
 
 
+#: video fixture shape: per-clip (colorspace, w, h, n_frames); even
+#: dims where subsampling requires them, one zero-frame clip (header
+#: only — the decoder must emit no rows, not an error)
+_VIDEO_SPECS = [
+    (700, "C420", 8, 6, 3),
+    (701, "C420", 16, 8, 2),
+    (702, "C422", 6, 5, 4),
+    (703, "C444", 4, 3, 3),
+    (704, "Cmono", 10, 7, 5),
+    (705, "C420jpeg", 12, 4, 2),
+    (706, "C444", 5, 5, 0),
+    (707, "C420", 32, 18, 1),
+]
+
+
+@lru_cache(maxsize=1)
+def fixture_video_frames() -> list[tuple[int, str, int, int, list[bytes]]]:
+    """(doc_id, colorspace, w, h, raw planar frames) — the pre-encode
+    ground truth both the engine input and the oracle derive from."""
+    from keenwa_spark.pipeline.y4m import _frame_size
+
+    out = []
+    for doc_id, cs, w, h, n in _VIDEO_SPECS:
+        fsize = _frame_size(cs, w, h)
+        frames = [
+            _lcg_bytes(15485863 * doc_id + 97 * k + 1, fsize) for k in range(n)
+        ]
+        out.append((doc_id, cs, w, h, frames))
+    return out
+
+
+@lru_cache(maxsize=1)
+def fixture_videos() -> list[tuple[int, bytes]]:
+    """(doc_id, real YUV4MPEG2 payload) — the engine-side input column;
+    one extra corrupt payload (truncated mid-frame) the decoder must
+    DROP, plus one non-Y4M payload."""
+    from keenwa_spark.pipeline.y4m import encode_y4m
+
+    out = [
+        (doc_id, encode_y4m(w, h, frames, colorspace=cs))
+        for doc_id, cs, w, h, frames in fixture_video_frames()
+    ]
+    good = out[0][1]
+    out.append((798, good[: len(good) - 7]))  # truncated final frame
+    out.append((799, b"not a video stream at all"))
+    return out
+
+
 @lru_cache(maxsize=1)
 def fixture_pcm() -> list[tuple[int, bytes]]:
     """(doc_id, signed-8-bit mono PCM payload), lengths varied, one
@@ -157,6 +205,24 @@ def expected_resize_stats(
     return sorted(out)
 
 
+def expected_video_frames(
+    every_n: int = 1,
+) -> list[tuple[int, int, int, int, int, int]]:
+    """(doc_id, frame_idx, width, height, frame_bytes, frame_crc) for
+    every fixture frame with index % every_n == 0, recomputed straight
+    from the raw planar buffers (zlib.crc32 — never through the Y4M
+    parser under test). The corrupt/non-Y4M payloads contribute no
+    rows, pinning the drop contract."""
+    out = []
+    for doc_id, _cs, w, h, frames in fixture_video_frames():
+        for idx, fb in enumerate(frames):
+            if idx % every_n == 0:
+                out.append(
+                    (doc_id, idx, w, h, len(fb), zlib.crc32(fb) & 0xFFFFFFFF)
+                )
+    return sorted(out)
+
+
 def expected_pcm_features() -> list[tuple[int, int, float, float, int]]:
     """(doc_id, n_samples, duration_s, rms, zero_crossings) recomputed
     from the raw sample buffers."""
@@ -217,6 +283,20 @@ def resize_stats_oracle_sql(out_w: int = 8, out_h: int = 8) -> str:
             ("channels", "BIGINT"),
             ("n_bytes", "BIGINT"),
             ("pix_crc32", "BIGINT"),
+        ],
+    )
+
+
+def video_frames_oracle_sql(every_n: int = 1) -> str:
+    return _values_sql(
+        expected_video_frames(every_n),
+        [
+            ("doc_id", "BIGINT"),
+            ("frame_idx", "BIGINT"),
+            ("width", "BIGINT"),
+            ("height", "BIGINT"),
+            ("frame_bytes", "BIGINT"),
+            ("frame_crc", "BIGINT"),
         ],
     )
 

@@ -369,49 +369,57 @@ def resize_images(
     return df.select(id_col, "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
-#: per-frame output schema of the (stub-decoded) video path
+#: per-frame output schema of the video decode path
 FRAMES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
         StructField("frame_bytes", LongType()),
         StructField("frame_crc", LongType()),
     ]
 )
 
-#: STUB: no video codec ships in this environment. The "decode" slices
-#: the payload into fixed-size pseudo-frames — deterministic, so tests
-#: and oracles can pin it — while the Spark-side plumbing (schema,
-#: Arrow batching, per-frame explode shape, downstream sampling) is
-#: exactly what a real codec drop-in (pyav/ffmpeg) would use.
-VIDEO_FRAME_BYTES = 256
-
 
 def explode_video_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One row per (asset, frame): the video-decode face of the
-    multimodal layer. Frame payloads are produced by the CLEARLY-MARKED
-    stub slicer above (VIDEO_FRAME_BYTES-byte windows; crc = sum of
-    bytes mod 2^31 — a real per-frame checksum of the sliced bytes);
-    swap _frames_of for a codec binding at deploy time and nothing
-    else changes. Arrow-batched, no shuffle."""
+    """One row per (asset, frame): REAL YUV4MPEG2 decode via the
+    pure-Python codec (pipeline/y4m.py — header parse + per-FRAME
+    planar extraction, C420/C422/C444/Cmono), the video face of the
+    multimodal layer. Emits each frame's geometry, planar byte count,
+    and crc32 of the raw YCbCr planes; payloads that are not a Y4M
+    stream this codec supports are DROPPED (same contract as the PNG
+    decode path — corrupt assets don't poison the batch). Arrow-batched
+    mapInPandas, no shuffle: decode parallelism is scan parallelism. A
+    compressed-codec binding (pyav/ffmpeg) would slot in beside
+    decode_y4m with no change to the Spark plumbing."""
+    import zlib
 
-    def _frames_of(payload: bytes):
-        for i in range(0, max(len(payload), 1), VIDEO_FRAME_BYTES):
-            chunk = payload[i : i + VIDEO_FRAME_BYTES]
-            yield i // VIDEO_FRAME_BYTES, len(chunk), sum(chunk) % (1 << 31)
+    from keenwa_spark.pipeline.y4m import Y4MError, decode_y4m
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # NULL payload: an absent asset has no frames (skip — the
-            # byte-arithmetic oracle agrees via NULL series propagation)
-            rows = [
-                (int(i), idx, n, crc)
-                for i, p in zip(pdf[id_col], pdf["payload"])
-                if p is not None
-                for idx, n, crc in _frames_of(p)
-            ]
+            rows = []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    hdr, frames = decode_y4m(bytes(p))
+                except Y4MError:
+                    continue
+                for idx, fb in enumerate(frames):
+                    rows.append(
+                        (
+                            int(i), idx, hdr["width"], hdr["height"],
+                            len(fb), zlib.crc32(fb) & 0xFFFFFFFF,
+                        )
+                    )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_crc"]
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "width", "height",
+                    "frame_bytes", "frame_crc",
+                ],
             )
 
     return df.select(id_col, "payload").mapInPandas(run, FRAMES_SCHEMA)

@@ -973,50 +973,44 @@ def pl_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_batch(docs)
 
 
+def _video_sample_oracle() -> str:
+    from keenwa_spark.pipeline.mm_fixtures import video_frames_oracle_sql
+
+    return video_frames_oracle_sql(every_n=2)
+
+
 @df_query(
     "pl_video_frame_sample",
-    oracle="""
-    WITH f AS (
-      SELECT doc_id,
-             unnest(generate_series(
-               CAST(0 AS BIGINT),
-               CAST((GREATEST(octet_length(encode(text)), 1) - 1) // 256
-                    AS BIGINT))) AS frame_idx,
-             CAST(octet_length(encode(text)) AS BIGINT) AS nb
-      FROM documents
-      WHERE text IS NOT NULL
-    )
-    SELECT doc_id, frame_idx,
-           CAST(LEAST(256, nb - frame_idx * 256) AS BIGINT) AS frame_bytes
-    FROM f
-    WHERE frame_idx % 2 = 0
-    ORDER BY doc_id, frame_idx
-    """,
-    doc="Video frame-extraction plumbing + pure-DataFrame frame "
-    "sampling: the payload is 'decoded' into fixed-256-byte "
-    "pseudo-frames by the CLEARLY-MARKED stub slicer (no video codec "
-    "ships in this env — pipeline/multimodal.py explode_video_frames; "
-    "a pyav/ffmpeg binding drops into _frames_of with no other "
-    "change), then every 2nd frame survives via the windowed sampler "
+    oracle=_video_sample_oracle(),
+    doc="Real video decode composed with pure-DataFrame frame "
+    "sampling: YUV4MPEG2 payloads decode to per-frame rows "
+    "(pipeline/y4m.py via explode_video_frames — the r7 stub slicer is "
+    "retired), then every 2nd frame survives via the windowed sampler "
     "(frame_sample_plan — keep-every-n needs no Python even when "
-    "decode does). Arrow-batched, shuffle only for the per-asset "
-    "window; the oracle replays the slicing arithmetic on byte "
-    "lengths.",
+    "decode does). Arrow-batched decode, shuffle only for the "
+    "per-asset window; the oracle is the fixture corpus's per-frame "
+    "crc32 rows recomputed from the raw planar buffers, filtered to "
+    "even indices.",
     tags=("pipeline", "multimodal", "video"),
 )
 def pl_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.mm_fixtures import fixture_videos
     from keenwa_spark.pipeline.multimodal import (
-        attach_binary_payload,
         explode_video_frames,
         frame_sample_plan,
     )
 
-    docs = attach_binary_payload(spark.table("documents"))
-    sampled = frame_sample_plan(explode_video_frames(docs), every_n=2)
+    vids = spark.createDataFrame(
+        fixture_videos(), "doc_id LONG NOT NULL, payload BINARY NOT NULL"
+    )
+    sampled = frame_sample_plan(explode_video_frames(vids), every_n=2)
     return sampled.select(
-        "doc_id",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
-        "frame_bytes",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("frame_bytes").cast("bigint").alias("frame_bytes"),
+        F.col("frame_crc").cast("bigint").alias("frame_crc"),
     ).orderBy("doc_id", "frame_idx")
 
 

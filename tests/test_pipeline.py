@@ -399,21 +399,28 @@ class TestMultimodalRound6:
         r = resize_images(df, 3, 2).collect()[0]
         assert bytes(r.pixels) == bytes([7] * 6)
 
-    def test_video_frames_stub_slicing_and_sampling(self, spark):
+    def test_video_frames_real_y4m_decode_and_sampling(self, spark):
+        import zlib
+
         from keenwa_spark.pipeline.multimodal import (
-            VIDEO_FRAME_BYTES,
             explode_video_frames,
             frame_sample_plan,
         )
+        from keenwa_spark.pipeline.y4m import encode_y4m
 
-        payload = bytes(range(256)) * 2 + b"x" * 88  # 600 bytes
-        df = spark.createDataFrame([(9, payload)], "doc_id LONG, payload BINARY")
-        frames = explode_video_frames(df).collect()
-        assert [(r.frame_idx, r.frame_bytes) for r in sorted(frames, key=lambda r: r.frame_idx)] == [
-            (0, 256), (1, 256), (2, 88),
+        planes = [bytes([k] * 54) for k in range(3)]  # 6x6 C420 = 54
+        good = encode_y4m(6, 6, planes)
+        df = spark.createDataFrame(
+            [(9, good), (10, b"junk"), (11, good[:-5])],
+            "doc_id LONG, payload BINARY",
+        )
+        frames = sorted(explode_video_frames(df).collect(), key=lambda r: r.frame_idx)
+        # corrupt payloads (non-Y4M, truncated) dropped, never phantom rows
+        assert {r.doc_id for r in frames} == {9}
+        assert [(r.frame_idx, r.width, r.height, r.frame_bytes) for r in frames] == [
+            (0, 6, 6, 54), (1, 6, 6, 54), (2, 6, 6, 54),
         ]
-        crc0 = sum(payload[:VIDEO_FRAME_BYTES]) % (1 << 31)
-        assert sorted(frames, key=lambda r: r.frame_idx)[0].frame_crc == crc0
+        assert frames[1].frame_crc == zlib.crc32(planes[1]) & 0xFFFFFFFF
         # compose with the pure-DataFrame sampler: keep every 2nd frame
         kept = frame_sample_plan(explode_video_frames(df), every_n=2).collect()
         assert sorted(r.frame_idx for r in kept) == [0, 2]
@@ -471,3 +478,89 @@ class TestMultimodalFixtureCorpus:
             got = sorted(tuple(r) for r in reg[name].fn(spark, "/root/testdata/sf0.001").collect())
             want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
             assert got == want, name
+
+
+class TestY4MCodec:
+    """Pure-Python YUV4MPEG2 codec (pipeline/y4m.py) — the real video
+    decode that retired the r7 stub slicer."""
+
+    def test_roundtrip_all_colorspaces(self):
+        from keenwa_spark.pipeline.y4m import decode_y4m, encode_y4m
+
+        cases = [
+            ("C420", 8, 6, 8 * 6 + 2 * (4 * 3)),
+            ("C422", 6, 5, 6 * 5 + 2 * (3 * 5)),
+            ("C444", 4, 3, 3 * 4 * 3),
+            ("Cmono", 10, 7, 10 * 7),
+            ("C420jpeg", 4, 2, 4 * 2 + 2 * (2 * 1)),
+        ]
+        for cs, w, h, fsize in cases:
+            frames = [bytes([k % 251] * fsize) for k in range(3)]
+            hdr, got = decode_y4m(encode_y4m(w, h, frames, colorspace=cs))
+            assert (hdr["width"], hdr["height"], hdr["colorspace"]) == (w, h, cs)
+            assert hdr["frame_size"] == fsize
+            assert got == frames
+
+    def test_zero_frames_and_default_colorspace(self):
+        from keenwa_spark.pipeline.y4m import decode_y4m, encode_y4m
+
+        hdr, frames = decode_y4m(encode_y4m(4, 2, []))
+        assert frames == []
+        # no C tag in the header -> the spec's C420 default
+        hdr2, frames2 = decode_y4m(
+            b"YUV4MPEG2 W4 H2 F30:1\nFRAME\n" + bytes(4 * 2 + 2 * (2 * 1))
+        )
+        assert hdr2["colorspace"] == "C420" and len(frames2) == 1
+
+    def test_frame_params_accepted_header_extras_ignored(self):
+        from keenwa_spark.pipeline.y4m import decode_y4m
+
+        body = bytes(4 * 2 + 2 * (2 * 1))
+        hdr, frames = decode_y4m(
+            b"YUV4MPEG2 W4 H2 F25:1 It A4:3 Xcustom=1\nFRAME Xf=2\n" + body
+        )
+        assert len(frames) == 1 and frames[0] == body
+
+    def test_rejects_malformed_streams(self):
+        import pytest
+
+        from keenwa_spark.pipeline.y4m import Y4MError, decode_y4m, encode_y4m
+
+        good = encode_y4m(4, 2, [bytes(4 * 2 + 2 * (2 * 1))])
+        for bad, why in [
+            (b"JUNK" + good, "signature"),
+            (b"YUV4MPEG2 W4 H2", "unterminated header"),
+            (b"YUV4MPEG2 H2\nFRAME\n" + bytes(10), "missing W"),
+            (b"YUV4MPEG2 W0 H2\n", "non-positive dims"),
+            (b"YUV4MPEG2 W4 H2 C999\n", "unknown colorspace"),
+            (b"YUV4MPEG2 W4 H2 Q9\n", "unknown tag"),
+            (b"YUV4MPEG2 W3 H3\nFRAME\n" + bytes(99), "odd dims for C420"),
+            (good[:-3], "truncated frame"),
+            (good + b"xx", "trailing garbage"),
+            (good.replace(b"FRAME\n", b"FRAMX\n"), "bad frame marker"),
+        ]:
+            with pytest.raises(Y4MError):
+                decode_y4m(bad)
+        with pytest.raises(Y4MError):
+            encode_y4m(4, 2, [bytes(3)])  # wrong frame size
+        with pytest.raises(Y4MError):
+            encode_y4m(5, 3, [bytes(99)], colorspace="C420")  # odd dims
+
+    def test_video_fixture_oracle_matches_registry_query(self, spark):
+        import duckdb
+
+        from keenwa_spark.pipeline import mm_fixtures as mm
+        from keenwa_spark.queries import load_all
+
+        reg = load_all()
+        con = duckdb.connect()
+        for name, oracle in (
+            ("pl_video_frames", mm.video_frames_oracle_sql()),
+            ("pl_video_frame_sample", mm.video_frames_oracle_sql(every_n=2)),
+        ):
+            got = sorted(
+                tuple(r)
+                for r in reg[name].fn(spark, "/root/testdata/sf0.001").collect()
+            )
+            want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+            assert got == want and len(got) > 0, name
