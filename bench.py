@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import re
 import sys
@@ -143,6 +144,37 @@ HEADLINE = [
 ]
 
 
+#: the TPC-H-shape headline rows (the first block of HEADLINE) timed on
+#: DuckDB too — an ABSOLUTE same-box yardstick (VERDICT r07 item 5: the
+#: "2x of recorded baseline" bar is self-referential because the
+#: reference publishes no execution numbers). Context, not a gate:
+#: DuckDB single-node at sf0.1 is vectorized C++ with zero JVM/job
+#:  overhead — the regime where Spark's distributed machinery is pure
+#: cost — so the ratio is an upper bound on per-query overhead, not a
+#: scale prediction.
+DUCK_YARDSTICK = 10
+
+
+def duckdb_yardstick(registry, sf_dir: str) -> dict[str, float]:
+    """Best-of-3 DuckDB wall-clock for each yardstick query's ORACLE
+    SQL over the same parquet files (oracles are semantically identical
+    ANSI SQL — the same text the correctness gate value-matches)."""
+    from tools.check_correctness import duck_con
+
+    con = duck_con(sf_dir)
+    con.execute("SELECT count(*) FROM lineitem")  # touch/warm the files
+    out: dict[str, float] = {}
+    for name in HEADLINE[:DUCK_YARDSTICK]:
+        sql = registry[name].oracle
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            times.append(time.time() - t0)
+        out[name] = round(min(times), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -225,6 +257,19 @@ def main() -> None:
         print(f"# probe {name}: {json.dumps(probes[name])}", file=sys.stderr)
     control_med = session_control_median(spark)
 
+    # absolute yardstick: DuckDB wall-clock of the same oracle SQL on
+    # the same box/files for the TPC-H-shape rows (context, not a gate)
+    duck = duckdb_yardstick(registry, sf_dir)
+    ratios = {n: round(timings[n] / d, 2) for n, d in duck.items() if d > 0}
+    geo = round(
+        math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 2
+    ) if ratios else None
+    print(
+        f"# duckdb yardstick (spark/duck, sf={sf}): geomean {geo}x "
+        + " ".join(f"{n}={r}x" for n, r in ratios.items()),
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -239,6 +284,11 @@ def main() -> None:
                 "regressions": regressions,
                 "control_median_sec": control_med,
                 "probe": probes,
+                "duckdb": {
+                    "queries_sec": duck,
+                    "spark_over_duck": ratios,
+                    "geomean_ratio": geo,
+                },
             }
         )
     )
