@@ -52,10 +52,19 @@ def _norm(col: str):
 def _blocked(df: DataFrame, id_col: str, name_col: str, block_len: int,
              side: str) -> DataFrame:
     """(side_id, side_name, blk_pass, block) — one row per pass."""
-    base = df.select(
-        F.col(id_col).alias(f"{side}_id"),
-        _norm(name_col).alias(f"{side}_name"),
-    ).where(F.col(f"{side}_name").isNotNull())
+    base = (
+        df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            _norm(name_col).alias(f"{side}_name"),
+        )
+        .where(F.col(f"{side}_name").isNotNull())
+        # dedup BEFORE blocking: duplicate (id, name) input rows would
+        # each count toward max_block, letting a repeated low-id row
+        # evict a distinct higher-id candidate from a capped block
+        # (ADVICE r07 item 3); the pair-level distinct downstream
+        # can't undo an eviction that already happened
+        .distinct()
+    )
     name = F.col(f"{side}_name")
     pre = base.select(
         "*",
@@ -93,14 +102,25 @@ def fuzzy_link(
     clean_name: str,
     block_len: int = 4,
     max_dist: int = 2,
-    max_block: int = 10_000,
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """Best clean match per dirty record, or NULLs when nothing within
-    ``max_dist`` shares a block.
+    ``max_dist`` shares a block. ``max_block=None`` = uncapped (no
+    per-block row limit — only safe when the block-key distribution is
+    known benign).
 
     Returns (d_id, d_name, match_id, match_name, distance) with one
     row per DISTINCT (dirty id, normalized name) with a non-null name.
     Ties on distance break to the smallest (clean id, clean name).
+
+    Precondition (determinism): id columns must be NON-NULL and unique
+    per normalized name. ``_cap_block`` keeps the ``max_block``
+    lowest-id rows of a block and the best-match tie-break is
+    min(struct(distance, id, name)) — with NULL or duplicated ids the
+    kept-row choice is arbitrary, and Spark's NULLS-FIRST ordering
+    diverges from the DuckDB NULLS-LAST oracle pattern (ADVICE r07
+    item 2). Inputs with duplicate full (id, name) ROWS are fine: the
+    blocked base deduplicates before capping.
     """
     d = _blocked(dirty, dirty_id, dirty_name, block_len, "d")
     c = _blocked(clean, clean_id, clean_name, block_len, "c")

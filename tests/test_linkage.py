@@ -108,6 +108,24 @@ def test_max_block_cap_is_deterministic(spark):
     assert r2.match_id == 1
 
 
+def test_duplicate_input_rows_do_not_consume_block_cap(spark):
+    """Duplicated (id, name) input rows must not count toward
+    max_block (ADVICE r07 item 3): the blocked base deduplicates
+    before capping, so a repeated low-id row can't evict a distinct
+    higher-id candidate the dirty record actually matches."""
+    clean = spark.createDataFrame(
+        # rid 1 duplicated 4x; rid 2 is the only true match at dist<=2
+        [(1, "aaaa no match here bbbb")] * 4
+        + [(2, "aaaa target bbbb")],
+        "rid long, rname string",
+    )
+    dirty = spark.createDataFrame([(10, "aaaa target bbbb")], "id long, name string")
+    # cap=2: dedup keeps {rid 1, rid 2} in the block; without the
+    # dedup the four copies of rid 1 fill the cap and evict rid 2
+    [r] = _link(dirty, clean, max_block=2).collect()
+    assert r.match_id == 2 and r.distance == 0
+
+
 def test_multi_edit_can_escape_blocking(spark):
     """Edits in BOTH block windows defeat prefix+suffix blocking even
     within max_dist — the documented recall trade."""
