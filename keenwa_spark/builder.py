@@ -100,6 +100,15 @@ class PlanBuilder:
         the name carries the intent)."""
         return PlanBuilder(self.spark)
 
+    def new_relation_builder(self) -> "PlanBuilder":
+        """Fresh builder for an operator tree that will be JOINED with
+        this one (reference new_relation_builder, builder/mod.rs:
+        711-721 — distinct from sub_query_builder only in which scope
+        it threads: a sibling relation scope vs a child subquery
+        scope; Spark DataFrames carry no scope handle, so this is the
+        third naming-parity face of the same fresh builder)."""
+        return PlanBuilder(self.spark)
+
     # -- leaves (reference from/get :263-268, values, empty :626) -----------
 
     def from_(self, table: str) -> "PlanBuilder":

@@ -41,6 +41,15 @@ def test_values_and_empty(b):
     assert b.new_query().empty(return_one_row=False).build().count() == 0
 
 
+def test_new_relation_builder_joins_sibling_tree(b, views):
+    """Reference naming parity (builder/mod.rs:711-721): the sibling-
+    relation entry point builds a tree joinable with the current one."""
+    left = b.from_("nation")
+    right = left.new_relation_builder().from_("region")
+    out = left.join_on(right, "inner", "n_regionkey = r_regionkey").build()
+    assert out.count() == 25
+
+
 def test_all_join_types_execute(b):
     left = b.from_("customer")
     counts = {}
