@@ -4044,3 +4044,101 @@ def pl_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_block=64,
     )
     return out.withColumn("distance", F.col("distance").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (pipeline/dsir.py)
+# ---------------------------------------------------------------------------
+
+#: shared oracle body: hashed-unigram bucket models + rational
+#: mean-likelihood-ratio weight, target = lang 'en' (see dsir.py for
+#: why the weight is rational, not a ln() sum)
+_DSIR_CTE = """
+    WITH tb AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT) % 1024 AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL
+      )
+    ),
+    model AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+             CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS c_s
+      FROM tb GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS tot_t,
+             CAST(SUM(c_s) AS BIGINT) AS tot_s
+      FROM model
+    ),
+    masses AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(m.c_t) AS BIGINT) AS t_mass,
+             CAST(SUM(m.c_s) AS BIGINT) AS s_mass
+      FROM tb JOIN model m USING (b) GROUP BY doc_id
+    ),
+    weights AS (
+      SELECT d.doc_id, n_tokens, t_mass, s_mass,
+             (CAST(t_mass + n_tokens AS DOUBLE)
+              * CAST(tot_s + 1024 AS DOUBLE))
+             / (CAST(s_mass + n_tokens AS DOUBLE)
+                * CAST(tot_t + 1024 AS DOUBLE)) AS weight
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN masses USING (doc_id)
+      CROSS JOIN tot
+    )
+"""
+
+
+@df_query(
+    "pl_dsir_weights",
+    oracle=_DSIR_CTE + """
+    SELECT doc_id, n_tokens, t_mass, s_mass, weight
+    FROM weights ORDER BY doc_id
+    """,
+    doc="DSIR-style hashed-n-gram importance weights (Xie et al. 2023) "
+    "vs the lang='en' target sample: tokens hash into 1024 feature "
+    "buckets via the engine-portable md5 bucket, both sides' bucket "
+    "models fit in ONE map-side-combinable pass over a single explode, "
+    "model + totals broadcast so the vocabulary never shuffles, and "
+    "the weight is the RATIONAL mean-likelihood-ratio form (exact "
+    "BIGINT masses, one final double expression) — the ln()-product "
+    "textbook form diverges in ulp across engines "
+    "(pipeline/dsir.py dsir_weights).",
+    tags=("pipeline", "sampling", "selection"),
+)
+def pl_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dsir import dsir_weights
+
+    return dsir_weights(
+        spark.table("documents"), target=F.col("lang") == "en"
+    ).orderBy("doc_id")
+
+
+@df_query(
+    "pl_dsir_select",
+    oracle=_DSIR_CTE + """
+    SELECT w.doc_id, n_tokens, t_mass, s_mass, weight
+    FROM weights w JOIN documents d ON w.doc_id = d.doc_id
+    WHERE NOT (d.lang = 'en') AND weight IS NOT NULL
+    ORDER BY weight DESC, w.doc_id
+    LIMIT 25
+    """,
+    doc="The DSIR selection step: top-25 NON-target documents by "
+    "importance weight (weight desc, id tie-break) — the most "
+    "target-like slice of the out-of-domain corpus, the rows a "
+    "domain-targeted mixture up-samples. Global top-k plans as "
+    "TakeOrderedAndProject (bounded per-partition heap + k-row driver "
+    "merge), never a full sort (pipeline/dsir.py dsir_select).",
+    tags=("pipeline", "sampling", "selection"),
+)
+def pl_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dsir import dsir_select
+
+    return dsir_select(
+        spark.table("documents"), target=F.col("lang") == "en", k=25
+    )

@@ -993,3 +993,68 @@ def test_pagerank_matches_reference_iteration(spark):
     loose = {r.node: r.rank for r in pagerank(df, n_iter=3, exact_fold=False).collect()}
     for v in nodes:
         assert loose[v] == pytest.approx(ranks[v])
+
+
+class TestDsir:
+    """Hashed-n-gram importance weighting (pipeline/dsir.py)."""
+
+    def _corpus(self, spark):
+        # target (tgt=1) docs speak 'zzz'; source docs mostly 'qqq',
+        # except doc 20 which is pure target-vocabulary
+        rows = (
+            [(i, "zzz zzz zzz zzz", 1) for i in range(4)]
+            + [(10 + i, "qqq qqq qqq qqq", 0) for i in range(4)]
+            + [(20, "zzz zzz zzz zzz", 0), (21, None, 0)]
+        )
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING, tgt INT")
+
+    def test_target_vocabulary_doc_outranks_source_vocabulary(self, spark):
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.pipeline.dsir import dsir_select, dsir_weights
+
+        df = self._corpus(spark)
+        w = {
+            r.doc_id: r
+            for r in dsir_weights(df, F.col("tgt") == 1, n_buckets=64).collect()
+        }
+        assert len(w) == 10  # full spine, including the NULL-text doc
+        assert w[21].weight is None and w[21].n_tokens is None
+        # the target-vocab source doc must outweigh every qqq doc
+        assert all(w[20].weight > w[10 + i].weight for i in range(4))
+        # masses are exact integers: doc 20's four tokens each hit a
+        # bucket holding 16 target 'zzz' tokens + its own 4 source ones
+        assert (w[20].t_mass, w[20].s_mass, w[20].n_tokens) == (64, 16, 4)
+        top = dsir_select(df, F.col("tgt") == 1, k=1, n_buckets=64).collect()
+        assert [r.doc_id for r in top] == [20]
+
+    def test_weights_plan_broadcasts_model_and_stays_jvm(self, spark):
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.pipeline.dsir import dsir_select, dsir_weights
+        from keenwa_spark.plans import summarize
+
+        df = self._corpus(spark)
+        out = dsir_weights(df, F.col("tgt") == 1, n_buckets=64)
+        out.collect()
+        s = summarize(out)
+        assert s.python_evals == 0 and s.cartesian_products == 0
+        assert s.broadcast_joins >= 2  # model join + totals
+        # the selection is a bounded top-k, not a global sort
+        from keenwa_spark.plans import executed_plan_text
+
+        top = dsir_select(df, F.col("tgt") == 1, k=3, n_buckets=64)
+        top.collect()
+        assert "TakeOrderedAndProject" in executed_plan_text(top)
+
+    def test_n_buckets_validation(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.pipeline.dsir import dsir_select, dsir_weights
+
+        df = self._corpus(spark)
+        with pytest.raises(ValueError):
+            dsir_weights(df, F.col("tgt") == 1, n_buckets=1)
+        with pytest.raises(ValueError):
+            dsir_select(df, F.col("tgt") == 1, k=0)
