@@ -80,16 +80,17 @@ def test_registry_prefix_is_survey_core_plus_rotation():
         assert n in core_exact or n.startswith(core_prefixes), (
             f"non-core query {n!r} inside the driver's 50-entry window"
         )
-    # every §2a join variant except the rotated-out natural-join twin
-    # (same code path as join_using) stays inside the window
-    for required in ("join_inner", "join_left", "join_right", "join_full",
+    # the §2a join variants that remain in-window after the r8
+    # rotation (join_right/join_using/natural moved out — each has an
+    # in-window sibling on the same code path and r1-r7 driver rows)
+    for required in ("join_inner", "join_left", "join_full",
                      "join_cross", "join_left_semi", "join_right_semi",
-                     "join_anti", "join_using"):
+                     "join_anti"):
         assert required in names
     # the prefix-pattern check above can't catch a new win_*/subq_*
     # registration in a core module silently evicting the tail — pin
-    # the exact last slots (the rotation block; 7 entries since r7's
-    # multimodal witness joined)
+    # the exact last slots (the rotation block; 13 entries since r8
+    # hoisted the six never-witnessed families)
     assert names[50 - len(DRIVER_PREFIX_ROTATION):50] == list(
         DRIVER_PREFIX_ROTATION
     )
