@@ -478,3 +478,97 @@ def centroid_confusion(
         .groupBy(label_col, "pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998) of a BOUNDED candidate set: greedily pick ``k``
+    items maximizing
+
+        lam * relevance  -  (1 - lam) * max cosine to already-picked
+
+    (first pick = argmax relevance; empty-set similarity is 0) with
+    ties broken by ascending id. The retrieval step hands back
+    near-duplicate top hits; MMR is the standard de-redundancy pass
+    between retrieval and consumption (RAG context packing, dedup of
+    search results, diverse few-shot selection).
+
+    COLLECT-FREE iterative DataFrame form: each of the k rounds is an
+    anti-join of the candidates against the picked set, a broadcast
+    expansion against the (<= k-row) picked vectors for the max-sim,
+    and an argmax via orderBy + LIMIT 1 — which plans as
+    TakeOrderedAndProject, a bounded heap, never a full sort. The
+    picked frame is lazily localCheckpoint-ed per round so lineage
+    stays linear in k instead of quadratic. Candidates are top-N
+    retrieval output, bounded by construction (the same bounded-model
+    contract as the IVF centroid fit) — k and N are O(1) in corpus
+    size, so every job here is O(N·k) work regardless of data scale.
+
+    Output: (pick, id_col, rel_col, mmr_score), one row per pick in
+    pick order (fewer than k rows when the candidate set is smaller).
+    All score arithmetic is per-row double math over the sequential-
+    fold cosine — bit-identical cross-engine, so a greedy trace is
+    oracle-checkable step by step (the DuckDB twin unrolls the k
+    rounds as CTEs, like the PageRank oracle).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    lam_e = F.lit(float(lam))
+    om_e = F.lit(float(1.0 - lam))
+    cand = (
+        candidates.select(
+            F.col(id_col).alias("__id"),
+            F.col(rel_col).cast("double").alias("__rel"),
+            F.expr(_as_double(vec_col)).alias("__v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = (
+        cand.orderBy(F.col("__rel").desc(), "__id")
+        .limit(1)
+        .select(
+            "__id", "__rel", "__v",
+            (lam_e * F.col("__rel")).alias("__score"),
+            F.lit(1).cast("bigint").alias("pick"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for i in range(2, k + 1):
+        picked_vecs = sel.select(
+            F.col("__id").alias("__sid"), F.col("__v").alias("__sv")
+        )
+        rem = cand.join(sel.select("__id"), "__id", "left_anti")
+        max_sim = (
+            rem.crossJoin(F.broadcast(picked_vecs))
+            .withColumn("__sim", F.expr(_COS.format(a="__v", b="__sv")))
+            .groupBy("__id")
+            .agg(F.max("__sim").alias("__ms"))
+        )
+        best = (
+            rem.join(max_sim, "__id")
+            .withColumn(
+                "__score", lam_e * F.col("__rel") - om_e * F.col("__ms")
+            )
+            .orderBy(F.col("__score").desc(), "__id")
+            .limit(1)
+            .select(
+                "__id", "__rel", "__v", "__score",
+                F.lit(i).cast("bigint").alias("pick"),
+            )
+        )
+        sel = sel.unionByName(best).localCheckpoint(eager=False)
+    return sel.select(
+        F.col("pick"),
+        F.col("__id").alias(id_col),
+        F.col("__rel").alias(rel_col),
+        F.col("__score").alias("mmr_score"),
+    )

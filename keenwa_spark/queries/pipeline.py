@@ -4142,3 +4142,88 @@ def pl_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(
         spark.table("documents"), target=F.col("lang") == "en", k=25
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (pipeline/similarity.py mmr_rerank)
+# ---------------------------------------------------------------------------
+
+
+def _mmr_oracle(n_cand: int = 20, k: int = 8, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR CTE (the pagerank-oracle technique): step i
+    picks, among candidates not yet selected, the argmax of
+    lam*rel - (1-lam)*max cosine to sel_{i-1} via a correlated scalar
+    MAX subquery, ties to the smallest id. Every sel CTE is
+    MATERIALIZED: each step references sel_{i-1} three times, and
+    DuckDB inlines plain CTEs per reference — un-materialized, the
+    expansion is exponential in k (measured: step-8 plan never
+    finishes)."""
+    lam_s = f"CAST({lam!r} AS DOUBLE)"
+    om_s = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    cos = _duck_cosine("c.v", "s.v")
+    parts = [
+        f""" cand AS MATERIALIZED (
+      SELECT vid, rel, v FROM (
+        SELECT neighbor_id AS vid, cos_sim AS rel, cv AS v,
+               ROW_NUMBER() OVER (ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM (
+          SELECT c.vec_id AS neighbor_id, {_duck_cosine('qv', 'cv')} AS cos_sim, cv
+          FROM (SELECT vec_id, {_D_VEC_D} AS cv FROM embeddings) c
+          CROSS JOIN (SELECT {_D_VEC_D} AS qv FROM embeddings WHERE vec_id = 0) q
+          WHERE c.vec_id <> 0
+        )
+      ) WHERE rnk <= {n_cand}),
+    sel1 AS MATERIALIZED (
+      SELECT vid, rel, v, {lam_s} * rel AS score, CAST(1 AS BIGINT) AS pick
+      FROM cand ORDER BY rel DESC, vid LIMIT 1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+    s{i} AS (
+      SELECT c.vid, c.rel, c.v,
+             {lam_s} * c.rel
+               - {om_s} * (SELECT MAX({cos}) FROM sel{i - 1} s) AS score,
+             CAST({i} AS BIGINT) AS pick
+      FROM cand c
+      WHERE c.vid NOT IN (SELECT vid FROM sel{i - 1})
+      ORDER BY score DESC, c.vid LIMIT 1),
+    sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})"""
+        )
+    return (
+        "WITH" + "".join(parts)
+        + f"""
+    SELECT pick, vid AS vec_id, rel, score AS mmr_score
+    FROM sel{k} ORDER BY pick"""
+    )
+
+
+@df_query(
+    "pl_mmr_rerank",
+    oracle=_mmr_oracle(20, 8, 0.7),
+    doc="Maximal-Marginal-Relevance diversification of retrieval "
+    "output: brute-force cosine top-20 for query vec 0, then 8 greedy "
+    "MMR picks at lambda=0.7 — the standard de-redundancy pass "
+    "between retrieval and RAG context packing. COLLECT-FREE "
+    "iterative DataFrame rounds (anti-join + broadcast max-sim + "
+    "TakeOrderedAndProject argmax, picked frame lazily checkpointed "
+    "so lineage stays linear in k); every round is O(N*k) work "
+    "independent of corpus size (pipeline/similarity.py mmr_rerank). "
+    "Oracle unrolls the greedy trace as k CTE steps with correlated "
+    "MAX subqueries — bit-exact through the sequential-fold cosine.",
+    tags=("pipeline", "similarity", "rerank"),
+)
+def pl_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import cosine_topk, mmr_rerank
+
+    emb = spark.table("embeddings")
+    top = cosine_topk(emb, emb.filter("vec_id = 0"), k=20)
+    cand = top.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    ).select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("cos_sim").alias("rel"),
+        "embedding",
+    )
+    return mmr_rerank(cand, k=8, lam=0.7, rel_col="rel").orderBy("pick")

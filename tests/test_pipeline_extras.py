@@ -1058,3 +1058,48 @@ class TestDsir:
             dsir_weights(df, F.col("tgt") == 1, n_buckets=1)
         with pytest.raises(ValueError):
             dsir_select(df, F.col("tgt") == 1, k=0)
+
+
+class TestMmrRerank:
+    """Greedy MMR diversification (pipeline/similarity.py mmr_rerank)."""
+
+    def _cands(self, spark):
+        # two near-identical high-relevance vectors (1, 2) and one
+        # orthogonal lower-relevance vector (3): pure relevance ranks
+        # [1, 2, 3]; MMR at lam=0.5 must demote the redundant twin
+        rows = [
+            (1, [1.0, 0.0], 0.95),
+            (2, [0.999, 0.01], 0.94),
+            (3, [0.0, 1.0], 0.60),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>, rel DOUBLE"
+        )
+
+    def test_redundant_twin_demoted(self, spark):
+        from keenwa_spark.pipeline.similarity import mmr_rerank
+
+        out = mmr_rerank(self._cands(spark), k=3, lam=0.5).collect()
+        assert [r.vec_id for r in sorted(out, key=lambda r: r.pick)] == [1, 3, 2]
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from keenwa_spark.pipeline.similarity import mmr_rerank
+
+        out = mmr_rerank(self._cands(spark), k=3, lam=1.0).collect()
+        assert [r.vec_id for r in sorted(out, key=lambda r: r.pick)] == [1, 2, 3]
+
+    def test_fewer_candidates_than_k(self, spark):
+        from keenwa_spark.pipeline.similarity import mmr_rerank
+
+        out = mmr_rerank(self._cands(spark), k=10, lam=0.5).collect()
+        assert len(out) == 3 and {r.pick for r in out} == {1, 2, 3}
+
+    def test_validation(self, spark):
+        import pytest
+
+        from keenwa_spark.pipeline.similarity import mmr_rerank
+
+        with pytest.raises(ValueError):
+            mmr_rerank(self._cands(spark), k=0)
+        with pytest.raises(ValueError):
+            mmr_rerank(self._cands(spark), k=2, lam=1.5)
