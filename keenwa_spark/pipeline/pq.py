@@ -1,0 +1,245 @@
+"""Product quantization (PQ) + asymmetric-distance (ADC) search —
+the memory-side half of the large-scale ANN stack (Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search"; the faiss IVF-PQ
+pairing's PQ half).
+
+Where IVF (pipeline/ivf.py) prunes WHICH vectors a query compares
+against, PQ compresses WHAT is stored: each vector splits into ``m``
+subvectors, each subvector is vector-quantized against a per-subspace
+codebook of ``k_codes`` centroids, and the corpus keeps only the m
+small code ids (m bytes at k<=256 vs 4·dim bytes of fp32 — 256x for
+768-dim fp32 at m=12). Search never reconstructs: a query precomputes
+its m distance TABLES (query-subvector -> every codebook entry), and a
+candidate's approximate distance is m table lookups summed — the ADC
+trick that makes scanning billions of codes memory-bandwidth-bound
+instead of FLOP-bound.
+
+Scale shape (the same discipline as IVF, reference has no similarity
+surface — beyond-reference mandate):
+- training is a driver-side fit on a BOUNDED sample (vid <
+  ``train_rows``) — model-fit state constant in corpus size (the
+  sanctioned IVF/centroid exception); the corpus participates only in
+  the single shuffle-free ENCODE pass;
+- the codebook model rides into plans as a 1-row broadcast
+  ``array<struct>`` column (constant-size plan text at any m·k);
+- query distance tables are computed on the (small, broadcast) query
+  side; the corpus-side ADC pass is one zip_with lookup + sequential
+  fold per row — no shuffle, no Python;
+- top-k per query is a bounded window over the scored stream.
+
+Determinism (everything oracle-replayable in DuckDB, the ivf.py
+rules): sample = vid < train_rows; per-subspace init = subvectors of
+ids 0..k_codes-1; assignment = squared-L2 SEQUENTIAL fold over dims
+with lowest-code tie-break; centroid update = per-dimension SORTED
+fold mean; fixed iterations; emptied codes drop out. Code ids in the
+encoded output are 1-based POSITIONS in the surviving codebook
+(sorted by init id) so ADC lookup is a direct element_at.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from keenwa_spark.pipeline.ivf import TRAIN_ROWS, _as_vecs, _assign_ids
+
+#: per subspace: [(pos, centroid subvector)] with pos 1-based in
+#: surviving-init-id order
+Books = list[list[tuple[int, list[float]]]]
+
+_SQD = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+)
+
+#: encode: per subspace, argmin over codebook entries of the
+#: subvector's squared L2 — struct(dist, pos) lexicographic min gives
+#: the lowest-pos (== lowest init id) tie-break
+_ENC = (
+    "transform(books, b -> array_min(transform(b.codes, c -> struct("
+    + _SQD.format(a="slice(v, b.sub * {d} + 1, {d})", b="c.cv")
+    + " AS dist, c.pos AS pos))).pos)"
+)
+
+#: query-side distance tables, position-indexed per subspace
+_TABLES = (
+    "transform(books, b -> transform(b.codes, c -> "
+    + _SQD.format(a="slice(qv, b.sub * {d} + 1, {d})", b="c.cv")
+    + "))"
+)
+
+#: ADC: m table lookups summed in subspace order (sequential fold —
+#: the oracle's explicit left-associated + chain adds identically)
+_ADC = (
+    "aggregate(zip_with(codes, tables, (c, t) -> element_at(t, c)), "
+    "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+)
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = TRAIN_ROWS,
+) -> Books:
+    """Fit the m per-subspace codebooks on the bounded sample,
+    in-driver (one Spark job: the sample collect)."""
+    rows = sorted(
+        (int(r.vid), list(r.v))
+        for r in _as_vecs(emb, id_col, vec_col)
+        .filter(F.col("vid") < train_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "cannot train a PQ codebook on an empty corpus "
+            f"(no rows with {id_col} < {train_rows})"
+        )
+    import numpy as np
+
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if m < 1 or dim % m:
+        raise ValueError(
+            f"m={m} must divide the embedding dimension {dim} "
+            "(equal-width subspaces; pad or re-project otherwise)"
+        )
+    d = dim // m
+    books: Books = []
+    for s in range(m):
+        Xs = X[:, s * d : (s + 1) * d]
+        cents = [
+            (vid, Xs[i].tolist())
+            for i, (vid, _) in enumerate(rows)
+            if vid < k_codes
+        ]
+        for _ in range(iters):
+            assign = _assign_ids(Xs, cents)
+            new = []
+            for ci, (cid, _) in enumerate(cents):
+                members = Xs[assign == ci]
+                if len(members) == 0:
+                    continue  # emptied code drops out (SQL replay rule)
+                cv = []
+                for dd in range(d):
+                    acc = 0.0
+                    for x in sorted(members[:, dd].tolist()):  # sorted fold
+                        acc += x
+                    cv.append(acc / len(members))
+                new.append((cid, cv))
+            cents = new
+        # 1-based positions in surviving-init-id order
+        books.append([(pos + 1, cv) for pos, (_, cv) in enumerate(cents)])
+    return books
+
+
+def _model_df(spark, books: Books) -> DataFrame:
+    return spark.createDataFrame(
+        [([(s, [(pos, cv) for pos, cv in codes]) for s, codes in enumerate(books)],)],
+        "books ARRAY<STRUCT<sub: INT, codes: ARRAY<STRUCT<pos: INT, cv: ARRAY<DOUBLE>>>>>",
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: Books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, codes): the compressed corpus — codes[s] is the 1-based
+    codebook position of subspace s. One shuffle-free broadcast-model
+    pass; NULL vectors are excluded (nothing to encode), mirroring the
+    IVF assignment rule."""
+    d = len(books[0][0][1])
+    vecs = _as_vecs(emb, id_col, vec_col)
+    return (
+        vecs.crossJoin(F.broadcast(_model_df(emb.sparkSession, books)))
+        .withColumn("codes", F.expr(_ENC.format(d=d)))
+        .select("vid", "codes")
+    )
+
+
+def pq_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = TRAIN_ROWS,
+    refine: int | None = None,
+) -> DataFrame:
+    """ADC top-k: train on the bounded sample, encode the corpus once,
+    precompute per-query distance tables on the broadcast query side,
+    and scan codes with m lookups + a sequential fold per row.
+
+    ``refine=None``: output (query_id, neighbor_id, adc_dist, rnk) —
+    ranks carry PQ quantization error by construction (exactness of
+    the pipeline lives in the oracle replay; recall in
+    tests/test_recall.py). ``refine=N`` (the standard deployment
+    shape, faiss's IndexRefine): the ADC scan only SHORTLISTS the top
+    N >= topk codes per query, then the shortlist's TRUE vectors are
+    fetched (broadcast shortlist -> one more corpus scan, no corpus
+    shuffle) and re-ranked by exact squared L2 — output (query_id,
+    neighbor_id, l2_dist, rnk). Measured recall@5 vs exact-L2 truth
+    on the clustered fixture (m=8, k=64): 0.32 unrefined -> 0.896
+    with refine=50, because within-cluster ADC distances collapse to
+    few distinct values and the true ordering is recovered by the
+    exact pass over the bounded shortlist."""
+    if refine is not None and refine < topk:
+        raise ValueError(f"refine={refine} must be >= topk={topk}")
+    books = pq_train(emb, m, k_codes, iters, id_col, vec_col, train_rows)
+    d = len(books[0][0][1])
+    enc = pq_encode(emb, books, id_col, vec_col)
+    qt = (
+        _as_vecs(queries, id_col, vec_col)
+        .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(_model_df(emb.sparkSession, books)))
+        .withColumn("tables", F.expr(_TABLES.format(d=d)))
+        .select("query_id", "tables")
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(qt))
+        .where(F.col("vid") != F.col("query_id"))
+        .withColumn("adc_dist", F.expr(_ADC))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vid").asc()
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if refine is None:
+        return ranked.filter(F.col("rnk") <= topk).select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            "adc_dist",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    short = ranked.filter(F.col("rnk") <= refine).select("query_id", "vid")
+    vecs = _as_vecs(emb, id_col, vec_col)
+    qv = _as_vecs(queries, id_col, vec_col).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact = (
+        vecs.join(F.broadcast(short), "vid")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("l2_dist", F.expr(_SQD.format(a="v", b="qv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("vid").asc()
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            "l2_dist",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

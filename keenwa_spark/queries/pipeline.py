@@ -4227,3 +4227,161 @@ def pl_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
     )
     return mmr_rerank(cand, k=8, lam=0.7, rel_col="rel").orderBy("pick")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + ADC search (pipeline/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def _duck_pq_sql(
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+    n_queries: int = 10,
+    train_rows: int = 100_000,
+    dim: int = 64,
+    refine: int | None = None,
+) -> str:
+    """Replay PQ end-to-end: per subspace, the IVF oracle's
+    (assign, means, centroids) k-means triple over the SUB-sliced
+    sample, then position-indexed codebooks, corpus encoding, query
+    distance tables, and the ADC sum as an explicit left-associated +
+    chain (bit-matching Spark's sequential zip_with fold; squared
+    distances are >= +0.0 so the fold's leading zero is exact)."""
+    d = dim // m
+    sqd = "list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)])"
+    parts = [
+        f"""vecs AS MATERIALIZED (
+      SELECT vec_id AS vid, {_D_VEC_D} AS v FROM embeddings),
+    tvecs AS MATERIALIZED (SELECT * FROM vecs WHERE vid < {train_rows})"""
+    ]
+    for s in range(m):
+        lo = s * d + 1
+        parts.append(f""",
+    sv{s} AS (SELECT vid, [v[i] for i in range({lo}, {lo + d})] AS v FROM tvecs),
+    fv{s} AS (SELECT vid, [v[i] for i in range({lo}, {lo + d})] AS v FROM vecs),
+    c{s}x0 AS (SELECT CAST(vid AS INT) AS cid, v AS cv FROM sv{s} WHERE vid < {k_codes})""")
+        prev = f"c{s}x0"
+        for it in range(1, iters + 1):
+            parts.append(f""",
+    a{s}x{it} AS (
+      SELECT vid, cid FROM (
+        SELECT sv{s}.vid, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY sv{s}.vid ORDER BY {sqd}, cid) AS rn
+        FROM sv{s}, {prev}
+      ) WHERE rn = 1),
+    m{s}x{it} AS (
+      SELECT cid, dim, list_sum(list_sort(list(val))) / COUNT(val) AS mval
+      FROM (
+        SELECT a{s}x{it}.cid, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+        FROM a{s}x{it} JOIN sv{s} USING (vid)
+      ) GROUP BY cid, dim),
+    c{s}x{it} AS (SELECT cid, list(mval ORDER BY dim) AS cv FROM m{s}x{it} GROUP BY cid)""")
+            prev = f"c{s}x{it}"
+        parts.append(f""",
+    b{s} AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) AS INT) AS pos, cv FROM {prev}),
+    e{s} AS (
+      SELECT vid, pos AS pos{s} FROM (
+        SELECT fv{s}.vid, b{s}.pos,
+               ROW_NUMBER() OVER (PARTITION BY fv{s}.vid ORDER BY {sqd}, pos) AS rn
+        FROM fv{s}, b{s}
+      ) WHERE rn = 1),
+    qd{s} AS (
+      SELECT fv{s}.vid AS query_id, b{s}.pos, {sqd} AS dist
+      FROM fv{s}, b{s} WHERE fv{s}.vid < {n_queries})""")
+    adc_sum = " + ".join(f"q{s}.dist" for s in range(m))
+    e_joins = "e0" + "".join(f" JOIN e{s} USING (vid)" for s in range(1, m))
+    q_joins = " JOIN qd0 q0 ON q0.pos = e0.pos0" + "".join(
+        f" JOIN qd{s} q{s} ON q{s}.pos = e{s}.pos{s}"
+        f" AND q{s}.query_id = q0.query_id"
+        for s in range(1, m)
+    )
+    parts.append(f""",
+    adc AS (
+      SELECT q0.query_id, e0.vid AS neighbor_id, {adc_sum} AS adc_dist
+      FROM {e_joins}{q_joins}
+      WHERE e0.vid <> q0.query_id)""")
+    if refine is None:
+        return (
+            "WITH " + "".join(parts)
+            + f"""
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+      ) AS rnk FROM adc
+    ) WHERE rnk <= {topk}"""
+        )
+    exact = (
+        "list_sum([(cvv.v[i] - qvv.v[i]) * (cvv.v[i] - qvv.v[i]) "
+        "for i in range(1, len(cvv.v) + 1)])"
+    )
+    parts.append(f""",
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+        ) AS rn FROM adc
+      ) WHERE rn <= {refine}),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id, {exact} AS l2_dist
+      FROM short s
+      JOIN vecs cvv ON cvv.vid = s.neighbor_id
+      JOIN vecs qvv ON qvv.vid = s.query_id)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, l2_dist, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY l2_dist, neighbor_id
+      ) AS rnk FROM refined
+    ) WHERE rnk <= {topk}"""
+    )
+
+
+@df_query(
+    "pl_ann_pq_adc_topk",
+    oracle=_duck_pq_sql(m=4, k_codes=8, iters=2, topk=5),
+    doc="Product-quantized ADC top-5 (pipeline/pq.py — Jegou et al. "
+    "2011, the faiss IVF-PQ pairing's memory half): 4 per-subspace "
+    "codebooks fit in-driver on the bounded sample (same deterministic "
+    "k-means recipe as IVF), corpus encoded to 4 code positions in one "
+    "shuffle-free broadcast-model pass, queries precompute distance "
+    "tables broadcast-side, and each candidate costs 4 table lookups "
+    "plus a sequential fold — the scan that stays memory-bound at "
+    "billions of codes. The ENTIRE pipeline incl. training is "
+    "oracle-replayed in DuckDB (per-subspace k-means CTE chains, "
+    "explicit left-associated ADC sum) — bit-exact codebooks, codes, "
+    "and distances.",
+    tags=("pipeline", "similarity", "ann", "pq"),
+)
+def pl_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.pq import pq_search
+
+    emb = spark.table("embeddings")
+    return pq_search(emb, emb.filter("vec_id < 10"), m=4, k_codes=8, topk=5)
+
+
+@df_query(
+    "pl_ann_pq_refined_topk",
+    oracle=_duck_pq_sql(m=4, k_codes=8, iters=2, topk=5, refine=50),
+    doc="PQ + exact refinement (the faiss IndexRefine deployment "
+    "shape): the ADC scan only SHORTLISTS the top-50 codes per query, "
+    "then the shortlist's true vectors are fetched via a broadcast "
+    "shortlist join (one extra corpus scan, the corpus never shuffles) "
+    "and re-ranked by exact squared L2. Recovers the ordering that PQ "
+    "quantization collapses — measured recall@5 0.32 -> 0.896 on the "
+    "clustered fixture (pipeline/pq.py pq_search refine=50). Fully "
+    "oracle-replayed incl. training.",
+    tags=("pipeline", "similarity", "ann", "pq"),
+)
+def pl_ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.pq import pq_search
+
+    emb = spark.table("embeddings")
+    return pq_search(
+        emb, emb.filter("vec_id < 10"), m=4, k_codes=8, topk=5, refine=50
+    )

@@ -195,3 +195,85 @@ class TestDedupRecall:
             for r in lsh_verified_pairs(corpus, threshold=0.7, bands=4).collect()
         }
         assert ver == (truth & cand)
+
+
+class TestPqRecall:
+    """PQ/ADC quality (pipeline/pq.py) vs exact squared-L2 truth (PQ
+    ranks by L2, so cosine truth would measure the wrong thing).
+    Measured on the clustered fixture: unrefined recall@5 rises with
+    codebook resolution (m=4,k=8: 0.048 -> m=8,k=64: 0.32 — ADC
+    distances within a cluster collapse to few values), and exact
+    refinement over the ADC top-50 shortlist recovers 0.896."""
+
+    @pytest.fixture(scope="class")
+    def cemb(self, spark):
+        from keenwa_spark.pipeline.fixtures import make_clustered_embeddings
+
+        return make_clustered_embeddings(spark).localCheckpoint(eager=True)
+
+    @pytest.fixture(scope="class")
+    def l2_truth(self, cemb):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from keenwa_spark.pipeline.ivf import _as_vecs
+
+        q = _as_vecs(cemb.filter(f"vec_id < {N_QUERIES}"), "vec_id", "embedding").select(
+            F.col("vid").alias("query_id"), F.col("v").alias("qv")
+        )
+        c = _as_vecs(cemb, "vec_id", "embedding").select(
+            F.col("vid").alias("neighbor_id"), F.col("v").alias("cv")
+        )
+        sq = (
+            "aggregate(zip_with(cv, qv, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS DOUBLE), (a, z) -> a + z)"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d").asc(), F.col("neighbor_id")
+        )
+        return (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("d", F.expr(sq))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(f"rnk <= {K}")
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+
+    def _recall(self, got, l2_truth):
+        t = {(r.query_id, r.neighbor_id) for r in l2_truth.collect()}
+        g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        return len(g & t) / len(t)
+
+    def test_unrefined_recall_rises_with_codebook_resolution(self, cemb, l2_truth):
+        from keenwa_spark.pipeline.pq import pq_search
+
+        queries = cemb.filter(f"vec_id < {N_QUERIES}")
+        coarse = self._recall(
+            pq_search(cemb, queries, m=4, k_codes=8, topk=K), l2_truth
+        )
+        fine = self._recall(
+            pq_search(cemb, queries, m=8, k_codes=64, topk=K), l2_truth
+        )
+        assert fine > coarse, (coarse, fine)
+        assert fine >= 0.25, fine  # measured 0.32, margin for slices
+
+    def test_refined_recall_floor(self, cemb, l2_truth):
+        from keenwa_spark.pipeline.pq import pq_search
+
+        r = self._recall(
+            pq_search(
+                cemb, cemb.filter(f"vec_id < {N_QUERIES}"),
+                m=8, k_codes=64, topk=K, refine=50,
+            ),
+            l2_truth,
+        )
+        assert r >= 0.8, r  # measured 0.896
+
+    def test_validation_and_dim_divisibility(self, cemb):
+        from keenwa_spark.pipeline.pq import pq_search, pq_train
+
+        with pytest.raises(ValueError, match="must divide"):
+            pq_train(cemb, m=7)
+        with pytest.raises(ValueError, match="refine"):
+            pq_search(cemb, cemb.filter("vec_id < 2"), topk=5, refine=3)
