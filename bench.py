@@ -141,6 +141,12 @@ HEADLINE = [
     # order-independent checksum agg)
     "pl_sketch_distinct_bounds",
     "pl_shard_manifest",
+    # round-8 additions: DSIR hashed-ngram importance weights (explode
+    # -> broadcast bucket model -> doc-keyed integer partials) and
+    # PQ+refine ANN (driver codebook fit, shuffle-free encode, ADC
+    # scan, broadcast-shortlist exact rerank)
+    "pl_dsir_weights",
+    "pl_ann_pq_refined_topk",
 ]
 
 

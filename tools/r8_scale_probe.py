@@ -177,7 +177,54 @@ def main() -> None:
     probe_linkage(spark)
     probe_pagerank(spark)
     probe_dup_spans(spark)
+    probe_dsir(spark)
+    probe_pq(spark)
 
 
 if __name__ == "__main__":
     main()
+
+
+def probe_dsir(spark) -> None:
+    from keenwa_spark.pipeline.dsir import dsir_weights
+    from tools.scale_probe import STAGE, _stage
+
+    _stage(spark)
+    print("## dsir_weights (hashed-ngram importance, 10x documents)")
+    for label, d in (("1x", BASE), ("10x", STAGE)):
+        def build():
+            docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+            return dsir_weights(docs, F.expr("lang = 'en'"))
+
+        out = build()
+        wall, n = _time(build)
+        print(f"{label}: wall {wall:.2f}s rows {n} [{_plan_counts(out)}]")
+
+
+def probe_pq(spark) -> None:
+    from keenwa_spark.queries import ensure_views
+    from keenwa_spark.pipeline.pq import pq_search
+
+    ensure_views(spark, BASE)
+    emb1 = spark.table("embeddings").localCheckpoint(eager=True)
+    parts = [
+        emb1.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(10)
+    ]
+    emb10 = parts[0]
+    for p in parts[1:]:
+        emb10 = emb10.unionByName(p)
+    emb10 = emb10.localCheckpoint(eager=True)
+    print("## pq_search refine=50 (10x embeddings; train stays bounded)")
+    for label, e in (("1x", emb1), ("10x", emb10)):
+        def build():
+            return pq_search(
+                e, e.filter("vec_id < 10"), m=4, k_codes=8, topk=5, refine=50
+            )
+
+        out = build()
+        wall, n = _time(build)
+        print(f"{label}: wall {wall:.2f}s rows {n} [{_plan_counts(out)}]")
