@@ -60,12 +60,16 @@ EXPECTED = {
         "agg_rollup_hierarchy": "pinned Spark bug: () set dropped on empty",
         "agg_cube_grouping_id": "pinned Spark bug: () set dropped on empty",
         "pl_ann_ivf_topk": "documented loud trainer error on empty corpus",
+        "pl_ann_pq_adc_topk": "documented loud trainer error on empty corpus",
+        "pl_ann_pq_refined_topk": "documented loud trainer error on empty corpus",
     },
     "one": {
         "agg_rollup_hierarchy": "pinned Spark bug via join-emptied input",
     },
     "nulls": {
         "pl_ann_ivf_topk": "documented loud trainer error (all vectors NULL)",
+        "pl_ann_pq_adc_topk": "documented loud trainer error (all vectors NULL)",
+        "pl_ann_pq_refined_topk": "documented loud trainer error (all vectors NULL)",
     },
     "dup": {},
 }
