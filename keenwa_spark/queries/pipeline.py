@@ -4385,3 +4385,71 @@ def pl_ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(
         emb, emb.filter("vec_id < 10"), m=4, k_codes=8, topk=5, refine=50
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order key (sources/writers.py zorder_key_expr)
+# ---------------------------------------------------------------------------
+
+
+def _duck_zorder_sql(
+    cols: list[tuple[str, float, float]], bits: int = 16
+) -> str:
+    """DuckDB twin of zorder_key_expr: identical normalize (double
+    floor into [0, 2^bits)) and bit-interleave arithmetic, generated
+    from the SAME (col, lo, hi) spec so the two dialects cannot
+    drift."""
+    n = len(cols)
+    mx = (1 << bits) - 1
+    scaled = []
+    for c, lo, hi in cols:
+        span = float(hi) - float(lo)
+        scaled.append(
+            f"LEAST({mx}, GREATEST(0, CAST(floor((CAST({c} AS DOUBLE) - {float(lo)!r})"
+            f" / {span!r} * {mx}) AS BIGINT)))"
+        )
+    terms = []
+    for i in range(bits):
+        for j in range(n):
+            terms.append(
+                f"(({scaled[j]} & {1 << i}) * {1 << (i * (n - 1) + j)})"
+            )
+    return " + ".join(terms)
+
+
+@df_query(
+    "op_zorder_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_duck_zorder_sql([("l_partkey", 0.0, 1048576.0), ("l_suppkey", 0.0, 1048576.0)], bits=16)} AS BIGINT)
+             AS zkey
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Z-order (Morton) clustering key over (l_partkey, l_suppkey): "
+    "normalize each column into [0, 2^16) and interleave the bits — "
+    "sorting/range-partitioning by this key gives every participating "
+    "column narrow per-file min/max statistics, so single- OR "
+    "multi-column range predicates skip most files at scan time (the "
+    "Delta/Iceberg OPTIMIZE ZORDER layout trick; sources/writers.py "
+    "zorder_key_expr + write_zordered, skipping asserted in "
+    "tests/test_sources.py). Pure codegen integer/double arithmetic; "
+    "the oracle's interleave is generated from the same column spec.",
+    tags=("operators", "layout", "sources"),
+)
+def op_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.sources.writers import zorder_key_expr
+
+    key = zorder_key_expr(
+        [("l_partkey", 0.0, 1048576.0), ("l_suppkey", 0.0, 1048576.0)],
+        bits=16,
+    )
+    return (
+        spark.table("lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            key.cast("bigint").alias("zkey"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
