@@ -325,6 +325,38 @@ class QueryGen:
         )
         return f"SELECT {', '.join(sel)} FROM {t}"
 
+    def _grouping_select(self) -> str:
+        """GROUP BY ROLLUP / CUBE / GROUPING SETS over ONE table with
+        no WHERE: the mini-catalog tables are non-empty and the input
+        must STAY non-empty, because Spark 4.1.2 drops the required ()
+        super-aggregate row on empty input (the pinned wrong-results
+        bug, tests/test_fuzz.py) — a filtered/joined source could
+        trip it and report a false engine mismatch. GROUPING(key)
+        columns disambiguate super-aggregate NULLs from data NULLs in
+        the canonical compare."""
+        t = self.rng.choice(list(TABLES))
+        cols = TABLES[t]
+        keys = self.rng.sample(cols, self.rng.randint(1, 2))
+        kind = self.rng.choice(["ROLLUP", "CUBE", "SETS"])
+        klist = ", ".join(keys)
+        if kind == "SETS":
+            subsets = [f"({klist})", "()"]
+            if len(keys) == 2 and self.rng.random() < 0.5:
+                subsets.insert(1, f"({keys[0]})")
+            by = f"GROUPING SETS ({', '.join(subsets)})"
+        else:
+            by = f"{kind}({klist})"
+        sel = [f"{k} AS g{i}" for i, k in enumerate(keys)]
+        sel += [
+            f"CAST(GROUPING({k}) AS BIGINT) AS gr{i}"
+            for i, k in enumerate(keys)
+        ]
+        for i in range(self.rng.randint(1, 2)):
+            fn = self.rng.choice(_AGGS)
+            arg = "*" if fn == "count" and self.rng.random() < 0.3 else self._col(cols)
+            sel.append(f"CAST({fn}({arg}) AS BIGINT) AS m{i}")
+        return f"SELECT {', '.join(sel)} FROM {t} GROUP BY {by}"
+
     def query(self) -> str:
         r = self.rng.random()
         if r < 0.12:
@@ -344,6 +376,8 @@ class QueryGen:
         if r < 0.30:
             return self._correlated_select()
         if r < 0.36:
+            return self._grouping_select()
+        if r < 0.42:
             # set op: two projections of the SAME table/columns so the
             # arity and types line up by construction
             t = self.rng.choice(list(TABLES))
