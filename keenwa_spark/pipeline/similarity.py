@@ -547,9 +547,22 @@ def mmr_rerank(
             F.col("__id").alias("__sid"), F.col("__v").alias("__sv")
         )
         rem = cand.join(sel.select("__id"), "__id", "left_anti")
+        # zero-norm guard: a zero vector has no direction, so its
+        # similarity to anything is 0 (it competes on relevance
+        # alone) — the bare cosine would DIVIDE_BY_ZERO under ANSI
+        # mode (CASE is lazy per row, the ELSE never evaluates on the
+        # zero branch)
+        nsq_a = "aggregate(transform(__v, x -> x * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+        nsq_b = "aggregate(transform(__sv, x -> x * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+        safe_cos = (
+            f"CASE WHEN {nsq_a} = CAST(0 AS DOUBLE) OR {nsq_b} = CAST(0 AS DOUBLE) "
+            f"THEN CAST(0 AS DOUBLE) ELSE "
+            + _COS.format(a="__v", b="__sv")
+            + " END"
+        )
         max_sim = (
             rem.crossJoin(F.broadcast(picked_vecs))
-            .withColumn("__sim", F.expr(_COS.format(a="__v", b="__sv")))
+            .withColumn("__sim", F.expr(safe_cos))
             .groupBy("__id")
             .agg(F.max("__sim").alias("__ms"))
         )

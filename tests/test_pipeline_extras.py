@@ -1103,3 +1103,26 @@ class TestMmrRerank:
             mmr_rerank(self._cands(spark), k=0)
         with pytest.raises(ValueError):
             mmr_rerank(self._cands(spark), k=2, lam=1.5)
+
+
+def test_mmr_zero_norm_candidate_and_jvm_only_plan(spark):
+    """A zero-norm candidate (vec_id 0 -> [0, 0]) must not crash the
+    ANSI-mode cosine (DIVIDE_BY_ZERO guard: zero vectors score
+    similarity 0 and compete on relevance alone), and the final plan
+    carries zero Python eval / cartesian nodes. (The per-round
+    TakeOrderedAndProject argmax is hidden behind the round
+    checkpoints — the registry plan audit covers the executed
+    shape.)"""
+    from keenwa_spark.pipeline.similarity import mmr_rerank
+    from keenwa_spark.plans import summarize
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)], 1.0 / (i + 1)) for i in range(12)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, rel DOUBLE",
+    )
+    out = mmr_rerank(df, k=3, lam=0.6)
+    rows = sorted(out.collect(), key=lambda r: r.pick)
+    assert len(rows) == 3
+    assert rows[0].vec_id == 0  # zero vector has top relevance 1.0
+    s = summarize(out)
+    assert s.python_evals == 0 and s.cartesian_products == 0

@@ -52,6 +52,10 @@ def _probes():
         # round-7 additions
         "pl_sketch_distinct_bounds",  # HLL++ + exact distinct (oracle side)
         "pl_shard_manifest",          # hash-shard assignment + checksum agg
+        # round-8 addition (documents-driven; PQ/MMR probe in
+        # tools/r8_scale_probe.py — the staging here scales only
+        # events/documents)
+        "pl_dsir_weights",            # one-explode broadcast-model importance
     ]
     return [(n, reg[n].fn) for n in names]
 
