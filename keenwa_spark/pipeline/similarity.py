@@ -480,6 +480,21 @@ def centroid_confusion(
     )
 
 
+def _safe_cos(a: str, b: str) -> str:
+    """Cosine with a zero-norm guard: a zero vector has no direction,
+    so its similarity to anything is 0 (it competes on relevance
+    alone) — the bare cosine would DIVIDE_BY_ZERO under ANSI mode.
+    CASE is lazy per row: the ELSE branch never evaluates on the zero
+    side, and when the guard is false the expression IS the bare
+    sequential-fold cosine, bit-identical to the oracle's."""
+    nsq_a = f"aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+    nsq_b = f"aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+    return (
+        f"CASE WHEN {nsq_a} = CAST(0 AS DOUBLE) OR {nsq_b} = CAST(0 AS DOUBLE) "
+        f"THEN CAST(0 AS DOUBLE) ELSE " + _COS.format(a=a, b=b) + " END"
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     k: int,
@@ -547,22 +562,9 @@ def mmr_rerank(
             F.col("__id").alias("__sid"), F.col("__v").alias("__sv")
         )
         rem = cand.join(sel.select("__id"), "__id", "left_anti")
-        # zero-norm guard: a zero vector has no direction, so its
-        # similarity to anything is 0 (it competes on relevance
-        # alone) — the bare cosine would DIVIDE_BY_ZERO under ANSI
-        # mode (CASE is lazy per row, the ELSE never evaluates on the
-        # zero branch)
-        nsq_a = "aggregate(transform(__v, x -> x * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
-        nsq_b = "aggregate(transform(__sv, x -> x * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
-        safe_cos = (
-            f"CASE WHEN {nsq_a} = CAST(0 AS DOUBLE) OR {nsq_b} = CAST(0 AS DOUBLE) "
-            f"THEN CAST(0 AS DOUBLE) ELSE "
-            + _COS.format(a="__v", b="__sv")
-            + " END"
-        )
         max_sim = (
             rem.crossJoin(F.broadcast(picked_vecs))
-            .withColumn("__sim", F.expr(safe_cos))
+            .withColumn("__sim", F.expr(_safe_cos("__v", "__sv")))
             .groupBy("__id")
             .agg(F.max("__sim").alias("__ms"))
         )
@@ -580,6 +582,88 @@ def mmr_rerank(
         )
         sel = sel.unionByName(best).localCheckpoint(eager=False)
     return sel.select(
+        F.col("pick"),
+        F.col("__id").alias(id_col),
+        F.col("__rel").alias(rel_col),
+        F.col("__score").alias("mmr_score"),
+    )
+
+
+def mmr_rerank_grouped(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query MMR: diversify EVERY query's bounded candidate list in
+    the same ``k`` greedy rounds — the multi-query face of
+    ``mmr_rerank`` (a retrieval system reranks a batch of queries, not
+    one). Each round picks, PER QUERY, the argmax of
+    lam*rel - (1-lam)*max cosine to that query's already-picked set:
+    the global LIMIT 1 becomes a row_number over the query partition,
+    so ONE windowed pass serves every query and wall-clock stays O(k)
+    rounds regardless of query count. Queries whose candidate list is
+    exhausted simply stop growing. Same boundedness contract as
+    mmr_rerank (candidates are top-N retrieval output), same zero-norm
+    guard, same collect-free shape.
+
+    Output: (query_col, pick, id_col, rel_col, mmr_score)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    lam_e, om_e = F.lit(float(lam)), F.lit(float(1.0 - lam))
+    cand = (
+        candidates.select(
+            F.col(query_col).alias("__q"),
+            F.col(id_col).alias("__id"),
+            F.col(rel_col).cast("double").alias("__rel"),
+            F.expr(_as_double(vec_col)).alias("__v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w1 = Window.partitionBy("__q").orderBy(F.col("__rel").desc(), "__id")
+    sel = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select(
+            "__q", "__id", "__rel", "__v",
+            (lam_e * F.col("__rel")).alias("__score"),
+            F.lit(1).cast("bigint").alias("pick"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for i in range(2, k + 1):
+        picked = sel.select(
+            F.col("__q").alias("__sq"),
+            F.col("__id").alias("__sid"),
+            F.col("__v").alias("__sv"),
+        )
+        rem = cand.join(sel.select("__q", "__id"), ["__q", "__id"], "left_anti")
+        sims = (
+            rem.join(F.broadcast(picked), F.col("__q") == F.col("__sq"))
+            .withColumn("__sim", F.expr(_safe_cos("__v", "__sv")))
+            .groupBy("__q", "__id")
+            .agg(F.max("__sim").alias("__ms"))
+        )
+        w = Window.partitionBy("__q").orderBy(F.col("__score").desc(), "__id")
+        best = (
+            rem.join(sims, ["__q", "__id"])
+            .withColumn("__score", lam_e * F.col("__rel") - om_e * F.col("__ms"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "__q", "__id", "__rel", "__v", "__score",
+                F.lit(i).cast("bigint").alias("pick"),
+            )
+        )
+        sel = sel.unionByName(best).localCheckpoint(eager=False)
+    return sel.select(
+        F.col("__q").alias(query_col),
         F.col("pick"),
         F.col("__id").alias(id_col),
         F.col("__rel").alias(rel_col),

@@ -4453,3 +4453,93 @@ def op_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+def _mmr_grouped_oracle(
+    n_queries: int = 4, n_cand: int = 12, k: int = 4, lam: float = 0.7
+) -> str:
+    """Unrolled grouped-MMR CTE: per step, the per-query argmax is a
+    ROW_NUMBER over the query partition (mirroring the engine's
+    windowed pick); max-sim-to-selected is a query-correlated scalar
+    MAX. sel CTEs are MATERIALIZED (three references per step)."""
+    lam_s = f"CAST({lam!r} AS DOUBLE)"
+    om_s = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    cos = _duck_cosine("c.v", "s.v")
+    parts = [
+        f""" cand AS MATERIALIZED (
+      SELECT query_id, vid, rel, v FROM (
+        SELECT q.vid AS query_id, c.vid AS vid,
+               {_duck_cosine('q.v', 'c.v')} AS rel, c.v AS v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vid
+                 ORDER BY {_duck_cosine('q.v', 'c.v')} DESC, c.vid
+               ) AS rnk
+        FROM (SELECT vec_id AS vid, {_D_VEC_D} AS v FROM embeddings) c
+        CROSS JOIN (SELECT vec_id AS vid, {_D_VEC_D} AS v FROM embeddings
+                    WHERE vec_id < {n_queries}) q
+        WHERE c.vid <> q.vid
+      ) WHERE rnk <= {n_cand}),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, vid, rel, v, {lam_s} * rel AS score,
+             CAST(1 AS BIGINT) AS pick
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, vid) AS rn
+        FROM cand
+      ) WHERE rn = 1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(f""",
+    s{i} AS (
+      SELECT query_id, vid, rel, v, score, CAST({i} AS BIGINT) AS pick
+      FROM (
+        SELECT x.*, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY score DESC, vid) AS rn
+        FROM (
+          SELECT c.query_id, c.vid, c.rel, c.v,
+                 {lam_s} * c.rel - {om_s} * (
+                   SELECT MAX({cos}) FROM sel{i - 1} s
+                   WHERE s.query_id = c.query_id) AS score
+          FROM cand c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sel{i - 1} s2
+            WHERE s2.query_id = c.query_id AND s2.vid = c.vid)
+        ) x
+      ) WHERE rn = 1),
+    sel{i} AS MATERIALIZED (
+      SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})""")
+    return (
+        "WITH" + "".join(parts)
+        + f"""
+    SELECT query_id, pick, vid AS vec_id, rel, score AS mmr_score
+    FROM sel{k} ORDER BY query_id, pick"""
+    )
+
+
+@df_query(
+    "pl_mmr_rerank_grouped",
+    oracle=_mmr_grouped_oracle(4, 12, 4, 0.7),
+    doc="Batch MMR: per-query diversification of 4 queries' brute-"
+    "force top-12 lists in the SAME 4 greedy rounds — the per-round "
+    "global LIMIT 1 becomes a row_number over the query partition, so "
+    "one windowed pass serves every query and wall-clock is O(k) "
+    "rounds regardless of query count (pipeline/similarity.py "
+    "mmr_rerank_grouped). Oracle unrolls the rounds with per-query "
+    "window argmax + query-correlated MAX subqueries.",
+    tags=("pipeline", "similarity", "rerank"),
+)
+def pl_mmr_rerank_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import cosine_topk, mmr_rerank_grouped
+
+    emb = spark.table("embeddings")
+    top = cosine_topk(emb, emb.filter("vec_id < 4"), k=12)
+    cand = top.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("cos_sim").alias("rel"),
+        "embedding",
+    )
+    return mmr_rerank_grouped(cand, k=4, lam=0.7).orderBy("query_id", "pick")

@@ -1126,3 +1126,58 @@ def test_mmr_zero_norm_candidate_and_jvm_only_plan(spark):
     assert rows[0].vec_id == 0  # zero vector has top relevance 1.0
     s = summarize(out)
     assert s.python_evals == 0 and s.cartesian_products == 0
+
+
+class TestMmrGrouped:
+    def test_per_query_independence_and_exhaustion(self, spark):
+        """Query 100 has a redundant twin pair (1, 2) + an orthogonal
+        vector (3); query 200 has only TWO candidates, so its pick
+        list stops at 2 while query 100 fills all 3 rounds."""
+        from keenwa_spark.pipeline.similarity import mmr_rerank_grouped
+
+        rows = [
+            (100, 1, [1.0, 0.0], 0.95),
+            (100, 2, [0.999, 0.01], 0.94),
+            (100, 3, [0.0, 1.0], 0.60),
+            (200, 7, [1.0, 0.0], 0.90),
+            (200, 8, [0.5, 0.5], 0.80),
+        ]
+        df = spark.createDataFrame(
+            rows, "query_id LONG, vec_id LONG, embedding ARRAY<DOUBLE>, rel DOUBLE"
+        )
+        out = mmr_rerank_grouped(df, k=3, lam=0.5).collect()
+        by_q = {}
+        for r in sorted(out, key=lambda r: (r.query_id, r.pick)):
+            by_q.setdefault(r.query_id, []).append(r.vec_id)
+        # query 100: redundant twin demoted, same as the single-query op
+        assert by_q[100] == [1, 3, 2]
+        # query 200: exhausted after its two candidates
+        assert by_q[200] == [7, 8]
+
+    def test_matches_single_query_mmr_on_one_group(self, spark):
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.pipeline.similarity import mmr_rerank, mmr_rerank_grouped
+
+        rows = [
+            (5, [1.0, 0.2, 0.1], 0.9),
+            (6, [0.9, 0.3, 0.1], 0.85),
+            (7, [0.0, 1.0, 0.0], 0.5),
+            (8, [0.1, 0.1, 1.0], 0.4),
+        ]
+        single = mmr_rerank(
+            spark.createDataFrame(
+                rows, "vec_id LONG, embedding ARRAY<DOUBLE>, rel DOUBLE"
+            ),
+            k=4, lam=0.6,
+        ).collect()
+        grouped = mmr_rerank_grouped(
+            spark.createDataFrame(
+                [(1, *r) for r in rows],
+                "query_id LONG, vec_id LONG, embedding ARRAY<DOUBLE>, rel DOUBLE",
+            ),
+            k=4, lam=0.6,
+        ).collect()
+        assert {(r.pick, r.vec_id, r.mmr_score) for r in single} == {
+            (r.pick, r.vec_id, r.mmr_score) for r in grouped
+        }
