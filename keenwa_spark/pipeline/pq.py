@@ -117,6 +117,18 @@ def pq_train(
             for i, (vid, _) in enumerate(rows)
             if vid < k_codes
         ]
+        if not cents:
+            # same loud-failure contract as the empty-corpus check
+            # above (ADVICE r08): without this, _assign_ids crashes
+            # with an opaque numpy IndexError on id spaces that don't
+            # start near 0
+            raise ValueError(
+                "PQ init found no seed rows: codebook seeds are the "
+                f"rows with {id_col} < k_codes={k_codes}, but the "
+                f"sampled ids are all >= k_codes (min sampled id "
+                f"{rows[0][0]}); remap ids to start at 0 or raise "
+                "k_codes"
+            )
         for _ in range(iters):
             assign = _assign_ids(Xs, cents)
             new = []

@@ -285,6 +285,22 @@ def _duck_cosine(a: str, b: str) -> str:
     )
 
 
+def _duck_safe_cosine(a: str, b: str) -> str:
+    """DuckDB twin of similarity._safe_cos: zero-norm vector -> 0
+    (no direction, competes on relevance alone). The MMR engine path
+    guards its diversity cosine this way, so the oracle must carry the
+    SAME guard or a zero vector in a fixture would diverge engine vs
+    oracle (ADVICE r08). When the guard is false the expression IS the
+    bare _duck_cosine, bit-identical as before."""
+    nsq_a = _D_DOT.format(a=a, b=a)
+    nsq_b = _D_DOT.format(a=b, b=b)
+    return (
+        f"CASE WHEN {nsq_a} = CAST(0 AS DOUBLE) "
+        f"OR {nsq_b} = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) "
+        f"ELSE {_duck_cosine(a, b)} END"
+    )
+
+
 @df_query(
     "pl_ann_cosine_topk",
     oracle=f"""
@@ -4160,7 +4176,8 @@ def _mmr_oracle(n_cand: int = 20, k: int = 8, lam: float = 0.7) -> str:
     finishes)."""
     lam_s = f"CAST({lam!r} AS DOUBLE)"
     om_s = f"CAST({1.0 - lam!r} AS DOUBLE)"
-    cos = _duck_cosine("c.v", "s.v")
+    # diversity term carries the engine's zero-norm guard (ADVICE r08)
+    cos = _duck_safe_cosine("c.v", "s.v")
     parts = [
         f""" cand AS MATERIALIZED (
       SELECT vid, rel, v FROM (
@@ -4464,7 +4481,8 @@ def _mmr_grouped_oracle(
     MAX. sel CTEs are MATERIALIZED (three references per step)."""
     lam_s = f"CAST({lam!r} AS DOUBLE)"
     om_s = f"CAST({1.0 - lam!r} AS DOUBLE)"
-    cos = _duck_cosine("c.v", "s.v")
+    # diversity term carries the engine's zero-norm guard (ADVICE r08)
+    cos = _duck_safe_cosine("c.v", "s.v")
     parts = [
         f""" cand AS MATERIALIZED (
       SELECT query_id, vid, rel, v FROM (

@@ -20,10 +20,17 @@ from pyspark.sql import SparkSession
 #: lazily-created per-process scratch root (see session_scratch_dir)
 _SCRATCH_ROOT: str | None = None
 
+#: generations kept per prefix before the oldest is reclaimed
+SCRATCH_KEEP = int(os.environ.get("KEENWA_SCRATCH_KEEP", "4"))
+
+#: per-prefix FIFO of live scratch dirs (oldest first)
+_SCRATCH_LIVE: dict[str, list[str]] = {}
+
 
 def session_scratch_dir(prefix: str) -> str:
     """A fresh scratch directory that OUTLIVES the calling query and is
-    removed once, at interpreter exit.
+    removed at interpreter exit, or earlier once ``SCRATCH_KEEP`` newer
+    invocations of the SAME prefix have superseded it.
 
     Streaming maintenance queries persist their state store (rollup
     partials, upsert state table) as parquet; the result a caller gets
@@ -32,12 +39,25 @@ def session_scratch_dir(prefix: str) -> str:
     the driver, which grows with the data (a driver OOM at 100x —
     VERDICT r07 wrong-item 1). That collect only existed because the
     store lived in a per-query tempdir deleted in ``finally``; parking
-    the store here removes the reason."""
+    the store here removes the reason.
+
+    Disk contract (ADVICE r08): each invocation costs one store on
+    local disk until reclaimed. Long-lived processes (bench loops,
+    servers) are bounded at SCRATCH_KEEP generations per prefix —
+    a returned DataFrame stays readable across the next
+    ``SCRATCH_KEEP - 1`` invocations of the same query and must be
+    materialized (collected/written) by then; holding more
+    generations live is out of contract (raise KEENWA_SCRATCH_KEEP)."""
     global _SCRATCH_ROOT
     if _SCRATCH_ROOT is None:
         _SCRATCH_ROOT = tempfile.mkdtemp(prefix="keenwa_session_")
         atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
-    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+    d = tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+    live = _SCRATCH_LIVE.setdefault(prefix, [])
+    live.append(d)
+    while len(live) > SCRATCH_KEEP:
+        shutil.rmtree(live.pop(0), ignore_errors=True)
+    return d
 
 
 def get_spark(app_name: str = "keenwa_spark", master: str | None = None) -> SparkSession:

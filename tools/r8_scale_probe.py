@@ -170,21 +170,6 @@ def probe_dup_spans(spark) -> None:
         print(f"{label}: wall {wall:.2f}s rows {n} [{_plan_counts(out)}]")
 
 
-def main() -> None:
-    from keenwa_spark.session import get_spark
-
-    spark = get_spark("r8_scale_probe")
-    probe_linkage(spark)
-    probe_pagerank(spark)
-    probe_dup_spans(spark)
-    probe_dsir(spark)
-    probe_pq(spark)
-
-
-if __name__ == "__main__":
-    main()
-
-
 def probe_dsir(spark) -> None:
     from keenwa_spark.pipeline.dsir import dsir_weights
     from tools.scale_probe import STAGE, _stage
@@ -228,3 +213,21 @@ def probe_pq(spark) -> None:
         out = build()
         wall, n = _time(build)
         print(f"{label}: wall {wall:.2f}s rows {n} [{_plan_counts(out)}]")
+
+
+def main() -> None:
+    from keenwa_spark.session import get_spark
+
+    spark = get_spark("r8_scale_probe")
+    probe_linkage(spark)
+    probe_pagerank(spark)
+    probe_dup_spans(spark)
+    probe_dsir(spark)
+    probe_pq(spark)
+
+
+# guard LAST so every probe is defined when run as a script (ADVICE
+# r08: the guard previously sat before probe_dsir/probe_pq and the
+# shipped entrypoint NameError'd after the first three probes)
+if __name__ == "__main__":
+    main()
