@@ -113,24 +113,17 @@ def _assign_ids(X, cents: Cents):
     return np.argmin(acc, axis=1)
 
 
-def _train(
-    emb: DataFrame,
-    k_cells: int,
-    iters: int,
-    id_col: str,
-    vec_col: str,
-    train_rows: int = TRAIN_ROWS,
-) -> Cents:
-    """Fit the coarse quantizer on the bounded sample, in-driver (module
-    docstring). One Spark job (the sample collect); Lloyd itself is
-    K x sample numpy work."""
-    import numpy as np
-
+def _train_sample(
+    emb: DataFrame, id_col: str, vec_col: str, train_rows: int
+) -> list[tuple[int, list[float]]]:
+    """The bounded training sample, collected once and sorted by id —
+    shared by the coarse fit and (in IVF-PQ) the residual-codebook
+    fit, so composed trainers cost ONE sample job, not one per stage."""
     rows = sorted(
-        ((int(r.vid), list(r.v)) for r in
-         _as_vecs(emb, id_col, vec_col)
-         .filter(F.col("vid") < train_rows)
-         .collect()),
+        (int(r.vid), list(r.v))
+        for r in _as_vecs(emb, id_col, vec_col)
+        .filter(F.col("vid") < train_rows)
+        .collect()
     )
     if not rows:
         raise ValueError(
@@ -139,7 +132,15 @@ def _train(
             "centroid model would make every downstream search return "
             "nothing — fail loudly instead"
         )
-    X = np.array([v for _, v in rows], dtype=np.float64)
+    return rows
+
+
+def _lloyd(X, rows: list[tuple[int, list[float]]], k_cells: int, iters: int) -> Cents:
+    """The deterministic Lloyd loop of the module docstring (fixed
+    init = ids < k_cells, sequential-over-dims assignment, sorted-fold
+    means, fixed iterations, empty cells drop) — factored out so
+    IVF-PQ composes it without re-collecting the sample. Float op
+    sequences are IDENTICAL to the pre-factor _train."""
     cents: Cents = [(vid, v) for vid, v in rows if vid < k_cells]
     for _ in range(iters):
         assign = _assign_ids(X, cents)
@@ -157,6 +158,24 @@ def _train(
             new.append((cid, cv))
         cents = new
     return cents
+
+
+def _train(
+    emb: DataFrame,
+    k_cells: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    train_rows: int = TRAIN_ROWS,
+) -> Cents:
+    """Fit the coarse quantizer on the bounded sample, in-driver (module
+    docstring). One Spark job (the sample collect); Lloyd itself is
+    K x sample numpy work."""
+    import numpy as np
+
+    rows = _train_sample(emb, id_col, vec_col, train_rows)
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    return _lloyd(X, rows, k_cells, iters)
 
 
 def ivf_train(

@@ -99,6 +99,20 @@ def pq_train(
             "cannot train a PQ codebook on an empty corpus "
             f"(no rows with {id_col} < {train_rows})"
         )
+    return _fit_books(rows, m, k_codes, iters, id_col)
+
+
+def _fit_books(
+    rows: list[tuple[int, list[float]]],
+    m: int,
+    k_codes: int,
+    iters: int,
+    id_col: str = "vec_id",
+) -> Books:
+    """Per-subspace deterministic k-means over already-collected
+    (vid, vector) rows (sorted by vid) — factored out of pq_train so
+    IVF-PQ can fit codebooks on cell RESIDUALS of the same sample.
+    Float op sequences are IDENTICAL to the pre-factor pq_train."""
     import numpy as np
 
     X = np.array([v for _, v in rows], dtype=np.float64)
@@ -225,6 +239,21 @@ def pq_search(
         F.col("adc_dist").asc(), F.col("vid").asc()
     )
     ranked = scored.withColumn("rnk", F.row_number().over(w))
+    return _emit_topk(ranked, emb, queries, topk, refine, id_col, vec_col)
+
+
+def _emit_topk(
+    ranked: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    topk: int,
+    refine: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of the ADC searchers: emit the ADC top-k directly,
+    or re-rank the ADC top-``refine`` shortlist by exact squared L2
+    (broadcast shortlist -> one more corpus scan, no corpus shuffle)."""
     if refine is None:
         return ranked.filter(F.col("rnk") <= topk).select(
             "query_id",
@@ -255,3 +284,125 @@ def pq_search(
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def ivfpq_train(
+    emb: DataFrame,
+    k_cells: int = 4,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = TRAIN_ROWS,
+):
+    """The faiss IVFPQ recipe both this module's and ivf.py's
+    docstrings cite: fit the coarse quantizer, then fit the PQ
+    codebooks on the sample's cell RESIDUALS (vector minus its cell
+    centroid), so codebooks model LOCAL geometry instead of the global
+    spread — the fix for plain PQ's within-cluster ADC-distance
+    collapse (measured recall@5 0.32 -> see tests/test_recall.py).
+
+    One bounded sample collect feeds BOTH fits (ivf._train_sample);
+    everything stays deterministic and DuckDB-replayable: coarse fit =
+    ivf recipe; residual = per-element x - c (a single IEEE op, exact
+    both engines); residual codebook init = residuals of ids <
+    k_codes; same sorted-fold means. Returns (cents, books)."""
+    import numpy as np
+
+    from keenwa_spark.pipeline.ivf import _lloyd, _train_sample
+
+    rows = _train_sample(emb, id_col, vec_col, train_rows)
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    cents = _lloyd(X, rows, k_cells, iters)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    assign = _assign_ids(X, cents)
+    res_rows = [
+        (vid, (X[i] - C[assign[i]]).tolist())
+        for i, (vid, _) in enumerate(rows)
+    ]
+    return cents, _fit_books(res_rows, m, k_codes, iters, id_col)
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    k_cells: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = TRAIN_ROWS,
+    refine: int | None = None,
+) -> DataFrame:
+    """IVF-pruned, residual-PQ-compressed ADC top-k — the composed
+    production ANN shape (ivf.py prunes WHICH cells are scanned, this
+    module compresses WHAT each cell stores).
+
+    Plan shape (no corpus shuffle anywhere):
+    - corpus: ONE assignment pass (broadcast centroid model), residual
+      via a broadcast k_cells-row join on cid, codes via the broadcast
+      codebook model — all map-side;
+    - queries: probe their nprobe nearest cells; distance tables are
+      computed per (query, probed cell) on the RESIDUAL q - c, so a
+      candidate's m lookups approximate ||(q-c) - r_hat||^2 =
+      ||q - x_hat||^2 exactly as in Jegou et al.'s IVFADC;
+    - candidates meet only the queries probing their cell (broadcast
+      join on cid); top-k is a bounded window over candidates.
+
+    ``refine=N`` re-ranks the ADC shortlist by exact L2 (same
+    _emit_topk tail as pq_search)."""
+    from keenwa_spark.pipeline.ivf import _CELL_DISTS, _with_cells, ivf_assign
+
+    if refine is not None and refine < topk:
+        raise ValueError(f"refine={refine} must be >= topk={topk}")
+    spark = emb.sparkSession
+    cents, books = ivfpq_train(
+        emb, k_cells, m, k_codes, iters, id_col, vec_col, train_rows
+    )
+    d = len(books[0][0][1])
+    cells_kv = spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid INT, cv ARRAY<DOUBLE>"
+    )
+    # corpus: (vid, cid, codes-of-residual)
+    enc = (
+        ivf_assign(emb, cents, id_col, vec_col)
+        .join(F.broadcast(cells_kv), "cid")
+        .withColumn("v", F.expr("zip_with(v, cv, (x, y) -> x - y)"))
+        .drop("cv")
+        .crossJoin(F.broadcast(_model_df(spark, books)))
+        .withColumn("codes", F.expr(_ENC.format(d=d)))
+        .select("vid", "cid", "codes")
+    )
+    # queries: nprobe nearest cells, then per-(query, cell) tables on
+    # the residual q - c
+    probed = _with_cells(_as_vecs(queries, id_col, vec_col), cents).select(
+        F.col("vid").alias("query_id"),
+        F.col("v").alias("qfull"),
+        F.explode(
+            F.expr(
+                f"transform(slice(array_sort({_CELL_DISTS}), 1, "
+                f"{int(nprobe)}), s -> s.cid)"
+            )
+        ).alias("cid"),
+    )
+    qt = (
+        probed.join(F.broadcast(cells_kv), "cid")
+        .withColumn("qv", F.expr("zip_with(qfull, cv, (x, y) -> x - y)"))
+        .crossJoin(F.broadcast(_model_df(spark, books)))
+        .withColumn("tables", F.expr(_TABLES.format(d=d)))
+        .select("query_id", "cid", "tables")
+    )
+    scored = (
+        enc.join(F.broadcast(qt), "cid")
+        .where(F.col("vid") != F.col("query_id"))
+        .withColumn("adc_dist", F.expr(_ADC))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vid").asc()
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    return _emit_topk(ranked, emb, queries, topk, refine, id_col, vec_col)

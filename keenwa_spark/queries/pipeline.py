@@ -4404,6 +4404,168 @@ def pl_ann_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_ivfpq_sql(
+    k_cells: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    topk: int = 5,
+    n_queries: int = 10,
+    train_rows: int = 100_000,
+    dim: int = 64,
+) -> str:
+    """Replay IVF-PQ end-to-end: the IVF oracle's coarse k-means over
+    the sample, full-corpus assignment, per-element RESIDUALS, the PQ
+    oracle's per-subspace k-means over the residual sample, residual
+    encoding, per-(query, probed-cell) distance tables on q - c, and
+    the ADC sum as an explicit left-associated + chain."""
+    d = dim // m
+    sqd = "list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)])"
+    # --- coarse quantizer over the bounded sample (IVF oracle shape)
+    parts = [
+        f"""vecs AS MATERIALIZED (
+      SELECT vec_id AS vid, {_D_VEC_D} AS v FROM embeddings),
+    tvecs AS MATERIALIZED (SELECT * FROM vecs WHERE vid < {train_rows}),
+    g0 AS (SELECT CAST(vid AS INT) AS cid, v AS cv FROM tvecs WHERE vid < {k_cells})"""
+    ]
+    prev = "g0"
+    for it in range(1, iters + 1):
+        parts.append(f""",
+    ga{it} AS (
+      SELECT vid, cid FROM (
+        SELECT tvecs.vid, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY tvecs.vid ORDER BY {sqd}, cid) AS rn
+        FROM tvecs, {prev}
+      ) WHERE rn = 1),
+    gm{it} AS (
+      SELECT cid, dim, list_sum(list_sort(list(val))) / COUNT(val) AS mval
+      FROM (
+        SELECT ga{it}.cid, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+        FROM ga{it} JOIN tvecs USING (vid)
+      ) GROUP BY cid, dim),
+    g{it} AS (SELECT cid, list(mval ORDER BY dim) AS cv FROM gm{it} GROUP BY cid)""")
+        prev = f"g{it}"
+    # --- full-corpus assignment + residuals
+    parts.append(f""",
+    inverted AS MATERIALIZED (
+      SELECT vid, cid FROM (
+        SELECT vecs.vid, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vid ORDER BY {sqd}, cid) AS rn
+        FROM vecs, {prev}
+      ) WHERE rn = 1),
+    rv AS MATERIALIZED (
+      SELECT vecs.vid, inverted.cid,
+             [vecs.v[i] - g.cv[i] FOR i IN range(1, len(vecs.v) + 1)] AS v
+      FROM vecs JOIN inverted USING (vid) JOIN {prev} g USING (cid)),
+    rtv AS MATERIALIZED (SELECT * FROM rv WHERE vid < {train_rows})""")
+    # --- per-subspace PQ k-means over residuals (PQ oracle shape),
+    #     residual encode carrying the candidate's cid
+    for s in range(m):
+        lo = s * d + 1
+        parts.append(f""",
+    sv{s} AS (SELECT vid, [v[i] for i in range({lo}, {lo + d})] AS v FROM rtv),
+    fv{s} AS (SELECT vid, cid, [v[i] for i in range({lo}, {lo + d})] AS v FROM rv),
+    c{s}x0 AS (SELECT CAST(vid AS INT) AS cid, v AS cv FROM sv{s} WHERE vid < {k_codes})""")
+        prev_b = f"c{s}x0"
+        for it in range(1, iters + 1):
+            parts.append(f""",
+    a{s}x{it} AS (
+      SELECT vid, cid FROM (
+        SELECT sv{s}.vid, {prev_b}.cid,
+               ROW_NUMBER() OVER (PARTITION BY sv{s}.vid ORDER BY {sqd}, cid) AS rn
+        FROM sv{s}, {prev_b}
+      ) WHERE rn = 1),
+    m{s}x{it} AS (
+      SELECT cid, dim, list_sum(list_sort(list(val))) / COUNT(val) AS mval
+      FROM (
+        SELECT a{s}x{it}.cid, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+        FROM a{s}x{it} JOIN sv{s} USING (vid)
+      ) GROUP BY cid, dim),
+    c{s}x{it} AS (SELECT cid, list(mval ORDER BY dim) AS cv FROM m{s}x{it} GROUP BY cid)""")
+            prev_b = f"c{s}x{it}"
+        parts.append(f""",
+    b{s} AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cid) AS INT) AS pos, cv FROM {prev_b}),
+    e{s} AS (
+      SELECT vid, cid AS ecid, pos AS pos{s} FROM (
+        SELECT fv{s}.vid, fv{s}.cid, b{s}.pos,
+               ROW_NUMBER() OVER (PARTITION BY fv{s}.vid ORDER BY {sqd}, pos) AS rn
+        FROM fv{s}, b{s}
+      ) WHERE rn = 1)""")
+    # --- queries probe nprobe cells; tables on the residual q - c
+    parts.append(f""",
+    probed AS MATERIALIZED (
+      SELECT vid AS query_id, cid FROM (
+        SELECT vecs.vid, {prev}.cid,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vid ORDER BY {sqd}, cid) AS rn
+        FROM vecs, {prev} WHERE vecs.vid < {n_queries}
+      ) WHERE rn <= {nprobe}),
+    qrv AS MATERIALIZED (
+      SELECT p.query_id, p.cid,
+             [vecs.v[i] - g.cv[i] FOR i IN range(1, len(vecs.v) + 1)] AS v
+      FROM probed p JOIN vecs ON vecs.vid = p.query_id
+      JOIN {prev} g USING (cid))""")
+    for s in range(m):
+        lo = s * d + 1
+        parts.append(f""",
+    qd{s} AS (
+      SELECT q.query_id, q.cid AS qcid, b{s}.pos, {sqd} AS dist
+      FROM (SELECT query_id, cid, [v[i] for i in range({lo}, {lo + d})] AS v
+            FROM qrv) q, b{s})""")
+    adc_sum = " + ".join(f"q{s}.dist" for s in range(m))
+    e_joins = "e0" + "".join(
+        f" JOIN e{s} ON e{s}.vid = e0.vid" for s in range(1, m)
+    )
+    q_joins = " JOIN qd0 q0 ON q0.qcid = e0.ecid AND q0.pos = e0.pos0" + "".join(
+        f" JOIN qd{s} q{s} ON q{s}.qcid = e0.ecid AND q{s}.pos = e{s}.pos{s}"
+        f" AND q{s}.query_id = q0.query_id"
+        for s in range(1, m)
+    )
+    parts.append(f""",
+    adc AS (
+      SELECT q0.query_id, e0.vid AS neighbor_id, {adc_sum} AS adc_dist
+      FROM {e_joins}{q_joins}
+      WHERE e0.vid <> q0.query_id)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+      ) AS rnk FROM adc
+    ) WHERE rnk <= {topk}"""
+    )
+
+
+@df_query(
+    "pl_ann_ivfpq_topk",
+    oracle=_duck_ivfpq_sql(k_cells=4, nprobe=2, m=4, k_codes=8, iters=2, topk=5),
+    doc="IVF-PQ composed ANN (pipeline/pq.py ivfpq_search — the faiss "
+    "IVFADC recipe both ivf.py and pq.py docstrings cite): coarse "
+    "quantizer prunes WHICH cells a query scans, PQ codebooks fit on "
+    "cell RESIDUALS compress WHAT each cell stores, and distance "
+    "tables are computed per (query, probed cell) on q - c so the ADC "
+    "sum approximates ||q - x||^2 with codebooks that model LOCAL "
+    "geometry. Fixes plain PQ's within-cluster ADC collapse: measured "
+    "recall@5 on the clustered fixture 0.300 -> 0.510 at m=16/k=64 "
+    "(tests/test_recall.py; information-theoretic ceiling study in "
+    "tools/ivfpq_ceiling.py). One bounded sample collect feeds both "
+    "fits; the corpus never shuffles (assignment, residual, encode, "
+    "and candidate-meets-query joins are all broadcast-side). ENTIRE "
+    "pipeline incl. both trainings oracle-replayed in DuckDB.",
+    tags=("pipeline", "similarity", "ann", "pq", "ivf"),
+)
+def pl_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.pq import ivfpq_search
+
+    emb = spark.table("embeddings")
+    return ivfpq_search(
+        emb, emb.filter("vec_id < 10"), k_cells=4, nprobe=2, m=4,
+        k_codes=8, topk=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Z-order key (sources/writers.py zorder_key_expr)
 # ---------------------------------------------------------------------------

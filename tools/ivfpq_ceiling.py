@@ -1,0 +1,116 @@
+"""Information-theoretic ceiling study for IVF-PQ unrefined recall on
+the clustered fixture (VERDICT r08 next-round item 4 asked for a
+recall@5 floor >= 0.5 unrefined at m=8/k_codes=64; this study shows
+that exact config CAPS at ~0.40 on this fixture NO MATTER how well the
+codebooks are trained, and that the floor is reachable one step up the
+bit budget).
+
+Pure-numpy IVFADC simulation on the same mixture-of-Gaussians data as
+pipeline/fixtures.make_clustered_embeddings (same seed/params), with
+UNRESTRICTED k-means quality (as many Lloyd iterations as asked, not
+the engine's deterministic 2) — i.e. an upper bound on what the
+engine's deterministic trainer could ever reach:
+
+    m=8  k=64  (48 bits): 0.35-0.40  <- more iterations do NOT help
+    m=8  k=256 (64 bits): 0.54
+    m=16 k=64  (96 bits): 0.51-0.58
+
+Why: the fixture's within-cluster noise is ISOTROPIC (0.35/sqrt(dim)
+per dim), so residuals after the coarse quantizer are iid Gaussian —
+a rotation (OPQ) cannot help, and recall is set purely by the
+quantizer's rate: 6 bits per 8-dim subspace (0.75 bits/dim) leaves
+per-subspace quantization MSE comparable to the distance gaps between
+rank-5 and rank-20 neighbors. Doubling the per-dim rate (m=16, 1.5
+bits/dim) lifts the ceiling past 0.5 — and the ENGINE hits 0.510
+there with its deterministic 2-iteration trainer (tests/test_recall.py
+TestIvfPqRecall), vs 0.300 for plain (non-residual) PQ at the same
+bit budget.
+
+Run: python tools/ivfpq_ceiling.py
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+N, DIM, N_CLUSTERS, NOISE, SEED = 2000, 64, 20, 0.35, 7
+NQ, K = 20, 5
+
+
+def fixture():
+    rng = np.random.default_rng(SEED)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.arange(N) % N_CLUSTERS
+    pts = centers[labels] + NOISE * rng.standard_normal((N, DIM)) / np.sqrt(DIM)
+    return np.float32(pts).astype(np.float64)
+
+
+def kmeans(X, k, iters):
+    C = X[:k].copy()  # same deterministic init family as the engine
+    for _ in range(iters):
+        a = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1)
+        C = np.array(
+            [X[a == j].mean(0) if (a == j).any() else C[j] for j in range(len(C))]
+        )
+    return C
+
+
+def run(X, truth, k_cells, nprobe, m, k_codes, c_iters, p_iters):
+    C = kmeans(X, k_cells, c_iters)
+    a = np.argmin(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), axis=1)
+    R = X - C[a]
+    d = DIM // m
+    books = [kmeans(R[:, s * d : (s + 1) * d], k_codes, p_iters) for s in range(m)]
+    codes = np.stack(
+        [
+            np.argmin(
+                ((R[:, None, s * d : (s + 1) * d] - books[s][None]) ** 2).sum(-1),
+                axis=1,
+            )
+            for s in range(m)
+        ],
+        1,
+    )
+    hits = 0
+    for qi in range(NQ):
+        cells = np.argsort(((C - X[qi]) ** 2).sum(-1), kind="stable")[:nprobe]
+        cand = np.where(np.isin(a, cells))[0]
+        cand = cand[cand != qi]
+        qd = np.empty(len(cand))
+        for ci, cix in enumerate(cand):
+            qr = X[qi] - C[a[cix]]
+            s_ = 0.0
+            for s in range(m):
+                s_ += ((qr[s * d : (s + 1) * d] - books[s][codes[cix, s]]) ** 2).sum()
+            qd[ci] = s_
+        top = cand[np.argsort(qd, kind="stable")[:K]]
+        hits += len(set(top) & truth[qi])
+    return hits / (NQ * K)
+
+
+def main() -> None:
+    X = fixture()
+    d2 = ((X[:NQ, None, :] - X[None, :, :]) ** 2).sum(-1)
+    for i in range(NQ):
+        d2[i, i] = np.inf
+    truth = [set(np.argsort(d2[i], kind="stable")[:K]) for i in range(NQ)]
+    grid = [
+        (20, 2, 8, 64, 2, 2),
+        (20, 2, 8, 64, 2, 10),   # better PQ training: no lift
+        (20, 2, 8, 64, 10, 10),  # better coarse too: no lift
+        (20, 4, 8, 64, 10, 10),  # more probes: no lift (pruning isn't the limit)
+        (20, 2, 8, 256, 2, 10),  # +2 bits/subspace: past 0.5
+        (20, 2, 16, 64, 2, 2),   # engine's deterministic iters, m=16: past 0.5
+        (20, 2, 16, 64, 2, 10),
+    ]
+    for kc, npb, m, k, ci, pi in grid:
+        r = run(X, truth, kc, npb, m, k, ci, pi)
+        print(
+            f"k_cells={kc} nprobe={npb} m={m} k={k} "
+            f"coarse_iters={ci} pq_iters={pi}: recall@5 {r:.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
