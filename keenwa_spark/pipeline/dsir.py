@@ -64,6 +64,7 @@ def dsir_weights(
     text_col: str = "text",
     n_buckets: int = 1024,
     persist_tokens: bool = True,
+    form: str = "mean",
 ) -> DataFrame:
     """Per-document hashed-n-gram importance weights vs the documents
     matching ``target`` (a boolean Column over ``df``'s rows).
@@ -74,9 +75,26 @@ def dsir_weights(
     bag looks more target-like than source-like under the smoothed
     hashed models; the target sample itself is scored too (its docs
     should land high — a useful sanity signal).
+
+    ``form``: ``"mean"`` (default) is the rational mean-likelihood-
+    ratio of the module docstring — pure integer masses + one per-row
+    double expression, bit-exact cross-engine. ``"log"`` is the
+    textbook DSIR product-form LOG-weight: weight = Σ_tokens
+    [ln(c_t(b)+1) - ln(c_s(b)+1)] + n·[ln(S+B) - ln(T+B)] (> 0 means
+    target-like); the per-token terms are folded in SORTED order so
+    the value is deterministic within Spark, but ln() differs in
+    last-ulp between ENGINES, so this form is verified by tolerance
+    (tests/test_pipeline_extras.py) rather than the bit-exact oracle
+    gate. On uniform-length corpora both forms rank identically; on
+    length-skewed corpora they can diverge — the log form weighs every
+    token equally while the mean form compares per-token AVERAGE
+    masses, damping long diluted documents less (pinned side-by-side
+    in the length-skew test).
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if form not in ("mean", "log"):
+        raise ValueError(f"form must be 'mean' or 'log', got {form!r}")
     norm = normalized_text(text_col)
     toks = (
         df.where(F.col(text_col).isNotNull())
@@ -106,36 +124,50 @@ def dsir_weights(
         F.sum("c_t").cast("bigint").alias("tot_t"),
         F.sum("c_s").cast("bigint").alias("tot_s"),
     )
-    masses = (
-        toks.join(F.broadcast(model), "__b")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("c_t").cast("bigint").alias("t_mass"),
-            F.sum("c_s").cast("bigint").alias("s_mass"),
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("c_t").cast("bigint").alias("t_mass"),
+        F.sum("c_s").cast("bigint").alias("s_mass"),
+    ]
+    if form == "log":
+        # per-token ln ratio, folded in sorted order (deterministic
+        # within Spark; per-doc array bounded by document length — for
+        # corpora with multi-million-token documents use form="mean",
+        # whose state is three BIGINTs)
+        aggs.append(
+            F.expr(
+                "aggregate(array_sort(collect_list("
+                "ln(c_t + 1) - ln(c_s + 1))), "
+                "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+            ).alias("__lsum")
         )
-    )
+    masses = toks.join(F.broadcast(model), "__b").groupBy(id_col).agg(*aggs)
     spine = df.select(F.col(id_col)).distinct()
     b = F.lit(n_buckets).cast("bigint")
+    if form == "log":
+        weight = (
+            F.col("__lsum")
+            + F.col("n_tokens").cast("double")
+            * (
+                F.log((F.col("tot_s") + b).cast("double"))
+                - F.log((F.col("tot_t") + b).cast("double"))
+            )
+        ).alias("weight")
+    else:
+        weight = (
+            (
+                (F.col("t_mass") + F.col("n_tokens")).cast("double")
+                * (F.col("tot_s") + b).cast("double")
+            )
+            / (
+                (F.col("s_mass") + F.col("n_tokens")).cast("double")
+                * (F.col("tot_t") + b).cast("double")
+            )
+        ).alias("weight")
     return (
         spine.join(masses, id_col, "left")
         .crossJoin(F.broadcast(totals))
-        .select(
-            F.col(id_col),
-            "n_tokens",
-            "t_mass",
-            "s_mass",
-            (
-                (
-                    (F.col("t_mass") + F.col("n_tokens")).cast("double")
-                    * (F.col("tot_s") + b).cast("double")
-                )
-                / (
-                    (F.col("s_mass") + F.col("n_tokens")).cast("double")
-                    * (F.col("tot_t") + b).cast("double")
-                )
-            ).alias("weight"),
-        )
+        .select(F.col(id_col), "n_tokens", "t_mass", "s_mass", weight)
     )
 
 
@@ -146,16 +178,18 @@ def dsir_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    form: str = "mean",
 ) -> DataFrame:
     """Top-``k`` NON-target documents by importance weight (weight
     desc, id asc tie-break) — the selection step: the target sample is
     what you already have; the pick is the most target-like slice of
     the rest. A global top-k is a TakeOrderedAndProject (bounded
     k-row heap per partition + k-row driver merge), never a full
-    sort."""
+    sort. ``form`` as in dsir_weights (both forms rank identically on
+    uniform-length corpora)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    w = dsir_weights(df, target, id_col, text_col, n_buckets)
+    w = dsir_weights(df, target, id_col, text_col, n_buckets, form=form)
     flags = df.select(F.col(id_col), target.cast("boolean").alias("__tgt"))
     return (
         w.join(flags, id_col)

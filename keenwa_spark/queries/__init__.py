@@ -105,65 +105,75 @@ def df_query(
     return deco
 
 
-#: entries HOISTED to the front of the 50-slot driver prefix so the
-#: driver's own CORRECTNESS file witnesses one representative of every
-#: major beyond-§2 family each round (VERDICT r05 item 4): a full
-#: TPC-H query, MinHash/LSH dedup, ANN similarity, a streaming-batch
-#: twin, the round's headline rewrite (curriculum two-pass rank), and
-#: the new builder scalar subquery. The §2 rows they displace
-#: (distinct_on_expr, subq_scalar_select, subq_in_correlated,
-#: win_multiple_functions, win_partition_only, join_natural) stay
-#: driver-green in earlier rounds' CORRECTNESS files and all-green in
-#: the local full-registry gate every round (COVERAGE.md).
-DRIVER_PREFIX_ROTATION = (
+#: THE 50 registry entries the driver's correctness gate witnesses
+#: this round (it records exactly the first 50 of load_all order —
+#: VERDICT r02 item 1). Round-9 policy (VERDICT r08 item 2): rotate
+#: AGGRESSIVELY — a handful of sentinels that stay every round (one
+#: per §2 macro-family, each also a bench headline), and every other
+#: slot given to entries that have NEVER appeared in any
+#: CORRECTNESS_r*.json (163 of 273 after r8; at the old 6-per-round
+#: pace full witness would have taken ~27 rounds). Everything rotated
+#: OUT keeps its r1-r8 driver rows and stays green in the local
+#: full-registry gate every round (tools/check_correctness.py,
+#: COVERAGE.md). Re-rotate each round: swap the non-sentinel block
+#: for the next never-witnessed batch (tools/gen_inventory.py prints
+#: the remaining names).
+DRIVER_PREFIX = (
+    # --- sentinels (stay every round; driver-witnessed r1-r8)
+    "flagship_top_customers",
+    "join_inner",
+    "agg_group_having",
+    "win_topn_per_group",
     "q1_pricing_summary",
-    "pl_minhash_lsh_pairs",
-    "pl_ann_cosine_topk",
-    "st_window_counts",
-    "pl_curriculum_stages",
-    "bld_scalar_subquery",
-    # round 7: the multimodal family's driver witness (VERDICT r06
-    # item 4) — PNG decode + aHash banded dedup vs a brute-force
-    # constant oracle
-    "pl_image_ahash_dedup",
-    # round 8 (VERDICT r07 item 3): families that had never earned a
-    # driver-file row — blocked fuzzy linkage, fixed-iteration
-    # PageRank, BM25 ranking, duplicated-span statistics, the
-    # DuckDB-native ASOF attribution join, and incremental rollup
-    # maintenance
-    "pl_record_linkage",
-    "pl_graph_pagerank",
-    "pl_search_bm25",
-    "pl_dup_span_stats",
-    "op_asof_attribution",
-    "op_rollup_incremental",
-)
-
-#: §2 rows moved out of the prefix to make room (chosen because each
-#: has a sibling prefix row exercising the same code path)
-_ROTATED_OUT = (
-    "distinct_on_expr",
-    "subq_scalar_select",
-    "subq_in_correlated",
-    "win_multiple_functions",
-    "win_partition_only",
-    "join_natural",
-    # round 7: builder IN-subquery — bld_exists stays as the builder
-    # subquery prefix witness; the IN semantics stay witnessed by
-    # subq_in / subq_not_in / subq_not_in_nulls
-    "bld_in_subquery",
-    # round 8: six more §2 rows, each driver-green since the r1-r7
-    # files and each with a sibling prefix row on the same code path —
-    # join_right (join_left/join_full), join_using (join_inner),
-    # subq_not_exists (subq_exists), subq_not_in (subq_not_in_nulls),
-    # win_first_last_value (win_rank/win_agg_over), derived_table
-    # (cte_reuse)
-    "join_right",
-    "join_using",
-    "subq_not_exists",
-    "subq_not_in",
-    "win_first_last_value",
-    "derived_table",
+    # --- round 8/9 additions, never witnessed (VERDICT r08 priority)
+    "pl_dsir_weights",
+    "pl_dsir_select",
+    "pl_ann_pq_adc_topk",
+    "pl_ann_pq_refined_topk",
+    "pl_ann_ivfpq_topk",
+    "pl_mmr_rerank",
+    "pl_mmr_rerank_grouped",
+    "op_zorder_key",
+    # --- the 12 streaming-batch mirrors, never witnessed
+    "st_session_stats",
+    "st_dedup",
+    "st_enrich",
+    "st_interval_join",
+    "st_rollup_day",
+    "st_user_state",
+    "st_rollup_refresh",
+    "st_sketch_distinct",
+    "st_anomaly",
+    "st_ohlc",
+    "st_upsert_state",
+    "st_asof",
+    # --- TPC-H, never witnessed (q1/q3/q5/q10/q18 have driver rows)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_relation",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
+    # --- bench-headline / perf-watchlist rows, never witnessed
+    "op_hypertable_rollup",
+    "op_interval_overlap",
+    "pl_corpus_curation",
+    "pl_training_data_flow",
+    "ev_spend_gini",
+    "ev_type_cooccurrence",
+    "pl_chunk_pack_fused",
+    "pl_lm_surprisal",
 )
 
 
@@ -172,13 +182,10 @@ def load_all() -> dict[str, QuerySpec]:
 
     REGISTRY ORDER MATTERS: the driver's correctness gate records a
     bounded PREFIX of the registry (exactly the first 50 entries —
-    VERDICT r02 item 1). The SURVEY §2 core registers first — the
-    relational algebra (29), subqueries (10), windows (8), the
-    array-expression row (1), builder subquery entry points — and then
-    ``DRIVER_PREFIX_ROTATION`` hoists one representative per
-    beyond-§2 family into the prefix while ``_ROTATED_OUT`` §2 rows
-    (each redundant with a sibling prefix row) move after it. The
-    FULL registry keeps its evidence via the local mirror
+    VERDICT r02 item 1). ``DRIVER_PREFIX`` holds those 50 slots
+    explicitly (sentinels + this round's never-witnessed rotation);
+    everything else follows in registration order. The FULL registry
+    keeps its evidence via the local mirror
     (tools/check_correctness.py, all-green every round) and pytest —
     see COVERAGE.md.
     """
@@ -202,16 +209,5 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_full,
     )
 
-    core = [
-        n
-        for n in REGISTRY
-        if n not in DRIVER_PREFIX_ROTATION and n not in _ROTATED_OUT
-    ]
-    n_core = 50 - len(DRIVER_PREFIX_ROTATION)
-    order = (
-        core[:n_core]
-        + list(DRIVER_PREFIX_ROTATION)
-        + list(_ROTATED_OUT)
-        + core[n_core:]
-    )
-    return {n: REGISTRY[n] for n in order}
+    rest = [n for n in REGISTRY if n not in DRIVER_PREFIX]
+    return {n: REGISTRY[n] for n in (*DRIVER_PREFIX, *rest)}

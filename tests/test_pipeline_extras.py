@@ -1058,6 +1058,73 @@ class TestDsir:
             dsir_weights(df, F.col("tgt") == 1, n_buckets=1)
         with pytest.raises(ValueError):
             dsir_select(df, F.col("tgt") == 1, k=0)
+        with pytest.raises(ValueError, match="form"):
+            dsir_weights(df, F.col("tgt") == 1, form="geometric")
+
+    def test_log_form_on_the_length_skewed_twin(self, spark):
+        """The textbook product-form LOG weight (form="log") vs the
+        default rational mean form, pinned side by side on a corpus
+        built to EXPOSE their divergence (VERDICT r08 item 6): a short
+        half-target doc (100) vs a long diluted doc (103's favorable
+        rare-vocab ratio wins under per-token-AVERAGE mass comparison,
+        while per-token log scoring charges every diluting token).
+
+        The log weights are verified against a pure-python replay of
+        Σ ln((c_t+1)) - ln((c_s+1)) + n(ln(S+B) - ln(T+B)) by
+        TOLERANCE (ln differs last-ulp across engines/libms — the
+        reason the oracle-gated registry row stays on the mean form)."""
+        import math
+
+        import pytest
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.pipeline.dsir import dsir_select, dsir_weights
+
+        rows = (
+            [(i, "zzz zzz zzz zzz", 1) for i in range(4)]
+            + [
+                (100, "zzz qqq", 0),
+                (101, "zzz zzz zzz " + " ".join(["qqq"] * 15), 0),
+                (102, " ".join(["qqq"] * 6), 0),
+                (103, "zzz " + " ".join(["rrr"] * 3), 0),
+            ]
+        )
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING, tgt INT")
+        tgt = F.col("tgt") == 1
+        # selections DIVERGE: the mean form prefers the long-ish doc
+        # with the favorable rare-vocab ratio, the log form the short
+        # half-target doc
+        mean_top = [
+            r.doc_id
+            for r in dsir_select(df, tgt, k=2, n_buckets=64).collect()
+        ]
+        log_top = [
+            r.doc_id
+            for r in dsir_select(df, tgt, k=2, n_buckets=64, form="log").collect()
+        ]
+        assert mean_top == [103, 100]
+        assert log_top == [100, 103]
+        # tolerance replay of the log weights (no hash collisions on
+        # this vocab at 64 buckets — verified by the integer masses)
+        got = {
+            r.doc_id: r
+            for r in dsir_weights(df, tgt, n_buckets=64, form="log").collect()
+        }
+        assert (got[100].t_mass, got[100].s_mass) == (16, 27)  # no collisions
+        c_t = {"zzz": 16, "qqq": 0, "rrr": 0}
+        c_s = {"zzz": 5, "qqq": 22, "rrr": 3}
+        T, S, B = 16, 30, 64
+        texts = dict(
+            (i, t) for i, t, _ in rows if t is not None
+        )
+        for doc_id, text in texts.items():
+            toks = text.split(" ")
+            expected = sum(
+                sorted(
+                    math.log(c_t[t] + 1) - math.log(c_s[t] + 1) for t in toks
+                )
+            ) + len(toks) * (math.log(S + B) - math.log(T + B))
+            assert got[doc_id].weight == pytest.approx(expected, rel=1e-12), doc_id
 
 
 class TestMmrRerank:
