@@ -175,6 +175,9 @@ HEADLINE = [
     # scan, broadcast-shortlist exact rerank)
     "pl_dsir_weights",
     "pl_ann_pq_refined_topk",
+    # round-9 addition: the composed IVF-PQ shape (coarse prune +
+    # residual-codebook ADC; both fits on one bounded sample)
+    "pl_ann_ivfpq_topk",
 ]
 
 

@@ -119,18 +119,21 @@ def df_query(
 #: for the next never-witnessed batch (tools/gen_inventory.py prints
 #: the remaining names).
 DRIVER_PREFIX = (
-    # --- sentinels (stay every round; driver-witnessed r1-r8)
+    # --- sentinels (stay every round; driver-witnessed r1-r8).
+    # q6_forecast_revenue serves as the TPC-H sentinel this round
+    # (q1/q3/q5/q10/q18 all hold r1-r8 rows) so its slot could go to
+    # the round-9 refined-IVFPQ row.
     "flagship_top_customers",
     "join_inner",
     "agg_group_having",
     "win_topn_per_group",
-    "q1_pricing_summary",
     # --- round 8/9 additions, never witnessed (VERDICT r08 priority)
     "pl_dsir_weights",
     "pl_dsir_select",
     "pl_ann_pq_adc_topk",
     "pl_ann_pq_refined_topk",
     "pl_ann_ivfpq_topk",
+    "pl_ann_ivfpq_refined_topk",
     "pl_mmr_rerank",
     "pl_mmr_rerank_grouped",
     "op_zorder_key",

@@ -4414,12 +4414,15 @@ def _duck_ivfpq_sql(
     n_queries: int = 10,
     train_rows: int = 100_000,
     dim: int = 64,
+    refine: int | None = None,
 ) -> str:
     """Replay IVF-PQ end-to-end: the IVF oracle's coarse k-means over
     the sample, full-corpus assignment, per-element RESIDUALS, the PQ
     oracle's per-subspace k-means over the residual sample, residual
     encoding, per-(query, probed-cell) distance tables on q - c, and
-    the ADC sum as an explicit left-associated + chain."""
+    the ADC sum as an explicit left-associated + chain. ``refine``
+    re-ranks the ADC top-``refine`` shortlist by exact squared L2
+    (the _duck_pq_sql refine tail)."""
     d = dim // m
     sqd = "list_sum([(v[i] - cv[i]) * (v[i] - cv[i]) for i in range(1, len(v) + 1)])"
     # --- coarse quantizer over the bounded sample (IVF oracle shape)
@@ -4526,14 +4529,41 @@ def _duck_ivfpq_sql(
       SELECT q0.query_id, e0.vid AS neighbor_id, {adc_sum} AS adc_dist
       FROM {e_joins}{q_joins}
       WHERE e0.vid <> q0.query_id)""")
-    return (
-        "WITH " + "".join(parts)
-        + f"""
+    if refine is None:
+        return (
+            "WITH " + "".join(parts)
+            + f"""
     SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY adc_dist, neighbor_id
       ) AS rnk FROM adc
+    ) WHERE rnk <= {topk}"""
+        )
+    exact = (
+        "list_sum([(cvv.v[i] - qvv.v[i]) * (cvv.v[i] - qvv.v[i]) "
+        "for i in range(1, len(cvv.v) + 1)])"
+    )
+    parts.append(f""",
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+        ) AS rn FROM adc
+      ) WHERE rn <= {refine}),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id, {exact} AS l2_dist
+      FROM short s
+      JOIN vecs cvv ON cvv.vid = s.neighbor_id
+      JOIN vecs qvv ON qvv.vid = s.query_id)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, l2_dist, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY l2_dist, neighbor_id
+      ) AS rnk FROM refined
     ) WHERE rnk <= {topk}"""
     )
 
@@ -4563,6 +4593,30 @@ def pl_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(
         emb, emb.filter("vec_id < 10"), k_cells=4, nprobe=2, m=4,
         k_codes=8, topk=5,
+    )
+
+
+@df_query(
+    "pl_ann_ivfpq_refined_topk",
+    oracle=_duck_ivfpq_sql(
+        k_cells=4, nprobe=2, m=4, k_codes=8, iters=2, topk=5, refine=50
+    ),
+    doc="IVF-PQ + exact refinement — the full faiss deployment shape "
+    "(IndexIVFPQ wrapped in IndexRefine): coarse cells prune the scan, "
+    "residual ADC shortlists top-50 per query, and the shortlist's "
+    "true vectors are re-ranked by exact squared L2 via a broadcast "
+    "shortlist join (one extra corpus scan, never a corpus shuffle). "
+    "Fully oracle-replayed incl. both trainings (pipeline/pq.py "
+    "ivfpq_search refine=50).",
+    tags=("pipeline", "similarity", "ann", "pq", "ivf"),
+)
+def pl_ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.pq import ivfpq_search
+
+    emb = spark.table("embeddings")
+    return ivfpq_search(
+        emb, emb.filter("vec_id < 10"), k_cells=4, nprobe=2, m=4,
+        k_codes=8, topk=5, refine=50,
     )
 
 
