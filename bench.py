@@ -339,31 +339,45 @@ def main() -> None:
         f.write("\n")
     print(f"# full detail -> {detail_path}", file=sys.stderr)
 
+    print(compact_line(detail, os.path.basename(detail_path)))
+
+
+#: the driver keeps only the tail of bench stdout; stay safely inside
+CAPTURE_BUDGET = 1800
+
+
+def compact_line(detail: dict, detail_file: str) -> str:
+    """The ONE stdout JSON line, built from the detail body and
+    guaranteed <= CAPTURE_BUDGET chars: progressive shrink drops the
+    bulkiest context first — everything dropped still lives in the
+    committed detail file (unit-tested in tests/test_bench_contract.py
+    so a growing headline list can never push the line back past the
+    driver's capture, the failure that blanked BENCH_r07/r08)."""
     compact = {
-        "metric": "headline_suite_wall_clock",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": {n: round(t, 2) for n, t in timings.items()},
-        "sf": sf,
-        "prev_round": prev_n,
-        "vs_prev_common_ratio": vs_prev,
-        "regressions": regressions,
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "queries": {n: round(t, 2) for n, t in detail["queries"].items()},
+        "sf": detail["sf"],
+        "prev_round": detail["prev_round"],
+        "vs_prev_common_ratio": detail["vs_prev_common_ratio"],
+        "regressions": detail["regressions"],
         "probe_verdicts": {
-            n: p.get("verdict", "n/a") for n, p in probes.items()
+            n: p.get("verdict", "n/a") for n, p in detail["probe"].items()
         },
-        "control_median_sec": control_med,
-        "duckdb_geomean_ratio": geo,
-        "detail_file": os.path.basename(detail_path),
+        "control_median_sec": detail["control_median_sec"],
+        "duckdb_geomean_ratio": detail["duckdb"]["geomean_ratio"],
+        "detail_file": detail_file,
     }
-    # progressive shrink: the line MUST stay under the driver capture.
-    # Each drop removes context that still lives in the detail file.
+    # progressive shrink: each drop removes context that still lives
+    # in the detail file
     line = json.dumps(compact)
     for drop in ("probe_verdicts", "regressions", "queries"):
-        if len(line) <= 1800:
+        if len(line) <= CAPTURE_BUDGET:
             break
         compact.pop(drop, None)
         line = json.dumps(compact)
-    print(line)
+    return line
 
 
 if __name__ == "__main__":
