@@ -170,23 +170,94 @@ def _model_df(spark, books: Books) -> DataFrame:
     )
 
 
+def _encode_vecs(
+    vecs: DataFrame,
+    books: Books,
+    backend: str = "auto",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(vid, *keep, codes) for a (vid, v[, *keep]) frame — the shared
+    encode pass of pq_encode / pq_search / ivfpq_search.
+
+    Backends (bit-identical — same IEEE fold order, same lowest-pos
+    tie-break, the ivf_assign twin):
+    - ``sql``: the broadcast-model HOF map, pure JVM. Per-row cost is
+      O(Σ_s k_s · d) INTERPRETED lambda steps (higher-order functions
+      don't codegen) — fine at small models;
+    - ``numpy``: Arrow-batched ``mapInPandas`` against the codebook
+      matrices shipped in the task closure — vectorized over rows,
+      sequential over dims, so each row's squared distance is the
+      identical IEEE sequence as the SQL fold and np.argmin's
+      first-occurrence rule is the lowest-pos tie-break (positions
+      are 1..n in array order). The only sane per-row cost at
+      production models (m=16, k=256, dim 768 → ~200k interpreted
+      steps/row on the sql path);
+    - ``auto``: sql only while total-codebook-floats <= 128, else
+      numpy. MEASURED (tools/pq_crossover.py, 50k rows, best-of-3,
+      forced-evaluation): numpy is flat 0.5-1.3s across k·dim
+      128→32768 while sql grows 0.95s → 11.1s (4096) → 69.6s
+      (32768) — the Arrow crossing is a fixed ~0.5s, interpreted HOF
+      steps scale with the model. Table in SCALE.md.
+    """
+    d = len(books[0][0][1])
+    if backend == "auto":
+        kdim = sum(len(b) for b in books) * d
+        backend = "sql" if kdim <= 128 else "numpy"
+    if backend == "sql":
+        return (
+            vecs.crossJoin(F.broadcast(_model_df(vecs.sparkSession, books)))
+            .withColumn("codes", F.expr(_ENC.format(d=d)))
+            .select("vid", *keep, "codes")
+        )
+    import numpy as np
+    import pandas as pd
+
+    mats = [np.array([cv for _, cv in b], dtype=np.float64) for b in books]
+    poss = [np.array([p for p, _ in b], dtype=np.int32) for b in books]
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            out = np.empty((len(pdf), len(mats)), dtype=np.int32)
+            for s, (M, P) in enumerate(zip(mats, poss)):
+                Xs = X[:, s * d : (s + 1) * d]
+                acc = np.zeros((len(pdf), len(P)), dtype=np.float64)
+                for j in range(d):  # sequential over dims
+                    diff = Xs[:, j : j + 1] - M[:, j][None, :]
+                    acc = acc + diff * diff
+                out[:, s] = P[np.argmin(acc, axis=1)]  # first hit = lowest pos
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    **{k: pdf[k] for k in keep},
+                    "codes": [r.tolist() for r in out],
+                }
+            )
+
+    fields = {f.name: f.dataType.simpleString() for f in vecs.schema.fields}
+    schema = ", ".join(
+        [f"vid {fields['vid']}"]
+        + [f"{k} {fields[k]}" for k in keep]
+        + ["codes ARRAY<INT>"]
+    )
+    return vecs.mapInPandas(enc, schema)
+
+
 def pq_encode(
     emb: DataFrame,
     books: Books,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    backend: str = "auto",
 ) -> DataFrame:
     """(vid, codes): the compressed corpus — codes[s] is the 1-based
     codebook position of subspace s. One shuffle-free broadcast-model
     pass; NULL vectors are excluded (nothing to encode), mirroring the
-    IVF assignment rule."""
-    d = len(books[0][0][1])
-    vecs = _as_vecs(emb, id_col, vec_col)
-    return (
-        vecs.crossJoin(F.broadcast(_model_df(emb.sparkSession, books)))
-        .withColumn("codes", F.expr(_ENC.format(d=d)))
-        .select("vid", "codes")
-    )
+    IVF assignment rule. ``backend`` as in _encode_vecs (sql / numpy /
+    auto — both bit-identical)."""
+    return _encode_vecs(_as_vecs(emb, id_col, vec_col), books, backend)
 
 
 def pq_search(
@@ -200,10 +271,13 @@ def pq_search(
     vec_col: str = "embedding",
     train_rows: int = TRAIN_ROWS,
     refine: int | None = None,
+    encode_backend: str = "auto",
 ) -> DataFrame:
-    """ADC top-k: train on the bounded sample, encode the corpus once,
-    precompute per-query distance tables on the broadcast query side,
-    and scan codes with m lookups + a sequential fold per row.
+    """ADC top-k: train on the bounded sample, encode the corpus once
+    (``encode_backend``: sql / numpy / auto — bit-identical, see
+    _encode_vecs), precompute per-query distance tables on the
+    broadcast query side, and scan codes with m lookups + a sequential
+    fold per row.
 
     ``refine=None``: output (query_id, neighbor_id, adc_dist, rnk) —
     ranks carry PQ quantization error by construction (exactness of
@@ -222,7 +296,7 @@ def pq_search(
         raise ValueError(f"refine={refine} must be >= topk={topk}")
     books = pq_train(emb, m, k_codes, iters, id_col, vec_col, train_rows)
     d = len(books[0][0][1])
-    enc = pq_encode(emb, books, id_col, vec_col)
+    enc = pq_encode(emb, books, id_col, vec_col, encode_backend)
     qt = (
         _as_vecs(queries, id_col, vec_col)
         .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
@@ -337,6 +411,7 @@ def ivfpq_search(
     vec_col: str = "embedding",
     train_rows: int = TRAIN_ROWS,
     refine: int | None = None,
+    encode_backend: str = "auto",
 ) -> DataFrame:
     """IVF-pruned, residual-PQ-compressed ADC top-k — the composed
     production ANN shape (ivf.py prunes WHICH cells are scanned, this
@@ -368,15 +443,13 @@ def ivfpq_search(
         [(cid, cv) for cid, cv in cents], "cid INT, cv ARRAY<DOUBLE>"
     )
     # corpus: (vid, cid, codes-of-residual)
-    enc = (
+    residual = (
         ivf_assign(emb, cents, id_col, vec_col)
         .join(F.broadcast(cells_kv), "cid")
         .withColumn("v", F.expr("zip_with(v, cv, (x, y) -> x - y)"))
-        .drop("cv")
-        .crossJoin(F.broadcast(_model_df(spark, books)))
-        .withColumn("codes", F.expr(_ENC.format(d=d)))
-        .select("vid", "cid", "codes")
+        .select("vid", "cid", "v")
     )
+    enc = _encode_vecs(residual, books, encode_backend, keep=("cid",))
     # queries: nprobe nearest cells, then per-(query, cell) tables on
     # the residual q - c
     probed = _with_cells(_as_vecs(queries, id_col, vec_col), cents).select(

@@ -372,3 +372,42 @@ class TestIvfPqRecall:
 
         with pytest.raises(ValueError, match="refine"):
             ivfpq_search(cemb, cemb.filter("vec_id < 2"), topk=5, refine=3)
+
+
+class TestPqEncodeBackends:
+    """The two pq encode backends must be BIT-IDENTICAL (same IEEE
+    fold order, same lowest-pos tie-break) — the property that lets
+    'auto' switch to the numpy scale path without touching the
+    DuckDB-replayed oracle rows (pipeline/pq.py _encode_vecs; measured
+    crossover in tools/pq_crossover.py / SCALE.md)."""
+
+    @pytest.fixture(scope="class")
+    def cemb(self, spark):
+        from keenwa_spark.pipeline.fixtures import make_clustered_embeddings
+
+        return make_clustered_embeddings(spark).localCheckpoint(eager=True)
+
+    def test_sql_and_numpy_codes_identical(self, cemb):
+        from keenwa_spark.pipeline.pq import pq_encode, pq_train
+
+        for m, k in ((4, 8), (16, 64)):
+            books = pq_train(cemb, m=m, k_codes=k)
+            a = {r.vid: r.codes for r in pq_encode(cemb, books, backend="sql").collect()}
+            b = {r.vid: r.codes for r in pq_encode(cemb, books, backend="numpy").collect()}
+            assert a == b, (m, k)
+
+    def test_composed_search_identical_across_backends(self, cemb):
+        from keenwa_spark.pipeline.pq import ivfpq_search
+
+        q = cemb.filter("vec_id < 10")
+        out = {}
+        for be in ("sql", "numpy"):
+            out[be] = sorted(
+                map(
+                    tuple,
+                    ivfpq_search(
+                        cemb, q, k_cells=4, m=4, k_codes=8, encode_backend=be
+                    ).collect(),
+                )
+            )
+        assert out["sql"] == out["numpy"]
