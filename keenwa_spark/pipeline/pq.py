@@ -479,3 +479,33 @@ def ivfpq_search(
     )
     ranked = scored.withColumn("rnk", F.row_number().over(w))
     return _emit_topk(ranked, emb, queries, topk, refine, id_col, vec_col)
+
+
+def pq_save(spark, books: Books, path: str) -> None:
+    """Persist fitted codebooks as parquet — the reusable-index story
+    of ivf_save, for the PQ half: fit once on a bounded sample, save,
+    and every later encode/search session loads the SAME books
+    (refitting would re-derive positions and silently invalidate every
+    stored code). float64 roundtrips parquet bit-exactly, so loaded
+    books encode identically (pinned in tests/test_recall.py)."""
+    rows = [
+        (s, pos, cv)
+        for s, codes in enumerate(books)
+        for pos, cv in codes
+    ]
+    spark.createDataFrame(
+        rows, "sub INT, pos INT, cv ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def pq_load(spark, path: str) -> Books:
+    """Load codebooks saved by ``pq_save`` back into the driver-side
+    ``Books`` shape. The model is Σ k_s · d doubles — driver-bounded
+    by construction (same budget as training's driver fit)."""
+    rows = spark.read.parquet(path).orderBy("sub", "pos").collect()
+    books: Books = []
+    for r in rows:
+        while len(books) <= r["sub"]:
+            books.append([])
+        books[r["sub"]].append((int(r["pos"]), list(r["cv"])))
+    return books

@@ -411,3 +411,24 @@ class TestPqEncodeBackends:
                 )
             )
         assert out["sql"] == out["numpy"]
+
+    def test_books_roundtrip_parquet_bit_exactly(self, cemb, tmp_path):
+        """pq_save/pq_load: a loaded model must encode IDENTICALLY to
+        the in-memory one (float64 roundtrips parquet bit-exactly) —
+        the reusable-index contract that makes stored codes stable
+        across sessions (ivf_save's twin)."""
+        from keenwa_spark.pipeline.pq import (
+            pq_encode,
+            pq_load,
+            pq_save,
+            pq_train,
+        )
+
+        spark = cemb.sparkSession
+        books = pq_train(cemb, m=8, k_codes=16)
+        pq_save(spark, books, str(tmp_path / "books"))
+        loaded = pq_load(spark, str(tmp_path / "books"))
+        assert loaded == books
+        a = {r.vid: r.codes for r in pq_encode(cemb, books).collect()}
+        b = {r.vid: r.codes for r in pq_encode(cemb, loaded).collect()}
+        assert a == b
