@@ -35,10 +35,16 @@ Dialect confinement rules (each prevents a known cross-engine trap):
   they belong in the sweep.
 - set ops include the ALL multiset forms (INTERSECT ALL / EXCEPT ALL
   — bag semantics are ANSI-pinned), aggregates include DISTINCT args
-  (exact on integers; the distinct-rewrite is its own planner path),
+  (exact on integers; the distinct-rewrite is its own planner path)
+  and the ANSI FILTER clause (filtered partial aggregation — COUNT ->
+  0, SUM/MIN/MAX -> NULL when nothing passes, pinned identically),
   join ON may carry a non-equi residual conjunct (ANSI outer-join ON
-  semantics), and GROUP BY may key on a computed expression repeated
-  verbatim in the select list (the ANSI-portable form).
+  semantics), FROM may chain THREE tables with mixed join types (the
+  reorderer / outer-join-elimination surface; all names stay
+  table-qualified since a/ab share column names), window shapes add
+  LAG/LEAD (implicit-NULL default) and NTILE over a TOTAL order, and
+  GROUP BY may key on a computed expression repeated verbatim in the
+  select list (the ANSI-portable form).
 - output aliases (o*/g*/m*/k*/w*) NEVER shadow a source column name:
   the fuzzer's first sweep with shadowing aliases (c0/c1/c2 over table
   c) caught a REAL wrong-results bug in this Spark build —
@@ -144,7 +150,14 @@ class QueryGen:
         if self.rng.random() < 0.55:
             t = self.rng.choice(list(TABLES))
             return t, list(TABLES[t])
-        t1, t2 = self.rng.sample(list(TABLES), 2)
+        three = self.rng.random() < 0.3
+        if three:
+            # 3-way chain: join ORDER and TYPE mix is where CBO's
+            # reorderer and the outer-join-elimination rules live —
+            # all names stay table-qualified (a/ab share column names)
+            t1, t2, t3 = self.rng.sample(list(TABLES), 3)
+        else:
+            t1, t2 = self.rng.sample(list(TABLES), 2)
         c1 = self.rng.choice(TABLES[t1])
         c2 = self.rng.choice(TABLES[t2])
         jt = self.rng.choice(_JOINS)
@@ -157,7 +170,18 @@ class QueryGen:
             # outer-join ON semantics, and the non-equi residual
             # exercises a different physical-join selection
             on = f"{on} AND {self._pred(cols, 2)}"
-        return (f"{t1} {jt} {t2} ON {on}", cols)
+        frm = f"{t1} {jt} {t2} ON {on}"
+        if three:
+            jt3 = self.rng.choice(_JOINS)
+            # the third ON keys against either prior table
+            tl = self.rng.choice([t1, t2])
+            on3 = (
+                f"{tl}.{self.rng.choice(TABLES[tl])} = "
+                f"{t3}.{self.rng.choice(TABLES[t3])}"
+            )
+            cols += [f"{t3}.{c}" for c in TABLES[t3]]
+            frm = f"{frm} {jt3} {t3} ON {on3}"
+        return frm, cols
 
     # -- IN/EXISTS subqueries (ANSI-pinned semantics) --------------------
     def _subquery_pred(self, cols: list[str]) -> str:
@@ -248,7 +272,14 @@ class QueryGen:
                     arg = f"DISTINCT {self._col(cols)}"
                 else:
                     arg = self._expr(cols, 1)
-                agg_exprs.append(f"CAST({fn}({arg}) AS BIGINT)")
+                filt = ""
+                if self.rng.random() < 0.2 and "DISTINCT" not in arg:
+                    # ANSI aggregate FILTER clause — its own planner
+                    # path (filtered partial aggregation); COUNT -> 0,
+                    # SUM/MIN/MAX -> NULL when nothing passes, pinned
+                    # identically on both engines
+                    filt = f" FILTER (WHERE {self._pred(cols, 2)})"
+                agg_exprs.append(f"CAST({fn}({arg}){filt} AS BIGINT)")
                 sel.append(f"{agg_exprs[-1]} AS m{i}")
             if self.rng.random() < 0.4:
                 having = (
@@ -270,13 +301,14 @@ class QueryGen:
         cols = TABLES[t]
         sel = [f"CAST({c} AS BIGINT) AS k{i}" for i, c in enumerate(cols)]
         part = self.rng.choice(cols)
-        if self.rng.random() < 0.6:
+        r = self.rng.random()
+        if r < 0.45:
             fn = self.rng.choice(_AGGS)
             arg = "*" if fn == "count" else self._expr(cols, 1)
             sel.append(
                 f"CAST({fn}({arg}) OVER (PARTITION BY {part}) AS BIGINT) AS w0"
             )
-        else:
+        elif r < 0.7:
             # total order: every column, explicit NULLS FIRST on each
             # (Spark and DuckDB disagree on the default)
             order = ", ".join(f"{c} NULLS FIRST" for c in cols)
@@ -284,6 +316,21 @@ class QueryGen:
                 f"ROW_NUMBER() OVER (PARTITION BY {part} "
                 f"ORDER BY {order}) AS w0"
             )
+        else:
+            # navigation/bucketing over a TOTAL order (deterministic:
+            # no full-row duplicates, explicit NULLS FIRST): LAG/LEAD
+            # with the implicit-NULL default, NTILE with tie-free input
+            order = ", ".join(f"{c} NULLS FIRST" for c in cols)
+            kind = self.rng.choice(["lag", "lead", "ntile"])
+            if kind == "ntile":
+                w = f"NTILE({self.rng.randint(2, 5)}) OVER (ORDER BY {order})"
+            else:
+                off = self.rng.randint(1, 3)
+                w = (
+                    f"{kind}(CAST({self.rng.choice(cols)} AS BIGINT), {off}) "
+                    f"OVER (ORDER BY {order})"
+                )
+            sel.append(f"CAST({w} AS BIGINT) AS w0")
         where = f" WHERE {self._pred(cols, 1)}" if self.rng.random() < 0.4 else ""
         return f"SELECT {', '.join(sel)} FROM {t}{where}"
 
