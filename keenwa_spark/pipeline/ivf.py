@@ -265,10 +265,19 @@ def ivf_search(
     vec_col: str = "embedding",
     train_rows: int = TRAIN_ROWS,
     assign_backend: str = "auto",
+    cents: Cents | None = None,
 ) -> DataFrame:
     """Train + probe: top-k cosine neighbors from the query's nprobe
-    nearest cells. Output (query_id, neighbor_id, cos_sim, rnk)."""
-    cents = _train(emb, k_cells, iters, id_col, vec_col, train_rows)
+    nearest cells. Output (query_id, neighbor_id, cos_sim, rnk).
+
+    ``cents``: a prebuilt quantizer (ivf_train output rows as the
+    driver-side list, or ivf_load) — skips the fit entirely, the
+    production pattern (train once on a bounded sample, save, search
+    many times; refitting per search both wastes the sample collect
+    and, worse, silently re-derives cell ids against any stored
+    assignment). When given, k_cells/iters/train_rows are ignored."""
+    if cents is None:
+        cents = _train(emb, k_cells, iters, id_col, vec_col, train_rows)
     inverted = ivf_assign(emb, cents, id_col, vec_col, assign_backend)
 
     # nprobe nearest cells per query: sort the per-cell (dist, cid)

@@ -272,12 +272,18 @@ def pq_search(
     train_rows: int = TRAIN_ROWS,
     refine: int | None = None,
     encode_backend: str = "auto",
+    books: Books | None = None,
 ) -> DataFrame:
     """ADC top-k: train on the bounded sample, encode the corpus once
     (``encode_backend``: sql / numpy / auto — bit-identical, see
     _encode_vecs), precompute per-query distance tables on the
     broadcast query side, and scan codes with m lookups + a sequential
     fold per row.
+
+    ``books``: prebuilt codebooks (pq_train output or pq_load) — skips
+    the fit, the production pattern (train once, save, search many
+    times; refitting would re-derive positions against stored codes).
+    When given, m/k_codes/iters/train_rows are ignored.
 
     ``refine=None``: output (query_id, neighbor_id, adc_dist, rnk) —
     ranks carry PQ quantization error by construction (exactness of
@@ -294,7 +300,8 @@ def pq_search(
     exact pass over the bounded shortlist."""
     if refine is not None and refine < topk:
         raise ValueError(f"refine={refine} must be >= topk={topk}")
-    books = pq_train(emb, m, k_codes, iters, id_col, vec_col, train_rows)
+    if books is None:
+        books = pq_train(emb, m, k_codes, iters, id_col, vec_col, train_rows)
     d = len(books[0][0][1])
     enc = pq_encode(emb, books, id_col, vec_col, encode_backend)
     qt = (
@@ -412,6 +419,7 @@ def ivfpq_search(
     train_rows: int = TRAIN_ROWS,
     refine: int | None = None,
     encode_backend: str = "auto",
+    model: "tuple[Cents, Books] | None" = None,
 ) -> DataFrame:
     """IVF-pruned, residual-PQ-compressed ADC top-k — the composed
     production ANN shape (ivf.py prunes WHICH cells are scanned, this
@@ -429,15 +437,21 @@ def ivfpq_search(
       join on cid); top-k is a bounded window over candidates.
 
     ``refine=N`` re-ranks the ADC shortlist by exact L2 (same
-    _emit_topk tail as pq_search)."""
+    _emit_topk tail as pq_search). ``model``: a prebuilt
+    (cents, books) pair from ivfpq_train — skips both fits (train
+    once, save via ivf_save + pq_save, search many times); when given,
+    k_cells/m/k_codes/iters/train_rows are ignored."""
     from keenwa_spark.pipeline.ivf import _CELL_DISTS, _with_cells, ivf_assign
 
     if refine is not None and refine < topk:
         raise ValueError(f"refine={refine} must be >= topk={topk}")
     spark = emb.sparkSession
-    cents, books = ivfpq_train(
-        emb, k_cells, m, k_codes, iters, id_col, vec_col, train_rows
-    )
+    if model is not None:
+        cents, books = model
+    else:
+        cents, books = ivfpq_train(
+            emb, k_cells, m, k_codes, iters, id_col, vec_col, train_rows
+        )
     d = len(books[0][0][1])
     cells_kv = spark.createDataFrame(
         [(cid, cv) for cid, cv in cents], "cid INT, cv ARRAY<DOUBLE>"

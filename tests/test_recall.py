@@ -432,3 +432,44 @@ class TestPqEncodeBackends:
         a = {r.vid: r.codes for r in pq_encode(cemb, books).collect()}
         b = {r.vid: r.codes for r in pq_encode(cemb, loaded).collect()}
         assert a == b
+
+    def test_prebuilt_model_reuse_skips_refit_and_matches(self, cemb, tmp_path):
+        """The production pattern: fit once, persist, search many times
+        with the stored model — results must be IDENTICAL to the
+        fit-inline path for all three searchers (pq, ivf, ivfpq), and
+        the roundtrip through parquet must not perturb them."""
+        from keenwa_spark.pipeline.ivf import ivf_load, ivf_save, ivf_search, _train
+        from keenwa_spark.pipeline.pq import (
+            ivfpq_search,
+            ivfpq_train,
+            pq_load,
+            pq_save,
+            pq_search,
+            pq_train,
+        )
+
+        spark = cemb.sparkSession
+        q = cemb.filter("vec_id < 10")
+
+        books = pq_train(cemb, m=4, k_codes=8)
+        pq_save(spark, books, str(tmp_path / "b"))
+        inline = sorted(map(tuple, pq_search(cemb, q, m=4, k_codes=8).collect()))
+        reused = sorted(map(tuple, pq_search(
+            cemb, q, books=pq_load(spark, str(tmp_path / "b"))
+        ).collect()))
+        assert inline == reused
+
+        cents = _train(cemb, 8, 2, "vec_id", "embedding")
+        ivf_save(spark, cents, str(tmp_path / "c"))
+        inline = sorted(map(tuple, ivf_search(cemb, q, k_cells=8).collect()))
+        reused = sorted(map(tuple, ivf_search(
+            cemb, q, cents=ivf_load(spark, str(tmp_path / "c"))
+        ).collect()))
+        assert inline == reused
+
+        model = ivfpq_train(cemb, k_cells=4, m=4, k_codes=8)
+        inline = sorted(map(tuple, ivfpq_search(
+            cemb, q, k_cells=4, m=4, k_codes=8
+        ).collect()))
+        reused = sorted(map(tuple, ivfpq_search(cemb, q, model=model).collect()))
+        assert inline == reused
