@@ -87,19 +87,27 @@ def this_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def load_prev_round() -> tuple[int | None, dict[str, float], float | None]:
+def load_prev_round() -> tuple[
+    int | None, dict[str, float], float | None, float | None
+]:
     """Latest COMPLETED round with usable per-query timings: (round
-    number, per-query seconds, control median if that round recorded
-    one — the A/B reference for the probe). The in-flight round's own
-    detail file (written by earlier bench runs this session) is
-    excluded so "vs prev" never degenerates into self-comparison."""
+    number, per-query seconds, throughput-control median, micro-control
+    median — the probes' A/B references; either may be None when that
+    round didn't record it). The in-flight round's own detail file
+    (written by earlier bench runs this session) is excluded so "vs
+    prev" never degenerates into self-comparison."""
     cur = this_round()
     bodies = {n: b for n, b in round_bodies().items() if n < cur}
     if not bodies:
-        return None, {}, None
+        return None, {}, None, None
     n = max(bodies)
     body = bodies[n]
-    return n, dict(body.get("queries") or {}), body.get("control_median_sec")
+    return (
+        n,
+        dict(body.get("queries") or {}),
+        body.get("control_median_sec"),
+        body.get("control_micro_median_sec"),
+    )
 
 
 def probe_watchlist(prev_n: int | None) -> set[str]:
@@ -253,7 +261,7 @@ def main() -> None:
     # regression gate: diff against the previous round's recorded bench
     # and flag >REGRESSION_RATIO slowdowns loudly (perf losses must be
     # caught before snapshot, not by the judge)
-    prev_n, prev_q, prev_control = load_prev_round()
+    prev_n, prev_q, prev_control, prev_micro = load_prev_round()
     regressions: dict[str, float] = {}
     probe_set: set[str] = set()
     common_now = common_prev = 0.0
@@ -279,7 +287,11 @@ def main() -> None:
     # self-adjudicating probe (VERDICT r06 item 1): interleaved A/B
     # runs against the pinned control for every flagged query, plus
     # last round's watchlist, so drift vs regression needs no prose
-    from tools.perf_probe import probe, session_control_median
+    from tools.perf_probe import (
+        probe,
+        session_control_median,
+        session_micro_median,
+    )
 
     probe_set |= probe_watchlist(prev_n) & set(registry)
     probes: dict[str, dict] = {}
@@ -290,9 +302,14 @@ def main() -> None:
             lambda: fn(spark, sf_dir).count(),
             prev_q.get(name),
             prev_control,
+            micro_ref=prev_micro,
         )
         print(f"# probe {name}: {json.dumps(probes[name])}", file=sys.stderr)
     control_med = session_control_median(spark)
+    # per-job-overhead control (recorded so the NEXT round's probes
+    # get the micro A/B ref — the axis the r9 drift analysis showed
+    # the throughput control misses on short queries)
+    control_micro = session_micro_median(spark)
 
     # absolute yardstick: DuckDB wall-clock of the same oracle SQL on
     # the same box/files for the TPC-H-shape rows (context, not a gate)
@@ -325,6 +342,7 @@ def main() -> None:
         "vs_prev_common_ratio": vs_prev,
         "regressions": regressions,
         "control_median_sec": control_med,
+        "control_micro_median_sec": control_micro,
         "probe": probes,
         "duckdb": {
             "queries_sec": duck,

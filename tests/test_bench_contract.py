@@ -65,8 +65,10 @@ def test_prev_round_prefers_detail_and_excludes_inflight():
     usable queries — with BENCH_DETAIL_r08.json committed that is 8
     (rounds 7-8 driver files are parsed: null), never this round's own
     in-flight detail file."""
-    n, q, c = bench.load_prev_round()
+    n, q, c, micro = bench.load_prev_round()
     assert n == 8
     assert len(q) >= 30
     assert c is not None
+    # round 8 predates the micro control; the axis activates from r10
+    assert micro is None
     assert n < bench.this_round()

@@ -97,38 +97,88 @@ def control_run(spark) -> float:
     return time.time() - t0
 
 
+def control_micro_run(spark) -> float:
+    """Per-JOB overhead control: three tiny multi-stage jobs (shuffle +
+    global window + collect over ~1k synthetic rows). Measures
+    scheduler / JVM / GC latency, which DOMINATES sub-second queries
+    and which the throughput control above cannot see — the round-9
+    finding: late-session suite median moved 1.13x while control_run
+    moved only 1.04x, and the top movers were the SHORTEST queries
+    (win_topn_per_group 0.17->0.28s), i.e. fixed per-job overhead
+    drift, not compute throughput. Touches no repo code."""
+    from pyspark.sql.window import Window
+
+    t0 = time.time()
+    for _ in range(3):
+        (
+            spark.range(0, 1_000)
+            .select(
+                (F.col("id") % 7).alias("k"), (F.col("id") % 13).alias("v")
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy(F.lit(1)).orderBy("s", "k")
+                ),
+            )
+            .collect()
+        )
+    return time.time() - t0
+
+
 def probe(
     spark,
     thunk,
     prev_seconds: float | None,
     control_ref: float | None = None,
     runs: int = PROBE_RUNS,
+    micro_ref: float | None = None,
 ) -> dict:
     """Interleave ``runs`` control runs with ``runs`` query runs
     (control first, so each query run is preceded by a fresh box
-    sample) and adjudicate against ``prev_seconds``."""
+    sample) and adjudicate against ``prev_seconds``.
+
+    ``micro_ref``: the previous round's recorded per-job-overhead
+    control median (control_micro_run). When present, hotness is the
+    MAX of the throughput and micro axes — either resource being hot
+    excuses a flag. Rounds before 9 recorded no micro control, so the
+    axis activates once an A/B ref exists (never from a pinned
+    constant: a ref calibrated on an already-hot box would understate
+    every future hotness)."""
     ref = control_ref or CONTROL_REF
     control_run(spark)  # warm the control's codegen path (not timed)
     qts: list[float] = []
     cts: list[float] = []
+    mts: list[float] = []
     for _ in range(runs):
         cts.append(control_run(spark))
+        if micro_ref:
+            mts.append(control_micro_run(spark))
         t0 = time.time()
         thunk()
         qts.append(time.time() - t0)
     min_q = min(qts)
     med_c = statistics.median(cts)
+    hot = med_c / ref
     out = {
         "min_sec": round(min_q, 3),
         "median_sec": round(statistics.median(qts), 3),
         "runs_sec": [round(t, 3) for t in qts],
         "control_median_sec": round(med_c, 3),
         "control_ref_sec": round(ref, 3),
-        "hotness": round(med_c / ref, 3),
     }
+    if micro_ref:
+        med_m = statistics.median(mts)
+        out["control_micro_median_sec"] = round(med_m, 3)
+        out["control_micro_ref_sec"] = round(micro_ref, 3)
+        out["hotness_micro"] = round(med_m / micro_ref, 3)
+        hot = max(hot, med_m / micro_ref)
+    out["hotness"] = round(hot, 3)
     if prev_seconds:
         ratio = min_q / prev_seconds
-        ratio_norm = ratio / max(med_c / ref, 1.0)
+        ratio_norm = ratio / max(hot, 1.0)
         out.update(
             {
                 "prev_sec": prev_seconds,
@@ -149,6 +199,16 @@ def session_control_median(spark, runs: int = PROBE_RUNS) -> float:
     return round(statistics.median(control_run(spark) for _ in range(runs)), 3)
 
 
+def session_micro_median(spark, runs: int = PROBE_RUNS) -> float:
+    """Median per-job-overhead control time of this session (recorded
+    alongside the throughput control so the NEXT round's probes get
+    the micro A/B reference — see probe())."""
+    control_micro_run(spark)  # warmup (not timed)
+    return round(
+        statistics.median(control_micro_run(spark) for _ in range(runs)), 3
+    )
+
+
 def main() -> None:
     import json
 
@@ -162,7 +222,7 @@ def main() -> None:
 
     import bench
 
-    _, prev_q, prev_control = bench.load_prev_round()
+    _, prev_q, prev_control, prev_micro = bench.load_prev_round()
     results = {}
     for name in sys.argv[1:]:
         fn = registry[name].fn
@@ -171,6 +231,7 @@ def main() -> None:
             lambda: fn(spark, sf_dir).count(),
             prev_q.get(name),
             prev_control,
+            micro_ref=prev_micro,
         )
         print(f"# {name}: {json.dumps(results[name])}", file=sys.stderr)
     print(json.dumps(results))
