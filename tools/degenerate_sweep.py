@@ -62,6 +62,8 @@ EXPECTED = {
         "pl_ann_ivf_topk": "documented loud trainer error on empty corpus",
         "pl_ann_pq_adc_topk": "documented loud trainer error on empty corpus",
         "pl_ann_pq_refined_topk": "documented loud trainer error on empty corpus",
+        "pl_ann_ivfpq_topk": "documented loud trainer error on empty corpus",
+        "pl_ann_ivfpq_refined_topk": "documented loud trainer error on empty corpus",
     },
     "one": {
         "agg_rollup_hierarchy": "pinned Spark bug via join-emptied input",
@@ -70,6 +72,8 @@ EXPECTED = {
         "pl_ann_ivf_topk": "documented loud trainer error (all vectors NULL)",
         "pl_ann_pq_adc_topk": "documented loud trainer error (all vectors NULL)",
         "pl_ann_pq_refined_topk": "documented loud trainer error (all vectors NULL)",
+        "pl_ann_ivfpq_topk": "documented loud trainer error (all vectors NULL)",
+        "pl_ann_ivfpq_refined_topk": "documented loud trainer error (all vectors NULL)",
     },
     "dup": {},
 }
