@@ -45,6 +45,11 @@ Dialect confinement rules (each prevents a known cross-engine trap):
   LAG/LEAD (implicit-NULL default) and NTILE over a TOTAL order, and
   GROUP BY may key on a computed expression repeated verbatim in the
   select list (the ANSI-portable form).
+- set-op sides may be JOINED two-table selects (the dedup/anti rewrite
+  above join output — the pinned ReplaceExceptWithFilter bug's exact
+  neighborhood), chains may go three-way with EXPLICIT parens (bare
+  INTERSECT precedence is not portable), and a grouped aggregate may
+  consume a set-op derived table.
 - output aliases (o*/g*/m*/k*/w*) NEVER shadow a source column name:
   the fuzzer's first sweep with shadowing aliases (c0/c1/c2 over table
   c) caught a REAL wrong-results bug in this Spark build —
@@ -425,22 +430,63 @@ class QueryGen:
         if r < 0.36:
             return self._grouping_select()
         if r < 0.42:
-            # set op: two projections of the SAME table/columns so the
-            # arity and types line up by construction
-            t = self.rng.choice(list(TABLES))
-            cols = TABLES[t]
-            n_out = self.rng.randint(1, len(cols))
-            picked = self.rng.sample(cols, n_out)
-            sel = ", ".join(
-                f"CAST({c} AS BIGINT) AS o{i}" for i, c in enumerate(picked)
-            )
-            p1, p2 = self._pred(cols, 1), self._pred(cols, 1)
-            op = self.rng.choice(_SETOPS)
+            return self._setop_select()
+        if r < 0.46:
+            # aggregate OVER a set-op result (derived table) — the
+            # setop's distinct/anti rewrites feed a grouped aggregate,
+            # the composition where ReplaceExceptWithFilter-style
+            # rewrites meet aggregate pushdown
+            inner = self._setop_select()
+            fn = self.rng.choice(_AGGS)
             return (
-                f"SELECT {sel} FROM {t} WHERE {p1} "
-                f"{op} SELECT {sel} FROM {t} WHERE {p2}"
+                f"SELECT o0 AS g0, CAST({fn}(o0) AS BIGINT) AS m0, "
+                f"CAST(COUNT(*) AS BIGINT) AS m1 "
+                f"FROM ({inner}) AS t GROUP BY o0"
             )
         return self._select()
+
+    def _setop_select(self) -> str:
+        """Set operation with three escalating side shapes: (a) two
+        filtered projections of the same table (arity/types align by
+        construction); (b) sides drawn from a JOINED two-table FROM —
+        the setop's dedup/anti rewrite now sits above join output,
+        where column-lineage rewrites have historically broken (the
+        pinned ReplaceExceptWithFilter bug lived exactly here); (c) a
+        parenthesized three-way chain mixing two operators (explicit
+        parens — ANSI INTERSECT precedence is not portable bare)."""
+        t = self.rng.choice(list(TABLES))
+        cols = TABLES[t]
+        n_out = self.rng.randint(1, len(cols))
+        picked = self.rng.sample(cols, n_out)
+        sel = ", ".join(
+            f"CAST({c} AS BIGINT) AS o{i}" for i, c in enumerate(picked)
+        )
+        op = self.rng.choice(_SETOPS)
+        shape = self.rng.random()
+        if shape < 0.3:
+            # (b) joined sides: same join FROM both sides, different
+            # residual predicates; project the same n_out columns
+            frm, jcols = self._from()
+            jpicked = self.rng.sample(jcols, min(n_out, len(jcols)))
+            jsel = ", ".join(
+                f"CAST({c} AS BIGINT) AS o{i}" for i, c in enumerate(jpicked)
+            )
+            p1, p2 = self._pred(jcols, 1), self._pred(jcols, 1)
+            return (
+                f"SELECT {jsel} FROM {frm} WHERE {p1} "
+                f"{op} SELECT {jsel} FROM {frm} WHERE {p2}"
+            )
+        p1, p2 = self._pred(cols, 1), self._pred(cols, 1)
+        two = (
+            f"SELECT {sel} FROM {t} WHERE {p1} "
+            f"{op} SELECT {sel} FROM {t} WHERE {p2}"
+        )
+        if shape < 0.55:
+            # (c) three-way chain, explicitly parenthesized
+            op2 = self.rng.choice(_SETOPS)
+            p3 = self._pred(cols, 1)
+            return f"({two}) {op2} SELECT {sel} FROM {t} WHERE {p3}"
+        return two
 
 
 def run_fuzz(spark, duck, seed: int, n: int) -> list[dict]:
