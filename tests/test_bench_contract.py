@@ -60,15 +60,80 @@ def test_compact_line_survives_pathological_growth():
         assert key in body
 
 
-def test_prev_round_prefers_detail_and_excludes_inflight():
+def _write(d, name: str, body) -> None:
+    (d / name).write_text(json.dumps(body))
+
+
+def test_prev_round_prefers_detail_and_excludes_inflight(tmp_path, monkeypatch):
     """load_prev_round must resolve to the latest COMPLETED round with
-    usable queries — with BENCH_DETAIL_r08.json committed that is 8
-    (rounds 7-8 driver files are parsed: null), never this round's own
-    in-flight detail file."""
-    n, q, c, micro = bench.load_prev_round()
-    assert n == 8
-    assert len(q) >= 30
-    assert c is not None
-    # round 8 predates the micro control; the axis activates from r10
+    usable queries — the detail file wins over a parsed:null driver
+    file for the same round, and this round's own in-flight detail
+    file never feeds the comparison. Hermetic: a synthetic
+    BENCH_r*/BENCH_DETAIL_r* file set under tmp_path (VERDICT r09
+    item 1 — the old version asserted live repo state and broke the
+    moment the driver wrote the next BENCH file)."""
+    monkeypatch.setattr(bench, "BENCH_DIR", str(tmp_path))
+    q = {f"q{i}": 1.0 + i for i in range(31)}
+    # round 6: driver file with inline parsed queries (pre-detail era)
+    _write(tmp_path, "BENCH_r06.json", {"parsed": {"queries": {"old": 9.9}}})
+    # round 7: the blanked-capture shape — parsed: null, no detail
+    _write(tmp_path, "BENCH_r07.json", {"parsed": None})
+    # round 8: driver file parsed:null BUT a committed detail file,
+    # with both controls recorded
+    _write(tmp_path, "BENCH_r08.json", {"parsed": None})
+    _write(
+        tmp_path,
+        "BENCH_DETAIL_r08.json",
+        {
+            "queries": q,
+            "control_median_sec": 0.95,
+            "control_micro_median_sec": 0.61,
+        },
+    )
+    # driver has written r08 -> the in-flight round is 9
+    assert bench.this_round() == 9
+    # an in-flight detail file for round 9 (earlier bench run this
+    # session) must NOT become "prev"
+    _write(tmp_path, "BENCH_DETAIL_r09.json", {"queries": {"self": 1.0}})
+
+    n, prev_q, c, micro = bench.load_prev_round()
+    assert n == bench.this_round() - 1 == 8
+    assert prev_q == q
+    assert c == 0.95
+    assert micro == 0.61
+
+
+def test_prev_round_skips_unparseable_rounds(tmp_path, monkeypatch):
+    """A parsed:null driver file with no detail file is not a usable
+    round — prev must fall back to the latest round with queries."""
+    monkeypatch.setattr(bench, "BENCH_DIR", str(tmp_path))
+    _write(
+        tmp_path,
+        "BENCH_r06.json",
+        {"parsed": {"queries": {"a": 1.0}, "control_median_sec": 0.9}},
+    )
+    _write(tmp_path, "BENCH_r07.json", {"parsed": None})
+    assert bench.this_round() == 8
+    n, prev_q, c, micro = bench.load_prev_round()
+    assert n == 6
+    assert prev_q == {"a": 1.0}
+    assert c == 0.9
+    # round 6 predates the micro control — absent, not an error
     assert micro is None
+
+
+def test_prev_round_empty_dir(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "BENCH_DIR", str(tmp_path))
+    assert bench.this_round() == 1
+    assert bench.load_prev_round() == (None, {}, None, None)
+
+
+def test_live_repo_invariants():
+    """The only live-state assertions we keep are relations that hold
+    by construction in ANY repo state: prev (if any) is a completed
+    round strictly before this one, with self-consistent contents."""
+    n, q, c, _micro = bench.load_prev_round()
+    if n is None:
+        return
     assert n < bench.this_round()
+    assert q, "a usable prev round must carry per-query timings"
