@@ -119,64 +119,69 @@ def df_query(
 #: for the next never-witnessed batch (tools/gen_inventory.py prints
 #: the remaining names).
 DRIVER_PREFIX = (
-    # --- sentinels (stay every round; driver-witnessed r1-r8).
-    # q6_forecast_revenue serves as the TPC-H sentinel this round
-    # (q1/q3/q5/q10/q18 all hold r1-r8 rows) so its slot could go to
-    # the round-9 refined-IVFPQ row.
+    # --- sentinels (stay every round; driver-witnessed r1-r9)
     "flagship_top_customers",
     "join_inner",
     "agg_group_having",
     "win_topn_per_group",
-    # --- round 8/9 additions, never witnessed (VERDICT r08 priority)
-    "pl_dsir_weights",
-    "pl_dsir_select",
-    "pl_ann_pq_adc_topk",
-    "pl_ann_pq_refined_topk",
-    "pl_ann_ivfpq_topk",
-    "pl_ann_ivfpq_refined_topk",
-    "pl_mmr_rerank",
-    "pl_mmr_rerank_grouped",
-    "op_zorder_key",
-    # --- the 12 streaming-batch mirrors, never witnessed
-    "st_session_stats",
-    "st_dedup",
-    "st_enrich",
-    "st_interval_join",
-    "st_rollup_day",
-    "st_user_state",
-    "st_rollup_refresh",
-    "st_sketch_distinct",
-    "st_anomaly",
-    "st_ohlc",
-    "st_upsert_state",
-    "st_asof",
-    # --- TPC-H, never witnessed (q1/q3/q5/q10/q18 have driver rows)
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_priority_classes",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_relation",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_sales_opportunity",
-    # --- bench-headline / perf-watchlist rows, never witnessed
-    "op_hypertable_rollup",
-    "op_interval_overlap",
-    "pl_corpus_curation",
-    "pl_training_data_flow",
-    "ev_spend_gini",
-    "ev_type_cooccurrence",
-    "pl_chunk_pack_fused",
-    "pl_lm_surprisal",
+    # --- round-10 rotation (VERDICT r09 item 2): 46 never-witnessed
+    # names, priority to the remaining pl_* pipeline rows and the
+    # expr_*/fn_* expression rows; 73 never-witnessed remain after
+    # this batch (r11/r12 close them out).
+    # expression / function / ordering rows
+    "expr_map_ops",
+    "expr_higher_order",
+    "expr_try_arithmetic",
+    "expr_bitwise",
+    "expr_array_setops",
+    "fn_datetime_extended",
+    "fn_strings_regex",
+    "fn_url_parse",
+    "order_nulls_placement",
+    # the three bench-headline rows still unwitnessed
+    "pl_sketch_distinct_bounds",
+    "pl_shard_manifest",
+    "pl_search_topk",
+    # text analysis
+    "pl_text_stats",
+    "pl_language_id",
+    "pl_token_counts",
+    "pl_text_fingerprint",
+    "pl_pii_redact",
+    # multimodal (real PNG/Y4M/PCM codecs behind mapInPandas)
+    "pl_image_resize_stats",
+    "pl_video_frames",
+    "pl_audio_pcm_features",
+    "pl_multimodal_decode",
+    "pl_video_frame_sample",
+    # ANN / semantic search
+    "pl_ann_lsh_multiprobe",
+    "pl_semantic_dedup",
+    "pl_ann_filtered_topk",
+    "pl_hybrid_search_rrf",
+    # dedup / linkage
+    "pl_incremental_dedup",
+    "pl_lsh_verified_pairs",
+    "pl_dedup_keep_priority",
+    "pl_dedup_triangles",
+    "pl_golden_records",
+    "pl_ngram_containment",
+    "pl_fuzzy_decontaminate",
+    # sampling / packing / sharding
+    "pl_pack_sequences",
+    "pl_doc_chunks",
+    "pl_sample_hash",
+    "pl_token_budget",
+    "pl_sample_split",
+    "pl_sample_stratified",
+    "pl_weighted_sample",
+    "pl_domain_mixture",
+    # quality / features / sketches
+    "pl_quality_gates",
+    "pl_decontaminate",
+    "pl_tfidf_top_terms",
+    "pl_embed_quantize",
+    "pl_sketch_hll_merge",
 )
 
 
