@@ -14,6 +14,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -56,8 +57,37 @@ def session_scratch_dir(prefix: str) -> str:
     live = _SCRATCH_LIVE.setdefault(prefix, [])
     live.append(d)
     while len(live) > SCRATCH_KEEP:
-        shutil.rmtree(live.pop(0), ignore_errors=True)
+        _reclaim(live.pop(0))
     return d
+
+
+def _reclaim(d: str) -> None:
+    """Reclaim an out-of-contract scratch generation DIAGNOSABLY
+    (ADVICE r09): a still-unmaterialized DataFrame over this store
+    would otherwise fail lazily with a bare missing-path error at
+    action time. Warn at reclaim time naming the dir and the knob, and
+    leave a tombstone file in the emptied dir so anyone inspecting the
+    missing-path error's parent finds the contract by name."""
+    warnings.warn(
+        f"reclaiming scratch generation {d} (oldest beyond "
+        f"KEENWA_SCRATCH_KEEP={SCRATCH_KEEP}); any unmaterialized "
+        "DataFrame still reading it will fail at action time — raise "
+        "KEENWA_SCRATCH_KEEP to keep more generations live",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    try:
+        os.makedirs(d, exist_ok=True)
+        with open(
+            os.path.join(d, "RECLAIMED_RAISE_KEENWA_SCRATCH_KEEP"), "w"
+        ) as f:
+            f.write(
+                f"store reclaimed under KEENWA_SCRATCH_KEEP={SCRATCH_KEEP}; "
+                "raise the env var to keep more generations live\n"
+            )
+    except OSError:
+        pass  # tombstone is best-effort; the warning already fired
 
 
 def get_spark(app_name: str = "keenwa_spark", master: str | None = None) -> SparkSession:

@@ -254,3 +254,29 @@ def test_stream_asof_carries_state_across_batches(views, tmp_path_factory):
         for pid, vid in got.items()
         if vid is not None
     )
+
+
+class TestScratchReclaim:
+    """ADVICE r09: reclaiming a scratch generation must be diagnosable —
+    a RuntimeWarning naming the KEENWA_SCRATCH_KEEP contract at reclaim
+    time plus a tombstone file in the emptied dir (the lazy read error
+    alone is a bare missing-path)."""
+
+    def test_reclaim_warns_and_tombstones(self, monkeypatch):
+        import os
+        import warnings
+
+        import keenwa_spark.session as sess
+
+        monkeypatch.setattr(sess, "SCRATCH_KEEP", 2)
+        monkeypatch.setattr(sess, "_SCRATCH_LIVE", {})
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            dirs = [sess.session_scratch_dir("t_reclaim_") for _ in range(3)]
+        assert len(caught) == 1
+        assert caught[0].category is RuntimeWarning
+        assert "KEENWA_SCRATCH_KEEP" in str(caught[0].message)
+        assert dirs[0] in str(caught[0].message)
+        # oldest generation emptied but tombstoned; newer two intact
+        assert os.listdir(dirs[0]) == ["RECLAIMED_RAISE_KEENWA_SCRATCH_KEEP"]
+        assert os.path.isdir(dirs[1]) and os.path.isdir(dirs[2])
