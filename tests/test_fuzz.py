@@ -140,3 +140,48 @@ def test_known_spark_grouping_sets_empty_input_bug(spark):
         "SELECT a, COUNT(*) AS n FROM __gs_empty GROUP BY ROLLUP(a)"
     ).collect()
     assert [(r.a, r.n) for r in got] == [(None, 0)]  # the ANSI answer
+
+
+# ---------------------------------------------------------------------------
+# Builder-program fuzz (keenwa_spark/builder_fuzz.py — VERDICT r09 item 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_builder_fuzz_corpus_cross_engine(mini, duck, seed):
+    """Every generated builder PROGRAM (PlanBuilder calls on Spark)
+    must match its SQL rendering on DuckDB. Wider sweeps:
+    tools/builder_fuzz.py (2,000+ programs per round)."""
+    from keenwa_spark.builder_fuzz import run_builder_fuzz
+
+    mis = run_builder_fuzz(mini, duck, seed=seed, n=40)
+    assert mis == [], mis[:3]
+
+
+def test_builder_generator_is_deterministic():
+    from keenwa_spark.builder_fuzz import ProgramGen
+
+    a = [(p.sql, p.code, p.cols) for p in (ProgramGen(7).plan() for _ in range(20))]
+    b = [(p.sql, p.code, p.cols) for p in (ProgramGen(7).plan() for _ in range(20))]
+    assert a == b
+
+
+def test_builder_generator_covers_major_shapes():
+    """The program grammar actually emits every builder entry point the
+    randomized axis exists to cover (a generator collapsing to trivial
+    scans would make the clean sweeps vacuous)."""
+    from keenwa_spark.builder_fuzz import ProgramGen
+
+    gen = ProgramGen(11)
+    text = " ".join(p.code for p in (gen.plan() for _ in range(600)))
+    for shape in (
+        ".join_on(", ".join_using(", ".natural_join(", ".cross_join(",
+        ".exists(", ".not_exists(", ".in_subquery(", ".not_in_subquery(",
+        ".scalar_subquery(", ".aggregate_builder()", ".having(",
+        ".union(", ".union_all(", ".intersect(", ".intersect_all(",
+        ".except_(", ".except_all(", ".distinct()", ".distinct(on=",
+        ".window_aggregate(", ".order_by(", ".limit(", ".offset(",
+        ".with_alias(", ".hint(", "values(", "get(", "from_(", "empty(",
+        ".select(",
+    ):
+        assert shape in text, shape
