@@ -28,6 +28,8 @@ def make_clustered_embeddings(
     n_clusters: int = 20,
     noise: float = 0.35,
     seed: int = 7,
+    anisotropy: float = 0.0,
+    shared_basis: bool = False,
 ) -> DataFrame:
     """Mixture-of-Gaussians embedding table with the same schema as the
     testdata ``embeddings`` table: (vec_id BIGINT, embedding
@@ -39,12 +41,44 @@ def make_clustered_embeddings(
     text-embedding topic structure). Fully deterministic in ``seed``;
     vec_ids are round-robin over clusters so any ``vec_id < q`` query
     slice spans many clusters.
+
+    ``anisotropy`` > 0 makes the within-cluster noise ANISOTROPIC
+    (VERDICT r09 item 6): per-dim noise scales decay geometrically
+    with condition number ``kappa = 4**anisotropy * 4`` (energy
+    normalized so total noise variance matches the isotropic case),
+    then each cluster rotates that spectrum into its own random
+    orthogonal basis — residuals after a coarse quantizer are neither
+    iid nor axis-aligned, the regime real text-embedding corpora live
+    in and the one where an OPQ-style learned rotation can help PQ.
+    ``shared_basis=True`` uses ONE random basis for every cluster
+    (globally-aligned anisotropy — the only regime where a single
+    global rotation could help at all). ``anisotropy=0`` (default)
+    reproduces the original isotropic fixture BIT-EXACTLY (the extra
+    rng draws happen only when > 0, so every pinned recall floor
+    stands unchanged). Measured verdicts: tools/ivfpq_ceiling.py —
+    on BOTH variants anisotropy RAISES plain IVF-PQ recall (noise
+    energy concentrates, effective noise dimension drops) and a
+    global PCA/eigen-allocation rotation does not lift it under the
+    engine's deterministic 2-iteration trainer.
     """
     rng = np.random.default_rng(seed)
     centers = rng.standard_normal((n_clusters, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     labels = np.arange(n) % n_clusters
-    pts = centers[labels] + noise * rng.standard_normal((n, dim)) / np.sqrt(dim)
+    z = rng.standard_normal((n, dim))
+    if anisotropy > 0:
+        kappa = 4.0 ** anisotropy * 4.0
+        scales = kappa ** (-np.arange(dim) / (dim - 1))
+        scales *= np.sqrt(dim / (scales**2).sum())  # same total energy
+        if shared_basis:
+            q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+            z = (z * scales) @ q.T
+        else:
+            for c in range(n_clusters):
+                q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+                mask = labels == c
+                z[mask] = (z[mask] * scales) @ q.T
+    pts = centers[labels] + noise * z / np.sqrt(dim)
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),

@@ -473,3 +473,94 @@ class TestPqEncodeBackends:
         ).collect()))
         reused = sorted(map(tuple, ivfpq_search(cemb, q, model=model).collect()))
         assert inline == reused
+
+
+class TestIvfPqAnisotropic:
+    """VERDICT r09 item 6: the isotropic-fixture conclusions re-checked
+    on per-cluster ANISOTROPIC noise (scaled covariance rotated into a
+    random basis per cluster — the regime real embedding residuals
+    live in). Measured, fully deterministic: anisotropy RAISES plain
+    IVF-PQ recall (m=8: 0.40 -> 0.51, m=16: 0.51 -> 0.62; noise
+    energy concentrates, effective noise dimension drops), and the
+    OPQ-rotation study (tools/ivfpq_ceiling.py) shows a global
+    eigen-allocation rotation does NOT lift recall on either variant
+    (per-cluster bases can't be aligned by one rotation; even a
+    shared basis loses more to the degraded k-means init than
+    decorrelation buys) — shipping without OPQ is justified on both
+    fixture families."""
+
+    @pytest.fixture(scope="class")
+    def aemb(self, spark):
+        from keenwa_spark.pipeline.fixtures import make_clustered_embeddings
+
+        return make_clustered_embeddings(
+            spark, anisotropy=1.0
+        ).localCheckpoint(eager=True)
+
+    @pytest.fixture(scope="class")
+    def a_truth(self, aemb):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from keenwa_spark.pipeline.ivf import _as_vecs
+
+        q = _as_vecs(
+            aemb.filter(f"vec_id < {N_QUERIES}"), "vec_id", "embedding"
+        ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+        c = _as_vecs(aemb, "vec_id", "embedding").select(
+            F.col("vid").alias("neighbor_id"), F.col("v").alias("cv")
+        )
+        sq = (
+            "aggregate(zip_with(cv, qv, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS DOUBLE), (a, z) -> a + z)"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d").asc(), F.col("neighbor_id")
+        )
+        return (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("d", F.expr(sq))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(f"rnk <= {K}")
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+
+    def _recall(self, got, truth):
+        t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+        g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        return len(g & t) / len(t)
+
+    def test_aniso_floors_both_bit_budgets(self, aemb, a_truth):
+        from keenwa_spark.pipeline.pq import ivfpq_search, pq_search
+
+        queries = aemb.filter(f"vec_id < {N_QUERIES}")
+        for m, floor in ((8, 0.45), (16, 0.55)):  # measured 0.51 / 0.62 at NQ=20
+            plain = self._recall(
+                pq_search(aemb, queries, m=m, k_codes=64, topk=K), a_truth
+            )
+            composed = self._recall(
+                ivfpq_search(
+                    aemb, queries, k_cells=20, nprobe=2, m=m, k_codes=64, topk=K
+                ),
+                a_truth,
+            )
+            assert composed >= floor, (m, composed)
+            assert composed > plain, (m, plain, composed)
+
+    def test_isotropic_default_unchanged(self, spark):
+        """anisotropy=0 must reproduce the original fixture BIT-EXACTLY
+        (every pinned isotropic recall floor depends on it)."""
+        import numpy as np
+
+        from keenwa_spark.pipeline.fixtures import make_clustered_embeddings
+
+        a = make_clustered_embeddings(spark, n=50).collect()
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((20, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        labels = np.arange(50) % 20
+        pts = centers[labels] + 0.35 * rng.standard_normal((50, 64)) / np.sqrt(64)
+        want = [[float(x) for x in np.float32(pts[i])] for i in range(50)]
+        got = {r.vec_id: r.embedding for r in a}
+        assert all(got[i] == want[i] for i in range(50))
