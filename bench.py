@@ -115,6 +115,21 @@ def load_prev_round() -> tuple[
     )
 
 
+#: short queries the round-9 judge's cold-box run raw-flagged (VERDICT
+#: r09 item 5) — probed THIS round regardless of current timings so the
+#: first recorded micro-control reference (BENCH_DETAIL_r09:
+#: control_micro_median_sec) adjudicates the per-job-overhead axis
+#: instead of prose. Retire entries once their probe verdict is clean
+#: two rounds running.
+EXTRA_WATCHLIST = {
+    "op_interval_overlap",
+    "pl_lm_surprisal",
+    "pl_shard_manifest",
+    "op_snapshot_diff",
+    "pl_dsir_weights",
+}
+
+
 def probe_watchlist(prev_n: int | None) -> set[str]:
     """Queries whose PREVIOUS round already looked slow — recorded
     regressions plus anything whose r{N} time exceeded its r{N-1} time
@@ -298,7 +313,7 @@ def main() -> None:
         session_micro_median,
     )
 
-    probe_set |= probe_watchlist(prev_n) & set(registry)
+    probe_set |= (probe_watchlist(prev_n) | EXTRA_WATCHLIST) & set(registry)
     probes: dict[str, dict] = {}
     for name in sorted(probe_set):
         fn = registry[name].fn
