@@ -119,15 +119,19 @@ def df_query(
 #: for the next never-witnessed batch (tools/gen_inventory.py prints
 #: the remaining names).
 DRIVER_PREFIX = (
-    # --- sentinels (stay every round; driver-witnessed r1-r9)
+    # --- sentinels (stay every round; driver-witnessed r1-r9).
+    # q6_forecast_revenue stays as the TPC-H sentinel (all 22 TPC-H
+    # rows hold driver rows after r9; the invariant test keeps one in
+    # the window every round).
     "flagship_top_customers",
     "join_inner",
     "agg_group_having",
     "win_topn_per_group",
+    "q6_forecast_revenue",
     # --- round-10 rotation (VERDICT r09 item 2): 46 never-witnessed
-    # names, priority to the remaining pl_* pipeline rows and the
-    # expr_*/fn_* expression rows; 73 never-witnessed remain after
-    # this batch (r11/r12 close them out).
+    # names (45 plus the q6 sentinel), priority to the remaining pl_*
+    # pipeline rows and the expr_*/fn_* expression rows; 74
+    # never-witnessed remain after this batch (r11/r12 close them).
     # expression / function / ordering rows
     "expr_map_ops",
     "expr_higher_order",
@@ -180,7 +184,6 @@ DRIVER_PREFIX = (
     "pl_quality_gates",
     "pl_decontaminate",
     "pl_tfidf_top_terms",
-    "pl_embed_quantize",
     "pl_sketch_hll_merge",
 )
 
