@@ -78,9 +78,30 @@ MINI_TABLES: dict[str, tuple[str, list[tuple]]] = {
 
 
 def register_mini_catalog(spark) -> None:
-    """Register the mini tables as Spark temp views (idempotent)."""
+    """Register the mini tables as Spark temp views (idempotent).
+
+    Views are SQL ``VALUES`` LocalRelations, not ``createDataFrame``
+    results: the latter is a 32-partition Python-RDD relation whose
+    scans each spawn a worker per partition — a fuzz program chaining
+    two cross joins over such views multiplied partitions to 32^3 and
+    spent MINUTES scheduling no-op tasks (round-10 builder-fuzz
+    finding; same class as PlanBuilder.values). A LocalRelation scans
+    JVM-side in one partition and lets Catalyst constant-fold."""
     for name, (schema, rows) in MINI_TABLES.items():
-        spark.createDataFrame(rows, schema=schema).createOrReplaceTempView(name)
+        cols = [c.strip().split()[0] for c in schema.split(",")]
+        types = [c.strip().split()[1] for c in schema.split(",")]
+        vals = ", ".join(
+            "(" + ", ".join("NULL" if v is None else str(v) for v in row) + ")"
+            for row in rows
+        )
+        casts = ", ".join(
+            f"CAST(c{i} AS {t}) AS {n}"
+            for i, (n, t) in enumerate(zip(cols, types))
+        )
+        inner_names = ", ".join(f"c{i}" for i in range(len(cols)))
+        spark.sql(
+            f"SELECT {casts} FROM (VALUES {vals}) AS v({inner_names})"
+        ).createOrReplaceTempView(name)
 
 
 def duckdb_mini_catalog():

@@ -101,11 +101,41 @@ def test_generator_never_shadows_source_columns():
     "this pass, remove the xfail and re-allow shadowing aliases in "
     "the generator.",
 )
-def test_known_spark_except_swapped_alias_bug(mini, duck):
+def test_known_spark_except_swapped_alias_bug(mini, duck, tmp_path):
     """EXCEPT over two projections of table c whose aliases SWAP the
     source column names, right side filtered on a swapped name. ANSI
     (and DuckDB, and Spark's own anti-join path) removes the NULL-c1
-    row; Spark's filter-pushdown rewrite keeps it."""
+    row; Spark's filter-pushdown rewrite keeps it.
+
+    The repro is pinned against a PARQUET-backed view: the bug is
+    input-representation-dependent — when the round-10 mini catalog
+    moved to VALUES LocalRelations, this repro silently went green
+    (Catalyst evaluates the LocalRelation sides before the broken
+    rewrite can transplant the filter) while the SAME query over a
+    parquet or RDD-backed relation (i.e., every real table) still
+    returns the wrong row. Verified on all three representations
+    2026-08-15."""
+    path = str(tmp_path / "c_parquet")
+    mini.table("c").write.mode("overwrite").parquet(path)
+    mini.read.parquet(path).createOrReplaceTempView("c_pq")
+    sql_s = (
+        "SELECT CAST(c2 AS BIGINT) AS c1, CAST(c1 AS BIGINT) AS c2 FROM c_pq "
+        "EXCEPT "
+        "SELECT CAST(c2 AS BIGINT) AS c1, CAST(c1 AS BIGINT) AS c2 FROM c_pq "
+        "WHERE CAST(c1 AS BIGINT) IS NULL"
+    )
+    sql_d = sql_s.replace("c_pq", "c")
+    got = cf.canon_rows([tuple(r) for r in mini.sql(sql_s).collect()], False)
+    want = cf.canon_rows(duck.execute(sql_d).fetchall(), False)
+    assert want == [(100, 1), (300, 3), (700, 7)]  # the ANSI answer
+    assert got == want
+
+
+def test_except_swapped_alias_correct_on_local_relation(mini, duck):
+    """The SAME swapped-alias EXCEPT is CORRECT over the mini catalog's
+    VALUES LocalRelation views — pinning the representation boundary
+    of the bug above (and guarding the catalog representation: if
+    this regresses, the whole corpus runs on the buggy path)."""
     sql = (
         "SELECT CAST(c2 AS BIGINT) AS c1, CAST(c1 AS BIGINT) AS c2 FROM c "
         "EXCEPT "
@@ -114,8 +144,7 @@ def test_known_spark_except_swapped_alias_bug(mini, duck):
     )
     got = cf.canon_rows([tuple(r) for r in mini.sql(sql).collect()], False)
     want = cf.canon_rows(duck.execute(sql).fetchall(), False)
-    assert want == [(100, 1), (300, 3), (700, 7)]  # the ANSI answer
-    assert got == want
+    assert got == want == [(100, 1), (300, 3), (700, 7)]
 
 
 @pytest.mark.xfail(
