@@ -258,3 +258,19 @@ def test_hint_pins_physical_join_strategy(b):
     ).build()
     s_b = summarize(bcast)
     assert s_b.broadcast_joins >= 1 and s_b.sort_merge_joins == 0
+
+
+def test_values_compiles_to_local_relation(b):
+    """Scalar inline rows must produce a JVM LocalRelation
+    (LocalTableScan), never the 32-partition Python-RDD relation whose
+    per-partition worker round trips cost ~25s under a join (the
+    round-10 builder-fuzz finding). Non-scalar cells keep the
+    createDataFrame fallback."""
+    df = b.values([(1, "x", None), (2, "y", 3.5)], "id INT, tag STRING, v DOUBLE").build()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    # declared types are honored even for all-NULL cells
+    assert df.schema.simpleString() == "struct<id:int,tag:string,v:double>"
+    # fallback path: complex cells still work (and still round-trip)
+    arr = b.new_query().values([([1, 2],)], "xs ARRAY<INT>").build()
+    assert arr.collect()[0].xs == [1, 2]
