@@ -26,6 +26,26 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     seeds = [int(s) for s in sys.argv[2:]] or [1, 2, 3, 4, 5]
     spark = get_spark("builder_fuzz")
+    if os.environ.get("REGIME_SEED"):
+        # compose with the optimizer-regime axis: same AQE x CBO x
+        # broadcast grid as tests/test_conf_regimes.py / sql_fuzz.py
+        import itertools
+        import random as _random
+
+        grid = [
+            {
+                "spark.sql.adaptive.enabled": str(aqe).lower(),
+                "spark.sql.cbo.enabled": str(cbo).lower(),
+                "spark.sql.autoBroadcastJoinThreshold": bcast,
+            }
+            for aqe, cbo, bcast in itertools.product(
+                (True, False), (True, False), ("-1", "10485760")
+            )
+        ]
+        regime = _random.Random(int(os.environ["REGIME_SEED"])).choice(grid)
+        for k, v in regime.items():
+            spark.conf.set(k, v)
+        print(f"# regime (seed {os.environ['REGIME_SEED']}): {regime}")
     cf.register_mini_catalog(spark)
     duck = cf.duckdb_mini_catalog()
     total_bad = 0
