@@ -214,3 +214,37 @@ def test_builder_generator_covers_major_shapes():
         ".select(",
     ):
         assert shape in text, shape
+
+
+# ---------------------------------------------------------------------------
+# Temporal-operator fuzz (keenwa_spark/temporal_fuzz.py — round 10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_temporal_fuzz_corpus_cross_engine(spark, duck, seed):
+    """asof / range / overlap joins on random instances vs DuckDB
+    correlated-subquery and inequality-join oracles (timestamps as
+    integer seconds both ways — no tz/precision trap in the compare).
+    Wider sweeps: tools/temporal_fuzz.py."""
+    from keenwa_spark.temporal_fuzz import run_temporal_fuzz
+
+    mis = run_temporal_fuzz(spark, duck, seed=seed, n=30)
+    assert mis == [], mis[:3]
+
+
+def test_temporal_generator_is_deterministic_and_covers_shapes():
+    from keenwa_spark.temporal_fuzz import TemporalGen
+
+    ga, gb = TemporalGen(5), TemporalGen(5)
+    ca = [ga.case() for _ in range(60)]
+    a = [c.oracle_sql for c in ca]
+    b = [gb.case().oracle_sql for _ in range(60)]
+    assert a == b
+    kinds = [c.kind for c in ca]
+    text = " ".join(a)
+    assert {"asof", "range", "overlap"} <= set(kinds)
+    # both directions, tolerance, and the no-match empty-right shape
+    for shape in ("arg_max", "arg_min", "<= l.lts", ">= l.lts",
+                  "rid < 0", "AND (l.lts - r.rts) <="):
+        assert shape in text, shape
