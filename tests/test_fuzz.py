@@ -248,3 +248,33 @@ def test_temporal_generator_is_deterministic_and_covers_shapes():
     for shape in ("arg_max", "arg_min", "<= l.lts", ">= l.lts",
                   "rid < 0", "AND (l.lts - r.rts) <="):
         assert shape in text, shape
+
+
+# ---------------------------------------------------------------------------
+# Ordered-operator fuzz (keenwa_spark/ordered_fuzz.py — round 10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_ordered_fuzz_corpus_cross_engine(spark, duck, seed):
+    """with_global_row_number / cumsum / prev_min on random integer
+    data (mega-ties, nullable sum inputs, both directions, bucket
+    counts 1..64, tie_bucket_col sub-splits) vs DuckDB's single-node
+    window oracles. Wider sweeps: tools/ordered_fuzz.py."""
+    from keenwa_spark.ordered_fuzz import run_ordered_fuzz
+
+    mis = run_ordered_fuzz(spark, duck, seed=seed, n=25)
+    assert mis == [], mis[:3]
+
+
+def test_ordered_generator_is_deterministic_and_covers_shapes():
+    from keenwa_spark.ordered_fuzz import OrderedGen
+
+    ga, gb = OrderedGen(3), OrderedGen(3)
+    ca = [ga.case() for _ in range(60)]
+    assert [c.oracle_sql for c in ca] == [gb.case().oracle_sql for _ in range(60)]
+    assert {"row_number", "cumsum", "prev_min"} <= {c.kind for c in ca}
+    text = " ".join(c.oracle_sql for c in ca)
+    for shape in ("ROW_NUMBER()", "SUM(w)", "MIN(w)", "v DESC, id ASC",
+                  "v ASC, id ASC", "AND 1 PRECEDING"):
+        assert shape in text, shape
