@@ -189,6 +189,35 @@ def probe_lsh(spark) -> None:
     print(f"100x max_bucket=50: wall {wall:.2f}s pairs {n}")
 
 
+def probe_cc(spark) -> None:
+    """LSH -> connected components over the salted near-dup corpus:
+    every base doc's ~100 copies must collapse to ONE component, so the
+    component count is a SEMANTIC check at scale (expect ~n_base), not
+    just a wall-clock row."""
+    from keenwa_spark.pipeline.clustering import connected_components
+    from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+
+    print("## lsh -> connected_components (1x/10x/100x; component count ~= base docs)")
+    for factor in (1, 10, 100):
+        path = stage_documents(spark, factor)
+        docs = spark.read.parquet(path)
+        t0 = time.time()
+        pairs = minhash_lsh_pairs(docs, max_bucket=200).localCheckpoint(
+            eager=True
+        )
+        n_pairs = pairs.count()
+        t_pairs = time.time() - t0
+        t0 = time.time()
+        cc = connected_components(pairs)
+        n_comp = cc.select("component").distinct().count()
+        n_nodes = cc.count()
+        t_cc = time.time() - t0
+        print(
+            f"{factor}x: pairs {n_pairs} in {t_pairs:.1f}s; "
+            f"CC {n_nodes} nodes -> {n_comp} components in {t_cc:.1f}s"
+        )
+
+
 def probe_ivfpq(spark) -> None:
     from keenwa_spark.pipeline.pq import ivfpq_search
 
@@ -213,13 +242,15 @@ def main() -> None:
     from keenwa_spark.session import get_spark
 
     spark = get_spark("r10_scale100_probe")
-    which = set(sys.argv[1:]) or {"ordered", "lsh", "ivfpq"}
+    which = set(sys.argv[1:]) or {"ordered", "lsh", "ivfpq", "cc"}
     if "ordered" in which:
         probe_ordered(spark)
     if "lsh" in which:
         probe_lsh(spark)
     if "ivfpq" in which:
         probe_ivfpq(spark)
+    if "cc" in which:
+        probe_cc(spark)
 
 
 if __name__ == "__main__":
