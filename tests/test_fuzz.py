@@ -278,3 +278,37 @@ def test_ordered_generator_is_deterministic_and_covers_shapes():
     for shape in ("ROW_NUMBER()", "SUM(w)", "MIN(w)", "v DESC, id ASC",
                   "v ASC, id ASC", "AND 1 PRECEDING"):
         assert shape in text, shape
+
+
+# ---------------------------------------------------------------------------
+# State/CDC-operator fuzz (keenwa_spark/state_fuzz.py — round 10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_state_fuzz_corpus_cross_engine(spark, duck, seed):
+    """snapshot_diff / merge_upsert / changelog_compact / gaps_islands
+    / scd2_compress / interval_coalesce on random keyed instances (NULL
+    keys/values/ops, tombstones, ts ties, touching-contained-empty
+    intervals) vs independently-written ANSI-SQL oracles on DuckDB.
+    Wider sweeps: tools/state_fuzz.py."""
+    from keenwa_spark.state_fuzz import run_state_fuzz
+
+    mis = run_state_fuzz(spark, duck, seed=seed, n=30)
+    assert mis == [], mis[:3]
+
+
+def test_state_generator_is_deterministic_and_covers_shapes():
+    from keenwa_spark.state_fuzz import StateGen
+
+    ga, gb = StateGen(3), StateGen(3)
+    ca = [ga.case() for _ in range(80)]
+    assert [c.oracle_sql for c in ca] == [gb.case().oracle_sql for _ in range(80)]
+    kinds = {c.kind for c in ca}
+    assert {"snapshot_diff", "merge_upsert", "changelog", "islands",
+            "scd2", "coalesce"} <= kinds
+    text = " ".join(c.oracle_sql for c in ca)
+    for shape in ("IS NOT DISTINCT FROM", "FULL JOIN", "'insert'",
+                  "'delete'", "DESC NULLS LAST", "AND 1 PRECEDING",
+                  "LEAD(valid_from)"):
+        assert shape in text, shape
