@@ -312,3 +312,38 @@ def test_state_generator_is_deterministic_and_covers_shapes():
                   "'delete'", "DESC NULLS LAST", "AND 1 PRECEDING",
                   "LEAD(valid_from)"):
         assert shape in text, shape
+
+
+# ---------------------------------------------------------------------------
+# Hyperfunction-operator fuzz (keenwa_spark/hyper_fuzz.py — round 10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_hyper_fuzz_corpus_cross_engine(spark, duck, seed):
+    """time_weighted_avg (locf + linear) / state_durations /
+    counter_delta / ohlc_bars on random irregular series (NULL
+    values/timestamps, ts ties with unique-id tie-break,
+    single-observation keys, counter resets, bucket boundaries) vs
+    independently-written DuckDB oracles. Every compared number is
+    integer-valued or a ratio of exact sub-2^53 integers. Wider
+    sweeps: tools/hyper_fuzz.py."""
+    from keenwa_spark.hyper_fuzz import run_hyper_fuzz
+
+    mis = run_hyper_fuzz(spark, duck, seed=seed, n=30)
+    assert mis == [], mis[:3]
+
+
+def test_hyper_generator_is_deterministic_and_covers_shapes():
+    from keenwa_spark.hyper_fuzz import HyperGen
+
+    ga, gb = HyperGen(3), HyperGen(3)
+    ca = [ga.case() for _ in range(60)]
+    assert [c.oracle_sql for c in ca] == [gb.case().oracle_sql for _ in range(60)]
+    kinds = {c.kind for c in ca}
+    assert {"twa_locf", "twa_linear", "state_durations", "counter_delta",
+            "ohlc"} <= kinds
+    text = " ".join(c.oracle_sql for c in ca)
+    for shape in ("HUGEINT", "LAG(v)", "ELSE v END", "FIRST_VALUE(v)",
+                  "(ts // 60) * 60", "* 1000000"):
+        assert shape in text, shape
