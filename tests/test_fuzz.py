@@ -347,3 +347,35 @@ def test_hyper_generator_is_deterministic_and_covers_shapes():
     for shape in ("HUGEINT", "LAG(v)", "ELSE v END", "FIRST_VALUE(v)",
                   "(ts // 60) * 60", "* 1000000"):
         assert shape in text, shape
+
+
+# ---------------------------------------------------------------------------
+# Series-operator fuzz (keenwa_spark/series_fuzz.py — round 10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_series_fuzz_corpus_cross_engine(spark, duck, seed):
+    """skyline_2d (linear prev-min sort-filter vs the quadratic
+    NOT-EXISTS dominance oracle — completely different algorithms),
+    time_resample (LOCF grid) and time_resample_interpolate (linear
+    fill, bit-identical fixed-order double arithmetic) on random
+    instances. Wider sweeps: tools/series_fuzz.py."""
+    from keenwa_spark.series_fuzz import run_series_fuzz
+
+    mis = run_series_fuzz(spark, duck, seed=seed, n=25)
+    assert mis == [], mis[:3]
+
+
+def test_series_generator_is_deterministic_and_covers_shapes():
+    from keenwa_spark.series_fuzz import SeriesGen
+
+    ga, gb = SeriesGen(3), SeriesGen(3)
+    ca = [ga.case() for _ in range(60)]
+    assert [c.oracle_sql for c in ca] == [gb.case().oracle_sql for _ in range(60)]
+    kinds = {c.kind for c in ca}
+    assert {"skyline", "resample_locf", "resample_interp"} <= kinds
+    text = " ".join(c.oracle_sql for c in ca)
+    for shape in ("NOT EXISTS", "generate_series", "IGNORE NULLS",
+                  "'interp'", "'edge'", "pv + (nv - pv)"):
+        assert shape in text, shape
