@@ -85,7 +85,9 @@ def _as_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def _cells_df(spark: SparkSession, cents: Cents) -> DataFrame:
     """The centroid model as ONE row of ``array<struct<cid, cv>>`` —
     broadcast into corpus passes so centroid data never appears in the
-    plan text (constant-size codegen at any K)."""
+    plan text (constant-size codegen at any K). createDataFrame ON
+    PURPOSE — see pq._model_df's round-10 A/B note: a JVM-literal tree
+    of the array-heavy model doubles query wall."""
     return spark.createDataFrame(
         [([(cid, cv) for cid, cv in cents],)],
         "cells ARRAY<STRUCT<cid: INT, cv: ARRAY<DOUBLE>>>",

@@ -164,6 +164,12 @@ def _fit_books(
 
 
 def _model_df(spark, books: Books) -> DataFrame:
+    # createDataFrame ON PURPOSE (round-10 A/B): a litdf JVM-literal
+    # tree of the array-heavy model DOUBLES query wall (codegen of
+    # thousands of literal nodes dominates), and coalesce(1) is worse
+    # still; the 32-task Python scan is the cheapest of the three for
+    # broadcast-sized array models. Measured: ivfpq 2.03s original vs
+    # 4.55s litdf vs 4.78s coalesce(1) at sf0.1.
     return spark.createDataFrame(
         [([(s, [(pos, cv) for pos, cv in codes]) for s, codes in enumerate(books)],)],
         "books ARRAY<STRUCT<sub: INT, codes: ARRAY<STRUCT<pos: INT, cv: ARRAY<DOUBLE>>>>>",

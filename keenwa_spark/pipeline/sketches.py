@@ -156,8 +156,10 @@ def approx_quantile_bounds(
         # empty input: approx_percentile returns NULL; the rank
         # contract is vacuously satisfied (no value can violate it)
         rows = [(float(p), 0, True) for p in probs]
-        return df.sparkSession.createDataFrame(
-            rows, "prob DOUBLE, n_values BIGINT, rank_ok BOOLEAN"
+        from keenwa_spark.litdf import literal_df
+
+        return literal_df(
+            df.sparkSession, rows, "prob DOUBLE, n_values BIGINT, rank_ok BOOLEAN"
         )
     # exact rank of each returned value: count of rows <= it, all
     # probabilities in ONE conditional-aggregation pass
@@ -175,6 +177,8 @@ def approx_quantile_bounds(
         # the target rank p*n (+1 slack for the discrete boundary)
         ok = abs(le[f"__le{i}"] - p * n) <= relative_error * n + 1
         out_rows.append((float(p), int(n), bool(ok)))
-    return df.sparkSession.createDataFrame(
-        out_rows, "prob double, n_values bigint, rank_ok boolean"
+    from keenwa_spark.litdf import literal_df
+
+    return literal_df(
+        df.sparkSession, out_rows, "prob double, n_values bigint, rank_ok boolean"
     )

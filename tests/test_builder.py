@@ -274,3 +274,28 @@ def test_values_compiles_to_local_relation(b):
     # fallback path: complex cells still work (and still round-trip)
     arr = b.new_query().values([([1, 2],)], "xs ARRAY<INT>").build()
     assert arr.collect()[0].xs == [1, 2]
+
+
+def test_literal_df_jvm_only_and_bit_exact(views):
+    """litdf.literal_df: JVM-only plan (no Python evals), float64
+    bit-exactness through F.lit (no text round trip), NULL/empty-array
+    cells, nested struct-in-array schemas. NOTE the measured boundary
+    (round-10 A/B, pinned in pq._model_df's comment): literal trees
+    WIN for small scalar tables but LOSE for array-heavy ANN models —
+    the engine uses litdf only for the former."""
+    from keenwa_spark.litdf import literal_df
+
+    rows = [(1, [0.1, 2.5e-17, float(2**53 - 1)]), (2, None), (3, [])]
+    df = literal_df(views, rows, "cid INT, cv ARRAY<DOUBLE>")
+    out = {r.cid: r.cv for r in df.collect()}
+    assert out[1] == [0.1, 2.5e-17, float(2**53 - 1)]
+    assert out[2] is None and out[3] == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    nested = literal_df(
+        views,
+        [([(0, [(1, [0.5])])],)],
+        "books ARRAY<STRUCT<sub: INT, codes: ARRAY<STRUCT<pos: INT, cv: ARRAY<DOUBLE>>>>>",
+    ).collect()
+    assert nested[0].books[0].codes[0].cv == [0.5]
+    assert literal_df(views, [], "x INT").count() == 0
