@@ -43,8 +43,53 @@ class SeriesGen:
 
     def case(self) -> SeriesCase:
         return self.rng.choice(
-            [self._skyline, self._resample, self._interp]
+            [self._skyline, self._resample, self._interp, self._seqpat]
         )()
+
+    def _seqpat(self) -> SeriesCase:
+        """sequence_pattern_count (operators/sequence.py): per-key
+        encoded event string + non-overlapping regex count, vs a
+        DuckDB ordered string_agg + regexp_extract_all oracle. Events
+        include unmapped types (encode as '_'), ts ties broken by the
+        unique id; patterns stay in the shared simple-regex dialect."""
+        n = self.rng.randint(3, 60)
+        types = ["add", "buy", "view", "drop"]
+        rows = [
+            (
+                i,
+                self.rng.randint(0, 2),
+                self.rng.randint(0, 30),
+                self.rng.choice(types),
+            )
+            for i in range(n)
+        ]
+        names = ["uid", "k0", "ts", "ev"]
+        mapping = {"add": "A", "buy": "B", "view": "V"}  # 'drop' -> '_'
+        pattern = self.rng.choice(["AB", "AVB", "A.B", "AV*B", "A_*B", "V+"])
+
+        def spark_build(spark, rows=rows, pattern=pattern):
+            from keenwa_spark.operators.sequence import sequence_pattern_count
+            from keenwa_spark.state_fuzz import _values_df
+
+            df = _values_df(spark, rows, names, ts_cols={"ts"})
+            return sequence_pattern_count(
+                df, keys=["k0"], ts_col="ts", event_col="ev",
+                mapping=mapping, pattern=pattern, tie_cols=["uid"],
+            ).select("k0", "seq_len", "n_matches")
+
+        enc = (
+            "CASE ev WHEN 'add' THEN 'A' WHEN 'buy' THEN 'B' "
+            "WHEN 'view' THEN 'V' ELSE '_' END"
+        )
+        oracle = (
+            f"SELECT k0, CAST(LENGTH(seq) AS BIGINT) AS seq_len, "
+            f"CAST(LEN(regexp_extract_all(seq, '{pattern}')) AS BIGINT) "
+            "AS n_matches FROM ("
+            f"SELECT k0, STRING_AGG({enc}, '' ORDER BY ts, uid) AS seq "
+            f"FROM {_values_sql(rows, names, str_cols={'ev'})} "
+            "GROUP BY k0)"
+        )
+        return SeriesCase("seqpat", spark_build, oracle)
 
     def _skyline(self) -> SeriesCase:
         n = self.rng.randint(3, 60)

@@ -374,8 +374,9 @@ def test_series_generator_is_deterministic_and_covers_shapes():
     ca = [ga.case() for _ in range(60)]
     assert [c.oracle_sql for c in ca] == [gb.case().oracle_sql for _ in range(60)]
     kinds = {c.kind for c in ca}
-    assert {"skyline", "resample_locf", "resample_interp"} <= kinds
+    assert {"skyline", "resample_locf", "resample_interp", "seqpat"} <= kinds
     text = " ".join(c.oracle_sql for c in ca)
     for shape in ("NOT EXISTS", "generate_series", "IGNORE NULLS",
-                  "'interp'", "'edge'", "pv + (nv - pv)"):
+                  "'interp'", "'edge'", "pv + (nv - pv)",
+                  "regexp_extract_all", "STRING_AGG"):
         assert shape in text, shape
