@@ -1874,6 +1874,74 @@ def pl_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_bloom_sql(m_bits: int = 4096, k: int = 4) -> str:
+    """Exact DuckDB replay of the Bloom build + dense probe: same
+    frozen md5-affine positions, same 32-bit word packing, so the
+    deterministic false-positive set matches bit for bit."""
+    from keenwa_spark.pipeline.bloom import WORD_BITS, _position_exprs
+
+    pos_list = ", ".join(_position_exprs("h", m_bits, k))
+    return f"""
+    WITH splitd AS (
+      SELECT doc_id, {_D_WORDS.format(c='text')} AS w FROM documents
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id, {duck_hash64('s')} AS h
+      FROM (SELECT doc_id, unnest({_D_4GRAMS}) AS s
+            FROM splitd WHERE doc_id % 97 <> 0)
+    ),
+    bh AS (
+      SELECT DISTINCT {duck_hash64('s')} AS h
+      FROM (SELECT unnest({_D_4GRAMS}) AS s
+            FROM splitd WHERE doc_id % 97 = 0)
+    ),
+    bpos AS (SELECT DISTINCT unnest([{pos_list}]) AS pos FROM bh),
+    wrds AS (
+      SELECT pos // {WORD_BITS} AS word_idx,
+             bit_or(1::BIGINT << (pos % {WORD_BITS})::INT) AS word_val
+      FROM bpos GROUP BY 1
+    ),
+    ppos AS (SELECT doc_id, h, unnest([{pos_list}]) AS pos FROM dsh),
+    pmem AS (
+      SELECT p.doc_id, p.h,
+             bool_and(w.word_val IS NOT NULL AND
+                      ((w.word_val >> (p.pos % {WORD_BITS})::INT) & 1) = 1)
+               AS member
+      FROM ppos p LEFT JOIN wrds w ON p.pos // {WORD_BITS} = w.word_idx
+      GROUP BY p.doc_id, p.h
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           COUNT(*) FILTER (WHERE member) AS n_flagged,
+           COUNT(*) FILTER (WHERE member) >= 1 AS contaminated
+    FROM pmem GROUP BY doc_id
+    """
+
+
+@df_query(
+    "pl_bloom_decontaminate",
+    oracle=_duck_bloom_sql(),
+    doc="Bloom-filtered decontamination: benchmark word-4-grams folded "
+    "into a 4096-bit / 4-hash Bloom filter (one mergeable bit_or agg); "
+    "training docs probed by a pure codegen projection over the dense "
+    "broadcast word array — zero joins, one doc_id aggregation, the "
+    "corpus never shuffles on text. Zero false negatives by "
+    "construction; the false-positive set is deterministic (frozen "
+    "md5-affine hash family) and the oracle replays build AND probe "
+    "exactly, FPs included (pipeline/bloom.py).",
+    tags=("pipeline", "text", "decontamination", "sketch"),
+)
+def pl_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.bloom import bloom_decontaminate
+
+    docs = spark.table("documents")
+    return bloom_decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=4,
+    )
+
+
 @df_query(
     "pl_group_split",
     oracle=f"""
