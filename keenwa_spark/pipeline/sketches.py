@@ -182,3 +182,74 @@ def approx_quantile_bounds(
     return literal_df(
         df.sparkSession, out_rows, "prob double, n_values bigint, rank_ok boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+#: depth of the default CMS (one row per frozen hash function used)
+CMS_D = 4
+
+
+def _cms_pos(h: str, j: int, w: int) -> str:
+    """Row-j counter index of hash ``h`` — shared Spark/DuckDB dialect
+    (same frozen affine family as MinHash/Bloom; a_j < 2^30 keeps
+    a*h < 2^62, no overflow in either engine)."""
+    from keenwa_spark.pipeline.hashing import MINHASH_AB, MINHASH_P
+
+    a, b = MINHASH_AB[j]
+    return f"((({a} * {h} + {b}) % {MINHASH_P}) % {w})"
+
+
+def cms_build(
+    df: DataFrame, hash_col: str = "h", d: int = CMS_D, w: int = 512
+) -> DataFrame:
+    """Count-min sketch of a stream of item hashes: ``(j, pos, cnt)``
+    rows, at most d*w of them regardless of input size.
+
+    The sketch is MERGEABLE (counters are sums): partial aggregation
+    happens map-side, daily sketches merge by summing ``cnt`` on
+    (j, pos) — constant state where an exact per-item count would
+    shuffle every distinct item. Estimates are one-sided: the min over
+    the d counters never undercounts, and overshoots by <= 3N/w with
+    high probability (the classic e/w bound, integer-rounded here so
+    both engines compute it identically)."""
+    if d > CMS_D * 3:  # the frozen family has 12 functions
+        raise ValueError(f"d={d} exceeds the frozen hash family")
+    arms = ", ".join(
+        f"named_struct('j', {j}, 'pos', {_cms_pos(hash_col, j, w)})"
+        for j in range(d)
+    )
+    return (
+        df.select(F.explode(F.expr(f"array({arms})")).alias("jp"))
+        .select(F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos"))
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    hash_col: str = "h",
+    key_cols: tuple[str, ...] = ("tok",),
+    d: int = CMS_D,
+    w: int = 512,
+) -> DataFrame:
+    """Point-query the sketch for each item row: adds ``est_cnt`` =
+    min over the d counters (0 if any counter row is absent). The
+    sketch side is tiny (<= d*w rows) and broadcast; the item side is
+    never shuffled beyond the fold-back groupBy."""
+    arms = ", ".join(
+        f"named_struct('j', {j}, 'pos', {_cms_pos(hash_col, j, w)})"
+        for j in range(d)
+    )
+    exploded = items.select(
+        *key_cols, F.explode(F.expr(f"array({arms})")).alias("jp")
+    ).select(*key_cols, F.col("jp.j").alias("j"), F.col("jp.pos").alias("pos"))
+    return (
+        exploded.join(F.broadcast(sketch), ["j", "pos"], "left")
+        .groupBy(*key_cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )

@@ -177,3 +177,104 @@ def pl_mixture_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.05,
     )
     return shard_manifest(mixed, "doc_id", ["text"], 8).orderBy("shard")
+
+
+def _duck_cms_sql(d: int = 4, w: int = 512, top_n: int = 15) -> str:
+    """Exact DuckDB replay of the count-min sketch: same frozen affine
+    counter indexes, so the sketch array — and therefore every
+    ESTIMATE, overshoot included — matches Spark bit for bit."""
+    from keenwa_spark.pipeline.sketches import _cms_pos
+
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    build_arms = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_pos('h', j, w)} AS pos FROM hashed"
+        for j in range(d)
+    )
+    query_arms = "\n      UNION ALL ".join(
+        f"SELECT tok, true_cnt, {j} AS j, {_cms_pos('h', j, w)} AS pos "
+        "FROM true_top"
+        for j in range(d)
+    )
+    return f"""
+    WITH toksf AS (
+      SELECT tok FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    hashed AS (SELECT tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+               FROM toksf),
+    arms AS (
+      {build_arms}
+    ),
+    cms AS (SELECT j, pos, COUNT(*) AS cnt FROM arms GROUP BY 1, 2),
+    tot AS (SELECT COUNT(*) AS n FROM toksf),
+    true_top AS (
+      SELECT tok, h, COUNT(*) AS true_cnt FROM hashed GROUP BY tok, h
+      ORDER BY true_cnt DESC, tok LIMIT {top_n}
+    ),
+    qarms AS (
+      {query_arms}
+    ),
+    est AS (
+      SELECT tok, true_cnt, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+      FROM qarms q LEFT JOIN cms c USING (j, pos)
+      GROUP BY tok, true_cnt
+    )
+    SELECT tok, true_cnt, est_cnt,
+           est_cnt >= true_cnt AS over_ok,
+           (est_cnt - true_cnt) <= (3 * (SELECT n FROM tot)) // {w}
+             AS within_bound
+    FROM est ORDER BY tok
+    """
+
+
+@df_query(
+    "pl_cms_heavy_hitters",
+    oracle=_duck_cms_sql(),
+    doc="Count-min-sketch heavy hitters: corpus word stream folded into "
+    "a 4x512 mergeable counter sketch (one agg, map-side partials, "
+    "<= 2048 rows of state at ANY corpus size), then the exact top-15 "
+    "tokens point-queried against it. Estimates are ONE-SIDED "
+    "(over_ok: min-of-counters never undercounts) and bounded "
+    "(within_bound: overshoot <= 3N/w). Counter indexes use the frozen "
+    "md5-affine family (pipeline/hashing.py), so the DuckDB oracle "
+    "replays the sketch — collisions, overshoot and all — exactly "
+    "(pipeline/sketches.py cms_build/cms_estimate).",
+    tags=("pipeline", "sketch"),
+)
+def pl_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.dedup import normalized_text
+    from keenwa_spark.pipeline.hashing import spark_hash64
+    from keenwa_spark.pipeline.sketches import cms_build, cms_estimate
+
+    d, w, top_n = 4, 512, 15
+    docs = spark.table("documents")
+    toks = docs.select(
+        F.explode(F.split(F.expr(normalized_text("text")), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    hashed = toks.select("tok", F.expr(spark_hash64("tok")).alias("h"))
+    sketch = cms_build(hashed.select("h"), "h", d=d, w=w)
+    total = hashed.agg(F.count(F.lit(1)).alias("__n"))
+    true_top = (
+        hashed.groupBy("tok", "h")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("tok"))
+        .limit(top_n)
+    )
+    est = cms_estimate(
+        true_top, sketch, "h", key_cols=("tok", "true_cnt"), d=d, w=w
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).alias("over_ok"),
+            (
+                F.col("est_cnt") - F.col("true_cnt")
+                <= F.expr(f"(3 * __n) div {w}")
+            ).alias("within_bound"),
+        )
+        .orderBy("tok")
+    )

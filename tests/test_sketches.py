@@ -88,3 +88,94 @@ def test_approx_quantile_empty_input_vacuous_contract(ev):
         (0.5, 0, True),
         (0.9, 0, True),
     ]
+
+
+class TestCountMin:
+    """Count-min sketch: one-sided estimates, exactness without
+    collisions, mergeability (pipeline/sketches.py cms_build)."""
+
+    W = 64
+
+    @pytest.fixture(scope="class")
+    def stream(self, spark):
+        from keenwa_spark.pipeline.hashing import spark_hash64
+
+        # a skewed stream: tok0 x 50, tok1 x 10, tok2..tok9 x 1
+        rows = [("tok0",)] * 50 + [("tok1",)] * 10 + [
+            (f"tok{i}",) for i in range(2, 10)
+        ]
+        return spark.createDataFrame(rows, "tok string").select(
+            "tok", F.expr(spark_hash64("tok")).alias("h")
+        )
+
+    def _estimates(self, stream, w):
+        from keenwa_spark.pipeline.sketches import cms_build, cms_estimate
+
+        sketch = cms_build(stream.select("h"), "h", w=w)
+        items = stream.groupBy("tok", "h").count()
+        return {
+            r.tok: r.est_cnt
+            for r in cms_estimate(items, sketch, "h", key_cols=("tok",), w=w)
+            .collect()
+        }
+
+    def test_one_sided_and_skew_preserved(self, stream):
+        est = self._estimates(stream, self.W)
+        true = {"tok0": 50, "tok1": 10, **{f"tok{i}": 1 for i in range(2, 10)}}
+        # never undercounts; total overshoot bounded by the stream size
+        assert all(est[t] >= c for t, c in true.items())
+        assert est["tok0"] >= 50 and est["tok0"] <= 50 + 18
+        # the heavy hitter dominates every light token's estimate... 
+        # unless a light token collides INTO tok0 on all rows; with
+        # w=64 and 10 tokens that doesn't happen for this fixture
+        assert est["tok0"] > max(est[f"tok{i}"] for i in range(2, 10))
+
+    def test_exact_when_wide(self, stream):
+        # w >> items: no collisions, estimates are exact counts
+        est = self._estimates(stream, 4096)
+        assert est["tok0"] == 50 and est["tok1"] == 10
+        assert all(est[f"tok{i}"] == 1 for i in range(2, 10))
+
+    def test_mergeable(self, stream):
+        from keenwa_spark.pipeline.sketches import cms_build
+
+        half1 = cms_build(stream.limit(30).select("h"), "h", w=self.W)
+        half2 = cms_build(
+            stream.select("h").exceptAll(stream.limit(30).select("h")),
+            "h",
+            w=self.W,
+        )
+        merged = {
+            (r.j, r.pos): r.cnt
+            for r in half1.unionAll(half2)
+            .groupBy("j", "pos")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        full = {
+            (r.j, r.pos): r.cnt
+            for r in cms_build(stream.select("h"), "h", w=self.W).collect()
+        }
+        assert merged == full
+
+    def test_sketch_state_is_bounded(self, stream):
+        from keenwa_spark.pipeline.sketches import cms_build
+
+        assert cms_build(stream.select("h"), "h", w=self.W).count() <= 4 * self.W
+
+    def test_unseen_item_estimate_can_be_zero(self, spark, stream):
+        from keenwa_spark.pipeline.hashing import spark_hash64
+        from keenwa_spark.pipeline.sketches import cms_build, cms_estimate
+
+        sketch = cms_build(stream.select("h"), "h", w=4096)
+        probe = spark.createDataFrame([("never-seen",)], "tok string").select(
+            "tok", F.expr(spark_hash64("tok")).alias("h")
+        )
+        est = cms_estimate(probe, sketch, "h", key_cols=("tok",), w=4096)
+        assert est.collect()[0].est_cnt == 0
+
+    def test_rejects_excess_depth(self, stream):
+        from keenwa_spark.pipeline.sketches import cms_build
+
+        with pytest.raises(ValueError, match="frozen hash family"):
+            cms_build(stream.select("h"), "h", d=13)
