@@ -1943,6 +1943,66 @@ def pl_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "pl_token_vote_classify",
+    oracle=f"""
+    WITH tokf AS (
+      SELECT doc_id, lang, tok FROM (
+        SELECT doc_id, lang,
+               unnest(string_split({_D_NORM.format(c='text')}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    counts AS (
+      SELECT tok, lang, COUNT(*) AS n FROM tokf
+      WHERE doc_id % 3 <> 0 GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT tok, lang AS pred_label FROM (
+        SELECT tok, lang,
+               ROW_NUMBER() OVER (PARTITION BY tok
+                                  ORDER BY n DESC, lang ASC) AS rk
+        FROM counts
+      ) WHERE rk = 1
+    ),
+    votes AS (
+      SELECT t.doc_id, m.pred_label, COUNT(*) AS n_votes
+      FROM tokf t JOIN model m USING (tok)
+      WHERE t.doc_id % 3 = 0
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, pred_label AS predicted FROM (
+        SELECT doc_id, pred_label,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n_votes DESC, pred_label ASC) AS rk
+        FROM votes
+      ) WHERE rk = 1
+    )
+    SELECT d.doc_id, d.lang, p.predicted,
+           p.predicted IS NOT DISTINCT FROM d.lang AS correct
+    FROM documents d LEFT JOIN pred p USING (doc_id)
+    WHERE d.doc_id % 3 = 0
+    """,
+    doc="Supervised token-profile classifier (fastText/CCNet lineage, "
+    "integer-exact): per-token class counts from the labeled 2/3 train "
+    "slice, each token voting its count-argmax class; test docs take "
+    "the majority vote (deterministic tie-breaks, NULL abstain for "
+    "out-of-vocabulary docs, null-safe correctness flag). Training is "
+    "one agg + one vocab-bounded window argmax; inference is one token "
+    "join + one doc agg — the model never touches the driver. Exact "
+    "integer decisions end to end, so the oracle replays the full "
+    "train+infer pipeline (pipeline/classify.py).",
+    tags=("pipeline", "text", "classify"),
+)
+def pl_token_vote_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.classify import classify_eval
+
+    return classify_eval(
+        spark.table("documents"), F.col("doc_id") % 3 != 0, label_col="lang"
+    )
+
+
+@df_query(
     "pl_group_split",
     oracle=f"""
     WITH b AS (

@@ -1248,3 +1248,86 @@ class TestMmrGrouped:
         assert {(r.pick, r.vec_id, r.mmr_score) for r in single} == {
             (r.pick, r.vec_id, r.mmr_score) for r in grouped
         }
+
+
+class TestTokenVoteClassify:
+    """Token-profile classifier semantics on a hand fixture
+    (pipeline/classify.py)."""
+
+    @pytest.fixture(scope="class")
+    def labeled(self, spark):
+        return spark.createDataFrame(
+            [
+                # train: 'red'-class docs say apple/cherry, 'blue' say sky/sea
+                (1, "red", "apple cherry apple"),
+                (2, "red", "cherry apple"),
+                (3, "blue", "sky sea sky"),
+                (4, "blue", "sea sky"),
+                # shared word 'the' appears more under red
+                (5, "red", "the the apple"),
+                (6, "blue", "the sea"),
+                # test docs (doc_id >= 100)
+                (100, "red", "apple apple sky"),
+                (101, "blue", "sea sky cherry"),
+                (102, "red", "unknownword zzz"),
+                (103, "blue", "the the the"),
+            ],
+            "doc_id long, label string, text string",
+        )
+
+    def test_model_argmax_and_tiebreak(self, labeled):
+        from keenwa_spark.pipeline.classify import token_class_model
+        from pyspark.sql import functions as F
+
+        model = {
+            r.tok: r.pred_label
+            for r in token_class_model(
+                labeled.where(F.col("doc_id") < 100), "label"
+            ).collect()
+        }
+        assert model["apple"] == "red" and model["cherry"] == "red"
+        assert model["sky"] == "blue" and model["sea"] == "blue"
+        # 'the': 2 red vs 1 blue -> red
+        assert model["the"] == "red"
+
+    def test_vote_majority_and_abstain(self, labeled):
+        from keenwa_spark.pipeline.classify import classify_eval
+        from pyspark.sql import functions as F
+
+        out = {
+            r.doc_id: (r.predicted, r.correct)
+            for r in classify_eval(
+                labeled, F.col("doc_id") < 100, label_col="label"
+            ).collect()
+        }
+        assert out[100] == ("red", True)  # 2 apple votes vs 1 sky
+        assert out[101] == ("blue", True)  # sea+sky vs cherry
+        # no in-vocab tokens: abstain, null-safe correct = False
+        assert out[102] == (None, False)
+        assert out[103] == ("red", False)  # 'the' maps red
+
+    def test_vote_tie_breaks_to_first_label(self, spark):
+        from keenwa_spark.pipeline.classify import classify_eval
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", "x"),
+                (2, "b", "y"),
+                (100, "a", "x y"),  # 1 vote a, 1 vote b -> 'a' (lex first)
+            ],
+            "doc_id long, label string, text string",
+        )
+        row = classify_eval(df, F.col("doc_id") < 100, label_col="label").collect()
+        assert row[0].predicted == "a"
+
+    def test_min_count_prunes_rare_tokens(self, labeled):
+        from keenwa_spark.pipeline.classify import token_class_model
+        from pyspark.sql import functions as F
+
+        model = token_class_model(
+            labeled.where(F.col("doc_id") < 100), "label", min_count=3
+        )
+        toks = {r.tok for r in model.collect()}
+        assert "apple" in toks and "sky" in toks  # 4x and 3x
+        assert "cherry" not in toks  # only 2 occurrences
