@@ -1942,6 +1942,81 @@ def pl_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_bpe_sql(rounds: int = 4) -> str:
+    """Chained-CTE DuckDB replay of the full BPE training loop: per
+    round, pair counts over the current vocab segmentation, a 1-row
+    argmax, and the same fixed-pass pipe-delimited merge replace
+    (pipeline/bpe.py MERGE_PASSES)."""
+    from keenwa_spark.pipeline.bpe import MERGE_PASSES
+
+    norm = _D_NORM.format(c="text")
+    syms = "list_filter(string_split(enc, '|'), x -> x <> '')"
+    ctes = [
+        f"""wf AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split({norm}, ' ')) AS word FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY word
+    ),
+    enc0 AS (
+      SELECT regexp_replace(word, '(.)', '|\\1', 'g') || '|' AS enc, cnt
+      FROM wf
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"enc{r - 1}"
+        pat = f"(SELECT '|' || l || '|' || r || '|' FROM best{r})"
+        rep = f"(SELECT '|' || l || r || '|' FROM best{r})"
+        merged = "enc"
+        for _ in range(MERGE_PASSES):
+            merged = f"replace({merged}, {pat}, {rep})"
+        ctes.append(
+            f"""pairs{r} AS MATERIALIZED (
+      SELECT u.l AS l, u.r AS r, SUM(cnt) AS n FROM (
+        SELECT unnest([{{'l': s[i], 'r': s[i+1]}}
+                       for i in range(1, len(s))]) AS u, cnt
+        FROM (SELECT {syms} AS s, cnt FROM {prev}) WHERE len(s) >= 2
+      ) GROUP BY 1, 2
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT l, r, n FROM pairs{r} ORDER BY n DESC, l ASC, r ASC LIMIT 1
+    ),
+    enc{r} AS MATERIALIZED (
+      SELECT {merged} AS enc, cnt FROM {prev}
+    )"""
+        )
+        arms = "\n      UNION ALL ".join(
+            f"SELECT {r} AS round, l AS left_sym, r AS right_sym, "
+            f"l || r AS merged, CAST(n AS BIGINT) AS pair_count FROM best{r}"
+            for r in range(1, rounds + 1)
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM (\n      {arms}\n    ) ORDER BY round"
+    )
+
+
+@df_query(
+    "pl_bpe_merge_rounds",
+    oracle=_duck_bpe_sql(),
+    doc="BPE tokenizer-merge learning (Sennrich et al. 2016): 4 rounds "
+    "of most-frequent-adjacent-pair fusion, trained on the WORD "
+    "FREQUENCY table so iteration state is vocabulary-sized at any "
+    "corpus size (the one corpus-sized job is the initial word count). "
+    "Deterministic argmax (count DESC, pair ASC), fixed-pass "
+    "pipe-delimited merges, exact integer counts end to end — the "
+    "oracle replays the ENTIRE training loop as one chained-CTE SQL "
+    "statement, per-round argmax included (pipeline/bpe.py bpe_train). "
+    "Driver state: one collected argmax row per round.",
+    tags=("pipeline", "text", "tokenizer"),
+)
+def pl_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.bpe import bpe_merge_table
+
+    return bpe_merge_table(spark.table("documents"), rounds=4)
+
+
 @df_query(
     "pl_token_vote_classify",
     oracle=f"""

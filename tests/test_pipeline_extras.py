@@ -1331,3 +1331,69 @@ class TestTokenVoteClassify:
         toks = {r.tok for r in model.collect()}
         assert "apple" in toks and "sky" in toks  # 4x and 3x
         assert "cherry" not in toks  # only 2 occurrences
+
+
+class TestBpeTrain:
+    """BPE merge learning on hand fixtures (pipeline/bpe.py)."""
+
+    def test_learns_the_frequent_pair_first(self, spark):
+        from keenwa_spark.pipeline.bpe import bpe_train
+
+        docs = spark.createDataFrame(
+            # 'ab' adjacency appears in every word, 3 words + repeats
+            [(1, "abc abd abe xy"), (2, "abc abc")],
+            "doc_id long, text string",
+        )
+        merges = bpe_train(docs, rounds=1)
+        # (a,b): abc x3 + abd + abe = 5 occurrences; nothing else comes close
+        assert merges[0] == (1, "a", "b", "ab", 5)
+
+    def test_merged_symbol_pairs_in_later_rounds(self, spark):
+        from keenwa_spark.pipeline.bpe import bpe_train
+
+        docs = spark.createDataFrame(
+            [(1, "abc abc abc")], "doc_id long, text string"
+        )
+        merges = bpe_train(docs, rounds=2)
+        assert merges[0][1:4] == ("a", "b", "ab")
+        # round 2: the fused 'ab' now pairs with 'c'
+        assert merges[1][1:4] == ("ab", "c", "abc")
+
+    def test_identical_symbol_run_counts_all_adjacencies(self, spark):
+        from keenwa_spark.pipeline.bpe import bpe_train
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa")], "doc_id long, text string"
+        )
+        merges = bpe_train(docs, rounds=2)
+        # 'aaaa' has 3 (a,a) adjacencies
+        assert merges[0] == (1, "a", "a", "aa", 3)
+        # greedy left-to-right merge yields [aa, aa] -> next pair (aa, aa)
+        assert merges[1][1:4] == ("aa", "aa", "aaaa")
+
+    def test_tie_breaks_lexicographically(self, spark):
+        from keenwa_spark.pipeline.bpe import bpe_train
+
+        docs = spark.createDataFrame(
+            [(1, "zy ab")], "doc_id long, text string"
+        )
+        # (a,b) and (z,y) both count 1 -> (a,b) wins the tie
+        assert bpe_train(docs, rounds=1)[0][1:4] == ("a", "b", "ab")
+
+    def test_stops_when_fully_merged(self, spark):
+        from keenwa_spark.pipeline.bpe import bpe_train
+
+        docs = spark.createDataFrame(
+            [(1, "ab ab")], "doc_id long, text string"
+        )
+        # round 1 fuses the only pair; round 2 has nothing left
+        assert len(bpe_train(docs, rounds=5)) == 1
+
+    def test_non_alpha_words_excluded(self, spark):
+        from keenwa_spark.pipeline.bpe import word_freqs
+
+        docs = spark.createDataFrame(
+            [(1, "ab x9 A1 ab-cd ok")], "doc_id long, text string"
+        )
+        words = {r.word for r in word_freqs(docs).collect()}
+        assert words == {"ab", "ok"}
