@@ -380,3 +380,40 @@ def test_series_generator_is_deterministic_and_covers_shapes():
                   "'interp'", "'edge'", "pv + (nv - pv)",
                   "regexp_extract_all", "STRING_AGG"):
         assert shape in text, shape
+
+
+# ---------------------------------------------------------------------------
+# Portable-sketch fuzz (keenwa_spark/sketch_fuzz.py — round 10, session 2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_sketch_fuzz_corpus_cross_engine(spark, duck, seed):
+    """Bloom filters (both probe shapes: dense-array projection and
+    broadcast word join) and count-min sketches on random geometries
+    (m_bits octaves, non-power-of-two widths, depths 1..8), saturated
+    tiny filters, empty key sets, colliding short keys and heavy
+    multiplicities — vs DuckDB oracles replaying the identical frozen
+    md5-affine arithmetic. Estimates must match EXACTLY, false
+    positives and collision overshoot included. Wider sweeps:
+    tools/sketch_fuzz.py."""
+    from keenwa_spark.sketch_fuzz import run_sketch_fuzz
+
+    mis = run_sketch_fuzz(spark, duck, seed=seed, n=25)
+    assert mis == [], mis[:3]
+
+
+def test_sketch_generator_is_deterministic_and_covers_shapes():
+    from keenwa_spark.sketch_fuzz import SketchGen
+
+    ga, gb = SketchGen(3), SketchGen(3)
+    ca = [ga.case() for _ in range(60)]
+    assert [c.oracle_sql for c in ca] == [gb.case().oracle_sql for _ in range(60)]
+    kinds = {c.kind for c in ca}
+    assert {"bloom_dense", "bloom_join"} <= kinds
+    assert any(k.startswith("cms_d") for k in kinds)
+    text = " ".join(c.oracle_sql for c in ca)
+    for shape in ("bit_or(1::BIGINT <<", "bool_and(w.wv IS NOT NULL",
+                  "MIN(COALESCE(c.cnt, 0))", "LEFT JOIN wrds",
+                  "LEFT JOIN cms"):
+        assert shape in text, shape
