@@ -417,3 +417,42 @@ def test_sketch_generator_is_deterministic_and_covers_shapes():
                   "MIN(COALESCE(c.cnt, 0))", "LEFT JOIN wrds",
                   "LEFT JOIN cms"):
         assert shape in text, shape
+
+
+# ---------------------------------------------------------------------------
+# Dedup-family fuzz (keenwa_spark/dedup_fuzz.py — round 10, session 2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_dedup_fuzz_corpus_cross_engine(spark, duck, seed):
+    """exact_dedup / ngram_jaccard_pairs / minhash_signatures /
+    minhash_lsh_pairs on random corpora with injected duplicates,
+    near-duplicates and cosmetic noise (case flips, doubled and
+    leading/trailing whitespace). The Jaccard oracle is the QUADRATIC
+    string-level all-pairs definition — structurally different from
+    Spark's inverted hash index; LSH runs random band geometries and
+    tiny max_bucket caps against a window-count replay. Wider sweeps:
+    tools/dedup_fuzz.py."""
+    from keenwa_spark.dedup_fuzz import run_dedup_fuzz
+
+    mis = run_dedup_fuzz(spark, duck, seed=seed, n=25)
+    assert mis == [], mis[:3]
+
+
+def test_dedup_generator_is_deterministic_and_covers_shapes():
+    from keenwa_spark.dedup_fuzz import DedupGen
+
+    ga, gb = DedupGen(3), DedupGen(3)
+    ca = [ga.case() for _ in range(80)]
+    assert [c.oracle_sql for c in ca] == [gb.case().oracle_sql for _ in range(80)]
+    kinds = {c.kind for c in ca}
+    assert "exact" in kinds and "minhash" in kinds
+    assert any(k.startswith("jaccard_n") for k in kinds)
+    assert any(k.startswith("lsh_b") for k in kinds)
+    # tiny viral-bucket caps are generated
+    assert any(k.endswith("_cap2") or k.endswith("_cap5") for k in kinds)
+    text = " ".join(c.oracle_sql for c in ca)
+    for shape in ("md5(", "list_distinct", "ON a.s = b.s AND a.id < b.id",
+                  "bucket_n <=", "|| '-' ||"):
+        assert shape in text, shape
