@@ -89,18 +89,6 @@ def bloom_dense_words(bloom: DataFrame, m_bits: int) -> list[int]:
     return words
 
 
-def member_expr(h: str, words_col: str, m_bits: int, k: int) -> str:
-    """Spark SQL: true iff all k bit positions of ``h`` are set in the
-    dense word array column ``words_col`` (1-based element_at)."""
-    checks = " AND ".join(
-        f"(shiftright(element_at({words_col}, "
-        f"CAST({p} div {WORD_BITS} AS INT) + 1), "
-        f"CAST({p} % {WORD_BITS} AS INT)) & 1) = 1"
-        for p in _position_exprs(h, m_bits, k)
-    )
-    return f"({checks})"
-
-
 def bloom_probe_dense(
     probes: DataFrame,
     words: list[int],
@@ -111,11 +99,39 @@ def bloom_probe_dense(
 ) -> DataFrame:
     """Adds ``out_col``: membership as a single codegen projection over
     a broadcast dense word array. Zero joins; the probe side is
-    scanned once and never shuffled."""
-    arr = f"array({','.join(f'{w}L' for w in words)})"
-    return probes.withColumn(
-        out_col, F.expr(member_expr(hash_col, arr, m_bits, k))
-    )
+    scanned once and never shuffled.
+
+    Three measured pitfalls shape the construction (probe history in
+    tools/r10b_sketch_scale_probe.py, m=2^20, 500k docs):
+    - an ``array(lit, lit, ...)`` of m/32 elements costs ~8s of fixed
+      expression-tree/plan time per query (and PySpark's ``F.lit(list)``
+      desugars to exactly that — it is NOT one Literal node);
+    - routing the array through a ``withColumn`` materializes 256 KB
+      into every row buffer (measured 137s vs 17s end to end);
+    - the fix is ONE BinaryType Literal (a single py4j bytes object):
+      bits packed little-endian so bit p lives at byte p//8, probed
+      with byte-indexed ``substring`` (O(1) on binary, unlike the
+      char-scanning string substring) + hex/conv — all codegen,
+      constant per row. Measured: 1x 8.4s -> 1.5s, 100x 17-137s
+      (array variants) -> 5.8s."""
+    bits = b"".join(int(w).to_bytes(WORD_BITS // 8, "little") for w in words)
+    blit = F.lit(bytearray(bits))
+    member = None
+    for p in _position_exprs(hash_col, m_bits, k):
+        byte = F.call_function(
+            "substring", blit, F.expr(f"CAST({p} div 8 AS INT) + 1"), F.lit(1)
+        )
+        val = F.call_function(
+            "conv", F.hex(byte), F.lit(16), F.lit(10)
+        ).cast("int")
+        chk = (
+            F.call_function(
+                "shiftright", val, F.expr(f"CAST({p} % 8 AS INT)")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+        member = chk if member is None else member & chk
+    return probes.withColumn(out_col, member)
 
 
 def bloom_probe_join(

@@ -136,3 +136,44 @@ def bpe_merge_table(
         "round INT, left_sym STRING, right_sym STRING, "
         "merged STRING, pair_count BIGINT",
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned merges (in order) to every word of every doc: the
+    tokenizer-APPLICATION side of BPE. Output per doc: ``n_words``
+    (alpha words), ``n_chars`` (pre-merge symbols = characters) and
+    ``n_tokens`` (post-merge symbols) — n_chars/n_tokens is the
+    compression the learned vocabulary buys.
+
+    Pure codegen projection per word (the same fixed-pass replace
+    chain as training) + one doc aggregation: the corpus is scanned
+    once and never joins. Docs with no alpha words are absent."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.expr(normalized_text(text_col)), " ")
+        ).alias("word"),
+    ).where(F.col("word").rlike("^[a-z]+$"))
+    enc = "concat(regexp_replace(word, '(.)', '|$1'), '|')"
+    for left, right in merges:
+        for _ in range(MERGE_PASSES):
+            enc = f"replace({enc}, '|{left}|{right}|', '|{left}{right}|')"
+    syms = f"size(filter(split({enc}, '[|]'), x -> x <> ''))"
+    return (
+        toks.select(
+            F.col(id_col),
+            F.length("word").alias("nc"),
+            F.expr(syms).alias("nt"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nc").alias("n_chars"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )

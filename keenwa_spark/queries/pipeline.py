@@ -1942,11 +1942,11 @@ def pl_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_bpe_sql(rounds: int = 4) -> str:
-    """Chained-CTE DuckDB replay of the full BPE training loop: per
+def _duck_bpe_ctes(rounds: int = 4) -> str:
+    """The chained-CTE DuckDB replay of the full BPE training loop: per
     round, pair counts over the current vocab segmentation, a 1-row
     argmax, and the same fixed-pass pipe-delimited merge replace
-    (pipeline/bpe.py MERGE_PASSES)."""
+    (pipeline/bpe.py MERGE_PASSES). Ends with best1..best{rounds}."""
     from keenwa_spark.pipeline.bpe import MERGE_PASSES
 
     norm = _D_NORM.format(c="text")
@@ -1985,15 +1985,53 @@ def _duck_bpe_sql(rounds: int = 4) -> str:
       SELECT {merged} AS enc, cnt FROM {prev}
     )"""
         )
-        arms = "\n      UNION ALL ".join(
-            f"SELECT {r} AS round, l AS left_sym, r AS right_sym, "
-            f"l || r AS merged, CAST(n AS BIGINT) AS pair_count FROM best{r}"
-            for r in range(1, rounds + 1)
-        )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _duck_bpe_sql(rounds: int = 4) -> str:
+    """Training-loop oracle: the learned merge table."""
+    arms = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, CAST(n AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
     return (
-        "WITH "
-        + ",\n    ".join(ctes)
+        _duck_bpe_ctes(rounds)
         + f"\n    SELECT * FROM (\n      {arms}\n    ) ORDER BY round"
+    )
+
+
+def _duck_bpe_encode_sql(rounds: int = 4) -> str:
+    """Tokenizer-application oracle: re-learn the merges (same CTEs),
+    then apply them in round order to every word of every doc. An
+    early-exhausted round (empty best{r}) must be a no-op, matching the
+    engine's early stop — COALESCE to a chr(1) sentinel pattern that
+    never occurs in ^[a-z]+$ text."""
+    from keenwa_spark.pipeline.bpe import MERGE_PASSES
+
+    norm = _D_NORM.format(c="text")
+    enc = "regexp_replace(word, '(.)', '|\\1', 'g') || '|'"
+    for r in range(1, rounds + 1):
+        pat = f"COALESCE((SELECT '|' || l || '|' || r || '|' FROM best{r}), chr(1))"
+        rep = f"COALESCE((SELECT '|' || l || r || '|' FROM best{r}), chr(1))"
+        for _ in range(MERGE_PASSES):
+            enc = f"replace({enc}, {pat}, {rep})"
+    return (
+        _duck_bpe_ctes(rounds)
+        + f""",
+    dwords AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split({norm}, ' ')) AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z]+$')
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(list_filter(string_split({enc}, '|'),
+                                    x -> x <> ''))) AS BIGINT) AS n_tokens
+    FROM dwords GROUP BY doc_id
+    """
     )
 
 
@@ -2015,6 +2053,27 @@ def pl_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from keenwa_spark.pipeline.bpe import bpe_merge_table
 
     return bpe_merge_table(spark.table("documents"), rounds=4)
+
+
+@df_query(
+    "pl_bpe_encode",
+    oracle=_duck_bpe_encode_sql(),
+    doc="BPE tokenizer APPLICATION: learn 4 merges (pl_bpe_merge_rounds' "
+    "loop), then encode every word of every doc with them in round "
+    "order — a pure codegen replace-chain projection plus ONE doc "
+    "aggregation; the corpus is scanned once and never joins. Output "
+    "per doc: alpha words, pre-merge symbols (chars) and post-merge "
+    "symbols — the compression the learned vocab buys. Oracle re-learns "
+    "the merges in the same chained CTEs and applies them identically "
+    "(pipeline/bpe.py bpe_encode).",
+    tags=("pipeline", "text", "tokenizer"),
+)
+def pl_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.bpe import bpe_encode, bpe_train
+
+    docs = spark.table("documents")
+    merges = [(m[1], m[2]) for m in bpe_train(docs, rounds=4)]
+    return bpe_encode(docs, merges)
 
 
 @df_query(

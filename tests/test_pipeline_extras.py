@@ -1397,3 +1397,57 @@ class TestBpeTrain:
         )
         words = {r.word for r in word_freqs(docs).collect()}
         assert words == {"ab", "ok"}
+
+
+class TestBpeEncode:
+    """Tokenizer application (pipeline/bpe.py bpe_encode)."""
+
+    def test_compression_counts(self, spark):
+        from keenwa_spark.pipeline.bpe import bpe_encode
+
+        docs = spark.createDataFrame(
+            [(1, "abc abc zz"), (2, "ab")], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: (r.n_words, r.n_chars, r.n_tokens)
+            for r in bpe_encode(docs, [("a", "b"), ("ab", "c")]).collect()
+        }
+        # doc 1: abc->1 token (ab then abc), zz->2 tokens
+        assert out[1] == (3, 8, 4)
+        # doc 2: ab -> merged once -> 1 token
+        assert out[2] == (1, 2, 1)
+
+    def test_empty_merge_list_is_character_level(self, spark):
+        from keenwa_spark.pipeline.bpe import bpe_encode
+
+        docs = spark.createDataFrame(
+            [(1, "abc de")], "doc_id long, text string"
+        )
+        row = bpe_encode(docs, []).collect()[0]
+        assert (row.n_chars, row.n_tokens) == (5, 5)
+
+    def test_merge_order_matters(self, spark):
+        from keenwa_spark.pipeline.bpe import bpe_encode
+
+        docs = spark.createDataFrame(
+            [(1, "abc")], "doc_id long, text string"
+        )
+        # (b,c) first blocks the (a,b) merge: |a|bc| -> 2 tokens
+        n1 = bpe_encode(docs, [("b", "c"), ("a", "b")]).collect()[0].n_tokens
+        # (a,b) first then (ab,c): 1 token
+        n2 = bpe_encode(docs, [("a", "b"), ("ab", "c")]).collect()[0].n_tokens
+        assert (n1, n2) == (2, 1)
+
+    def test_plan_is_join_free(self, spark):
+        from keenwa_spark.pipeline.bpe import bpe_encode
+
+        docs = spark.createDataFrame(
+            [(1, "ab ab")], "doc_id long, text string"
+        )
+        plan = (
+            bpe_encode(docs, [("a", "b")])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan and "Cartesian" not in plan
