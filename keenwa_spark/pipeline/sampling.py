@@ -129,6 +129,56 @@ def stratified_sample(
     )
 
 
+def stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    splits: dict[str, int],
+    key_col: str,
+    salt: str = "ssplit0",
+) -> DataFrame:
+    """EXACT per-stratum proportional splits: within each stratum rows
+    are ranked by (hash, key) — a uniform draw made total by the key
+    tie-break — and the first floor(p1% * n) rows go to the first
+    split, the next floor((p1+p2)% * n) - floor(p1% * n) to the second,
+    and so on. Unlike ``hash_split`` (whose proportions hold only in
+    expectation, and only corpus-wide), every stratum hits its
+    percentage exactly, +-1 row — the difference that matters when a
+    rare class has 20 rows and a 10% eval split must not draw 0 or 5
+    of them.
+
+    ``splits`` maps name -> integer PERCENT (exact boundary arithmetic
+    on both engines; floats would put a rounding tie on the cut).
+    Percents must sum to <= 100; ranks past the total are dropped
+    (held out), same contract as hash_split. Adds ``split``.
+
+    One shuffle (the per-stratum window). A stratum is one window
+    partition, so this assumes strata are numerous-and-bounded (class
+    labels, languages, sources); for a handful of giant strata route
+    the ranking through operators/ordered.py instead."""
+    total = sum(splits.values())
+    if total > 100:
+        raise ValueError(f"split percents sum to {total} > 100")
+    if any(p < 0 for p in splits.values()):
+        raise ValueError("split percents must be non-negative")
+    bucket = _bucket_expr(key_col, salt)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.expr(bucket).asc(), F.col(key_col).asc()
+    )
+    cum = 0
+    arms = []
+    for name, pct in splits.items():
+        cum += pct
+        arms.append(f"WHEN _rk <= ({cum} * _n) div 100 THEN '{_q(name)}'")
+    case = "CASE " + " ".join(arms) + " END"
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(strata_col)))
+        .withColumn("split", F.expr(case))
+        .filter(F.col("split").isNotNull())
+        .drop("_rk", "_n")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     domain_col: str,

@@ -1169,6 +1169,43 @@ def pl_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@df_query(
+    "pl_stratified_split",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_duck_bucket('doc_id', 'ssplit0')} ASC, doc_id ASC
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN rk <= (60 * n) // 100 THEN 'train'
+                WHEN rk <= (80 * n) // 100 THEN 'val'
+                WHEN rk <= (100 * n) // 100 THEN 'test' END AS split
+    FROM r
+    """,
+    doc="EXACT per-stratum proportional 60/20/20 splits: rank by "
+    "(hash, key) inside each language, integer-percent boundaries on "
+    "the stratum count — every stratum hits its percentage exactly "
+    "(+-1 row), where hash_split is proportional only in expectation "
+    "and only corpus-wide. One window shuffle "
+    "(pipeline/sampling.py stratified_split).",
+    tags=("pipeline", "sampling", "splits"),
+)
+def pl_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.sampling import stratified_split
+
+    return stratified_split(
+        spark.table("documents"),
+        "lang",
+        {"train": 60, "val": 20, "test": 20},
+        "doc_id",
+    ).select("doc_id", "lang", "split")
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF (pipeline/tfidf.py)
 # ---------------------------------------------------------------------------

@@ -1451,3 +1451,68 @@ class TestBpeEncode:
             .toString()
         )
         assert "Join" not in plan and "Cartesian" not in plan
+
+
+class TestStratifiedSplit:
+    """Exact per-stratum proportional splits
+    (pipeline/sampling.py stratified_split)."""
+
+    @pytest.fixture(scope="class")
+    def strata(self, spark):
+        # class 'a': 20 rows, class 'b': 5 rows, class 'c': 1 row
+        rows = (
+            [(i, "a") for i in range(20)]
+            + [(100 + i, "b") for i in range(5)]
+            + [(200, "c")]
+        )
+        return spark.createDataFrame(rows, "doc_id long, label string")
+
+    def test_exact_per_stratum_proportions(self, strata):
+        from keenwa_spark.pipeline.sampling import stratified_split
+
+        out = stratified_split(
+            strata, "label", {"train": 60, "val": 20, "test": 20}, "doc_id"
+        ).collect()
+        by = {}
+        for r in out:
+            by.setdefault((r.label, r.split), 0)
+            by[(r.label, r.split)] = by[(r.label, r.split)] + 1
+        # 20 rows: exactly 12/4/4
+        assert by[("a", "train")] == 12
+        assert by[("a", "val")] == 4 and by[("a", "test")] == 4
+        # 5 rows: floors at 3/1/1 (boundaries 3, 4, 5)
+        assert by[("b", "train")] == 3
+        assert by[("b", "val")] == 1 and by[("b", "test")] == 1
+        # 1 row: boundaries 0/0/1 -> the single row is 'test'
+        assert by.get(("c", "test")) == 1
+        assert ("c", "train") not in by and ("c", "val") not in by
+
+    def test_partial_percents_hold_out_the_rest(self, strata):
+        from keenwa_spark.pipeline.sampling import stratified_split
+
+        out = stratified_split(strata, "label", {"train": 50}, "doc_id")
+        counts = {r.label: 0 for r in out.collect()}
+        for r in out.collect():
+            counts[r.label] += 1
+        assert counts["a"] == 10 and counts["b"] == 2
+        assert "c" not in counts  # floor(0.5 * 1) = 0: held out
+
+    def test_disjoint_and_deterministic(self, strata):
+        from keenwa_spark.pipeline.sampling import stratified_split
+
+        a = stratified_split(
+            strata, "label", {"train": 60, "val": 20, "test": 20}, "doc_id"
+        ).collect()
+        b = stratified_split(
+            strata, "label", {"train": 60, "val": 20, "test": 20}, "doc_id"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len({r.doc_id for r in a}) == len(a)  # each row one split
+
+    def test_rejects_bad_percents(self, strata):
+        from keenwa_spark.pipeline.sampling import stratified_split
+
+        with pytest.raises(ValueError, match="> 100"):
+            stratified_split(strata, "label", {"a": 70, "b": 40}, "doc_id")
+        with pytest.raises(ValueError, match="non-negative"):
+            stratified_split(strata, "label", {"a": -1}, "doc_id")
