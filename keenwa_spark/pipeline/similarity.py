@@ -669,3 +669,45 @@ def mmr_rerank_grouped(
         F.col("__rel").alias(rel_col),
         F.col("__score").alias("mmr_score"),
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag training vectors whose
+    cosine to ANY benchmark vector reaches ``threshold`` — the
+    paraphrase- and translation-tolerant complement to the n-gram
+    (pipeline/decontaminate.py) and MinHash-band (fuzzy) checks, which
+    miss semantically-equivalent rewrites that share no surface form.
+
+    Per train row: ``n_hits`` (benchmark vectors at >= threshold),
+    ``max_sim`` (the closest benchmark similarity — order-independent
+    MAX over bit-deterministic fold cosines, so oracle-exact) and
+    ``contaminated``. Zero-norm vectors score 0 (the _safe_cos guard).
+
+    Plan: benchmark is broadcast (eval sets are small by nature), the
+    corpus is scanned ONCE through codegen — scoring is corpus x
+    eval_count inside the projection, never a corpus shuffle. At very
+    large eval sets compose with sign-LSH bucketing first (the
+    near_dup_cosine_pairs pattern); this exact form is also the
+    verifier for that composition. Empty benchmark -> empty report
+    (vacuously clean, same contract as the n-gram decontaminator)."""
+    t = train.select(
+        F.col(id_col), F.expr(_as_double(vec_col)).alias("__tv")
+    )
+    b = benchmark.select(F.expr(_as_double(vec_col)).alias("__bv"))
+    scored = t.crossJoin(F.broadcast(b)).withColumn(
+        "__sim", F.expr(_safe_cos("__tv", "__bv"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count_if(F.col("__sim") >= threshold).alias("n_hits"),
+            F.max("__sim").alias("max_sim"),
+        )
+        .withColumn("contaminated", F.col("n_hits") >= 1)
+    )

@@ -1979,6 +1979,42 @@ def pl_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@df_query(
+    "pl_semantic_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT vec_id, {_D_VEC_D} AS tv FROM embeddings
+               WHERE vec_id % 97 <> 0),
+    b AS (SELECT {_D_VEC_D} AS bv FROM embeddings WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT t.vec_id, {_duck_safe_cosine('tv', 'bv')} AS sim FROM t, b
+    )
+    SELECT vec_id,
+           COUNT(*) FILTER (WHERE sim >= 0.3) AS n_hits,
+           MAX(sim) AS max_sim,
+           COUNT(*) FILTER (WHERE sim >= 0.3) >= 1 AS contaminated
+    FROM scored GROUP BY vec_id
+    """,
+    doc="Embedding-space decontamination: training vectors flagged when "
+    "cosine to ANY benchmark vector (vec_id % 97 = 0) reaches 0.3 (the fixture's clustered-noise similarity range tops out at ~0.47) — the "
+    "paraphrase/translation-tolerant complement to the n-gram and "
+    "MinHash-band checks, which miss semantically-equivalent rewrites "
+    "sharing no surface form. Benchmark broadcast, corpus scanned once "
+    "through codegen fold cosines (order-independent MAX keeps it "
+    "oracle-exact); compose with sign-LSH bucketing for very large "
+    "eval sets (pipeline/similarity.py semantic_decontaminate).",
+    tags=("pipeline", "similarity", "decontamination"),
+)
+def pl_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.similarity import semantic_decontaminate
+
+    emb = spark.table("embeddings")
+    return semantic_decontaminate(
+        emb.where(F.col("vec_id") % 97 != 0),
+        emb.where(F.col("vec_id") % 97 == 0),
+        threshold=0.3,
+    )
+
+
 def _duck_bpe_ctes(rounds: int = 4) -> str:
     """The chained-CTE DuckDB replay of the full BPE training loop: per
     round, pair counts over the current vocab segmentation, a 1-row

@@ -1516,3 +1516,71 @@ class TestStratifiedSplit:
             stratified_split(strata, "label", {"a": 70, "b": 40}, "doc_id")
         with pytest.raises(ValueError, match="non-negative"):
             stratified_split(strata, "label", {"a": -1}, "doc_id")
+
+
+class TestSemanticDecontaminate:
+    """Embedding-space decontamination
+    (pipeline/similarity.py semantic_decontaminate)."""
+
+    @pytest.fixture(scope="class")
+    def sets(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),   # identical to bench 100
+                (2, [0.0, 1.0, 0.0]),   # orthogonal to all bench
+                (3, [0.8, 0.6, 0.0]),   # cos 0.8 to bench 100
+                (4, [0.0, 0.0, 0.0]),   # zero vector: safe-cos 0
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        bench = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0]), (101, [0.0, 0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        return train, bench
+
+    def test_flags_and_max_sim(self, sets):
+        from keenwa_spark.pipeline.similarity import semantic_decontaminate
+
+        train, bench = sets
+        out = {
+            r.vec_id: (r.n_hits, round(r.max_sim, 6), r.contaminated)
+            for r in semantic_decontaminate(train, bench, 0.95).collect()
+        }
+        assert out[1] == (1, 1.0, True)        # exact duplicate
+        assert out[2][0] == 0 and not out[2][2]  # orthogonal
+        assert out[3][0] == 0 and abs(out[3][1] - 0.8) < 1e-9  # < 0.95
+        assert out[4] == (0, 0.0, False)       # zero vector scores 0
+
+    def test_threshold_widens_the_net(self, sets):
+        from keenwa_spark.pipeline.similarity import semantic_decontaminate
+
+        train, bench = sets
+        out = {
+            r.vec_id: r.contaminated
+            for r in semantic_decontaminate(train, bench, 0.5).collect()
+        }
+        assert out[1] and out[3]
+        assert not out[2] and not out[4]
+
+    def test_empty_benchmark_is_vacuously_clean(self, sets, spark):
+        from keenwa_spark.pipeline.similarity import semantic_decontaminate
+
+        train, bench = sets
+        assert (
+            semantic_decontaminate(train, bench.where("1 = 0"), 0.5).count()
+            == 0
+        )
+
+    def test_benchmark_side_is_broadcast(self, sets):
+        from keenwa_spark.pipeline.similarity import semantic_decontaminate
+
+        train, bench = sets
+        plan = (
+            semantic_decontaminate(train, bench, 0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
