@@ -125,3 +125,45 @@ def target_encode(
     else:
         enc = F.col("__sum") / F.col("__n")
     return joined.withColumn(out_col, enc).drop("__n", "__sum")
+
+
+def feature_hash_vectors(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick bag-of-words vectors (Weinberger et al. 2009):
+    each token lands in bucket ``h % dim`` with sign from the next
+    hash bit — a fixed-width feature vector with no vocabulary table
+    at all, the classic trick when the vocab is unbounded (URLs,
+    code identifiers, multilingual text).
+
+    Output: (id, fvec array<double> of length ``dim``), exact signed
+    integer counts cast to double so the vector plugs straight into
+    the similarity/ANN stack. Pure per-row projection — the token
+    hashes are staged ONCE per row (the _shingles outer-bind trick)
+    and each dimension is a codegen fold over them; ZERO shuffles,
+    no vocabulary state, embarrassingly scan-parallel at any corpus
+    size. Docs with no tokens get the all-zero vector.
+
+    The sign bit makes bucket collisions cancel in expectation
+    (unbiased inner products) rather than accumulate — that is what
+    distinguishes the hashing trick from plain modulo binning."""
+    from keenwa_spark.pipeline.dedup import normalized_text
+    from keenwa_spark.pipeline.hashing import spark_hash64
+
+    toks = f"filter(split({normalized_text(text_col)}, ' '), t -> t <> '')"
+    hashes = f"transform({toks}, t -> {spark_hash64('t')})"
+    signed = (
+        f"CASE WHEN (h div {dim}) % 2 = 0 THEN 1L ELSE -1L END"
+    )
+    fold = (
+        f"aggregate(hs, 0L, (acc, h) -> acc + "
+        f"(CASE WHEN h % {dim} = d THEN {signed} ELSE 0L END))"
+    )
+    vec = (
+        f"transform(array({hashes}), hs -> "
+        f"transform(sequence(0, {dim} - 1), d -> CAST({fold} AS DOUBLE)))[0]"
+    )
+    return docs.select(F.col(id_col), F.expr(vec).alias("fvec"))

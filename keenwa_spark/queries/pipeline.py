@@ -1980,6 +1980,48 @@ def pl_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "pl_feature_hash",
+    oracle=f"""
+    WITH tokf AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split({_D_NORM.format(c='text')}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> ''
+    ),
+    h AS (SELECT doc_id, {duck_hash64('tok')} AS h FROM tokf),
+    agg AS (
+      SELECT doc_id, h % 16 AS dim,
+             SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS w
+      FROM h GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(dim AS INT) AS dim, CAST(w AS DOUBLE) AS w
+    FROM agg WHERE w <> 0
+    """,
+    doc="Hashing-trick bag-of-words features (Weinberger et al. 2009): "
+    "each token hashed into one of 16 buckets with a sign bit so "
+    "collisions cancel in expectation — fixed-width vectors with NO "
+    "vocabulary state, a pure zero-shuffle per-row projection at any "
+    "corpus size. The registry row posexplodes the dense vector to "
+    "(doc, dim, weight) long form for the compare; the dense "
+    "array<double> output plugs straight into the ANN stack "
+    "(pipeline/features.py feature_hash_vectors).",
+    tags=("pipeline", "text", "features"),
+)
+def pl_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.features import feature_hash_vectors
+
+    vecs = feature_hash_vectors(spark.table("documents"), dim=16)
+    return (
+        vecs.select(
+            "doc_id", F.posexplode("fvec").alias("dim", "w")
+        )
+        .where(F.col("w") != 0)
+        .select("doc_id", F.col("dim").cast("int").alias("dim"), "w")
+    )
+
+
+@df_query(
     "pl_semantic_decontaminate",
     oracle=f"""
     WITH t AS (SELECT vec_id, {_D_VEC_D} AS tv FROM embeddings

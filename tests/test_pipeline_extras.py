@@ -1584,3 +1584,42 @@ class TestSemanticDecontaminate:
         )
         assert "BroadcastNestedLoopJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestFeatureHash:
+    """Hashing-trick vectorizer (pipeline/features.py
+    feature_hash_vectors)."""
+
+    def test_shape_and_determinism(self, spark):
+        from keenwa_spark.pipeline.features import feature_hash_vectors
+
+        docs = spark.createDataFrame(
+            [(1, "a b a"), (2, ""), (3, "zz")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.fvec for r in feature_hash_vectors(docs, 8).collect()}
+        assert all(len(v) == 8 for v in out.values())
+        assert out[2] == [0.0] * 8  # no tokens -> zero vector
+        # repeated token doubles its bucket weight
+        assert sum(abs(x) for x in out[1]) >= 2.0
+        again = {
+            r.doc_id: r.fvec for r in feature_hash_vectors(docs, 8).collect()
+        }
+        assert out == again
+
+    def test_repeated_token_accumulates_linearly(self, spark):
+        from keenwa_spark.pipeline.features import feature_hash_vectors
+
+        docs = spark.createDataFrame(
+            [(1, "tok"), (2, "tok tok tok")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.fvec for r in feature_hash_vectors(docs, 8).collect()}
+        assert [3 * x for x in out[1]] == out[2]
+
+    def test_plan_is_shuffle_free(self, views):
+        from keenwa_spark.pipeline.features import feature_hash_vectors
+
+        df = feature_hash_vectors(views.table("documents"), 16)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
