@@ -456,3 +456,39 @@ def test_dedup_generator_is_deterministic_and_covers_shapes():
     for shape in ("md5(", "list_distinct", "ON a.s = b.s AND a.id < b.id",
                   "bucket_n <=", "|| '-' ||"):
         assert shape in text, shape
+
+
+# ---------------------------------------------------------------------------
+# Text-model fuzz (keenwa_spark/text_fuzz.py — round 10, session 2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_text_fuzz_corpus_cross_engine(spark, duck, seed):
+    """BPE merge learning on tie-heavy tiny-alphabet corpora (the
+    oracle replays the whole training loop per case, argmax included),
+    the token-vote classifier under vote ties / OOV abstains /
+    label-skewed slices, and feature hashing across dims 4..64 with
+    bucket-by-bucket sign cancellation. Wider sweeps:
+    tools/text_fuzz.py."""
+    from keenwa_spark.text_fuzz import run_text_fuzz
+
+    mis = run_text_fuzz(spark, duck, seed=seed, n=20)
+    assert mis == [], mis[:3]
+
+
+def test_text_generator_is_deterministic_and_covers_shapes():
+    from keenwa_spark.text_fuzz import TextGen
+
+    ga, gb = TextGen(3), TextGen(3)
+    ca = [ga.case() for _ in range(60)]
+    assert [c.oracle_sql for c in ca] == [gb.case().oracle_sql for _ in range(60)]
+    kinds = {c.kind for c in ca}
+    assert any(k.startswith("bpe_r") for k in kinds)
+    assert any(k.startswith("vote_m") for k in kinds)
+    assert any(k.startswith("fhash_d") for k in kinds)
+    text = " ".join(c.oracle_sql for c in ca)
+    for shape in ("ORDER BY n DESC, l ASC, r ASC", "IS NOT DISTINCT FROM",
+                  "ROW_NUMBER() OVER (\n          PARTITION BY tok",
+                  "THEN 1 ELSE -1 END"):
+        assert shape in text, shape
