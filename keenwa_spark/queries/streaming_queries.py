@@ -608,3 +608,53 @@ def st_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         asof_stream(_stream_source(spark, sf_dir)), output_mode="update"
     )
     return out.orderBy("purchase_id")
+
+
+def _duck_st_cms_sql(d: int = 4, w: int = 256) -> str:
+    from keenwa_spark.pipeline.sketches import _cms_pos
+
+    arms = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_pos('h', j, w)} AS pos FROM h"
+        for j in range(d)
+    )
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(event_type), 1, 8))::BIGINT AS h
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    arms AS (
+      {arms}
+    )
+    SELECT j, pos, COUNT(*) AS cnt FROM arms GROUP BY 1, 2
+    """
+
+
+@df_query(
+    "st_cms_counts",
+    oracle=_duck_st_cms_sql(),
+    doc="STREAMING count-min sketch: the batch cms_build plan "
+    "(pipeline/sketches.py) runs UNCHANGED on the event stream — "
+    "counters are sums, so the d x w table is mergeable fixed-size "
+    "streaming state (complete mode, <= 1024 rows at any stream "
+    "length), the heavy-hitter state story HLL tells for distincts. "
+    "Unlike the HLL twin (bound-checked only), CMS counters are the "
+    "frozen portable arithmetic, so the drained state is compared "
+    "EXACTLY against the DuckDB replay — a full-value oracle on a "
+    "streaming aggregate.",
+    tags=("streaming", "sketch"),
+)
+def st_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.pipeline.hashing import spark_hash64
+    from keenwa_spark.pipeline.sketches import cms_build
+    from keenwa_spark.streaming import run_available_now
+
+    hashed = (
+        _stream_source(spark, sf_dir)
+        .where(F.col("event_type").isNotNull())
+        .select(F.expr(spark_hash64("event_type")).alias("h"))
+    )
+    return run_available_now(
+        cms_build(hashed, "h", d=4, w=256), output_mode="complete"
+    ).orderBy("j", "pos")

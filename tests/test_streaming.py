@@ -573,3 +573,35 @@ def test_sketch_distinct_state_bounded_by_watermark(views, tmp_path_factory):
     )
     assert peak_short > 0
     assert peak_long <= peak_short * 1.5, (peak_short, peak_long)
+
+
+class TestStreamingCms:
+    """Streamed CMS counters equal the batch sketch bit for bit
+    (queries/streaming_queries.py st_cms_counts)."""
+
+    def test_stream_equals_batch(self, views):
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.pipeline.hashing import spark_hash64
+        from keenwa_spark.pipeline.sketches import cms_build
+        from keenwa_spark.queries import REGISTRY
+        import keenwa_spark.queries.streaming_queries  # noqa: F401
+
+        import tests.conftest as c
+
+        streamed = {
+            (r.j, r.pos): r.cnt
+            for r in REGISTRY["st_cms_counts"].fn(views, c.SF_DIR).collect()
+        }
+        batch = {
+            (r.j, r.pos): r.cnt
+            for r in cms_build(
+                views.table("events")
+                .where(F.col("event_type").isNotNull())
+                .select(F.expr(spark_hash64("event_type")).alias("h")),
+                "h",
+                d=4,
+                w=256,
+            ).collect()
+        }
+        assert streamed == batch and len(batch) <= 1024
