@@ -1980,6 +1980,54 @@ def pl_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @df_query(
+    "pl_seeded_shuffle",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuf0'), 1, 8))::BIGINT
+               AS hk
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY hk ASC, doc_id ASC) - 1 AS position
+      FROM k
+    )
+    SELECT doc_id, position, CAST(position % 8 AS BIGINT) AS shard
+    FROM p
+    """,
+    doc="Deterministic corpus shuffle for training order: every doc "
+    "gets a seeded pseudo-random GLOBAL position (hash order made "
+    "total by the id tie-break) and a round-robin shard — the 'shuffle "
+    "your corpus, reproducibly' step every training run needs, stable "
+    "across runs, engines and cluster layouts. The global row number "
+    "is the TWO-PASS range-bucket operator (operators/ordered.py), "
+    "never a single-partition window; round-robin sharding balances "
+    "shard sizes exactly (+-1) where hash-mod sharding only balances "
+    "in expectation.",
+    tags=("pipeline", "sampling", "ordering"),
+)
+def pl_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.operators.ordered import with_global_row_number
+    from keenwa_spark.pipeline.hashing import spark_hash64
+
+    keyed = spark.table("documents").select(
+        "doc_id",
+        F.expr(
+            spark_hash64("concat(CAST(doc_id AS STRING), 'shuf0')")
+        ).alias("hk"),
+    )
+    pos = with_global_row_number(
+        keyed, order_by=["hk", "doc_id"], bucket_col="hk", out_col="position"
+    )
+    return pos.select(
+        "doc_id",
+        (F.col("position") - 1).alias("position"),
+        ((F.col("position") - 1) % 8).alias("shard"),
+    )
+
+
+@df_query(
     "pl_feature_hash",
     oracle=f"""
     WITH tokf AS (
@@ -2057,19 +2105,23 @@ def pl_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_bpe_ctes(rounds: int = 4) -> str:
+def _duck_bpe_ctes(
+    rounds: int = 4, source: str = "documents", text_col: str = "text"
+) -> str:
     """The chained-CTE DuckDB replay of the full BPE training loop: per
     round, pair counts over the current vocab segmentation, a 1-row
     argmax, and the same fixed-pass pipe-delimited merge replace
-    (pipeline/bpe.py MERGE_PASSES). Ends with best1..best{rounds}."""
+    (pipeline/bpe.py MERGE_PASSES). Ends with best1..best{rounds}.
+    ``source``/``text_col`` are parameterized so the randomized
+    corpora of the text fuzzer can replay the same loop inline."""
     from keenwa_spark.pipeline.bpe import MERGE_PASSES
 
-    norm = _D_NORM.format(c="text")
+    norm = _D_NORM.format(c=text_col)
     syms = "list_filter(string_split(enc, '|'), x -> x <> '')"
     ctes = [
         f"""wf AS (
       SELECT word, COUNT(*) AS cnt FROM (
-        SELECT unnest(string_split({norm}, ' ')) AS word FROM documents
+        SELECT unnest(string_split({norm}, ' ')) AS word FROM {source}
       ) WHERE regexp_matches(word, '^[a-z]+$')
       GROUP BY word
     ),
