@@ -206,6 +206,15 @@ HEADLINE = [
     # round-9 addition: the composed IVF-PQ shape (coarse prune +
     # residual-codebook ADC; both fits on one bounded sample)
     "pl_ann_ivfpq_topk",
+    # round-10 session-2 additions: Bloom-filter decontamination (bit_or
+    # bitmap build + zero-join dense-probe projection), count-min heavy
+    # hitters (mergeable counter sketch + broadcast point queries), and
+    # the token-vote classifier (vocab-bounded window argmax train +
+    # token-join inference) — the new portable-sketch / text-model
+    # plan families
+    "pl_bloom_decontaminate",
+    "pl_cms_heavy_hitters",
+    "pl_token_vote_classify",
 ]
 
 
@@ -409,10 +418,25 @@ def compact_line(detail: dict, detail_file: str) -> str:
     # progressive shrink: each drop removes context that still lives
     # in the detail file
     line = json.dumps(compact)
-    for drop in ("probe_verdicts", "regressions", "queries"):
+    for drop in ("probe_verdicts", "regressions"):
         if len(line) <= CAPTURE_BUDGET:
             break
         compact.pop(drop, None)
+        line = json.dumps(compact)
+    # the queries map degrades gracefully: keep the SLOWEST half (the
+    # rows a reviewer needs first) rather than dropping the whole map
+    # — a growing headline list thins the driver line instead of
+    # blanking it (the full map always lives in the detail file)
+    while len(line) > CAPTURE_BUDGET and len(compact.get("queries", ())) > 8:
+        qs = sorted(
+            compact["queries"].items(), key=lambda kv: (-kv[1], kv[0])
+        )[: max(8, len(compact["queries"]) // 2)]
+        compact["queries"] = dict(qs)
+        compact["queries_shown"] = len(qs)
+        line = json.dumps(compact)
+    if len(line) > CAPTURE_BUDGET:
+        compact.pop("queries", None)
+        compact.pop("queries_shown", None)
         line = json.dumps(compact)
     # terminal guarantee (ADVICE r09): if even the core exceeds the
     # budget, emit the minimal parseable record rather than an

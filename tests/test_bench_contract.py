@@ -43,7 +43,32 @@ def test_compact_line_fits_capture_at_todays_headline_size():
     body = json.loads(line)
     assert body["prev_round"] == 8
     assert body["detail_file"] == "BENCH_DETAIL_r09.json"
+    # the queries map survives (possibly thinned to the slowest
+    # subset under the synthetic extra-long names); the full map is
+    # in the detail file
+    assert len(body["queries"]) >= min(len(bench.HEADLINE), 8)
+    if "queries_shown" in body:
+        # thinned: the kept rows are the slowest ones
+        kept = set(body["queries"])
+        dropped_max = max(
+            v for n, v in d["queries"].items() if n not in kept
+        )
+        assert min(body["queries"].values()) >= dropped_max
+
+
+def test_compact_line_keeps_full_queries_at_realistic_names():
+    """With the REAL headline names (shorter than the synthetic canary
+    names) the full per-query map must still fit untruncated."""
+    d = _detail(len(bench.HEADLINE), 17)
+    d["queries"] = {n: 1.234 for n in bench.HEADLINE}
+    d["spread"] = {n: 1.42 for n in bench.HEADLINE}
+    d["regressions"] = {}
+    d["probe"] = {n: {"min_sec": 0.5, "verdict": "ok"} for n in bench.HEADLINE[:17]}
+    line = bench.compact_line(d, "BENCH_DETAIL_r10.json")
+    assert len(line) <= bench.CAPTURE_BUDGET
+    body = json.loads(line)
     assert len(body["queries"]) == len(bench.HEADLINE)
+    assert "queries_shown" not in body
 
 
 def test_compact_line_survives_pathological_growth():
