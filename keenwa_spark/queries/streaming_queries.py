@@ -658,3 +658,53 @@ def st_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         cms_build(hashed, "h", d=4, w=256), output_mode="complete"
     ).orderBy("j", "pos")
+
+
+def _duck_st_bloom_sql(m_bits: int = 4096, k: int = 4) -> str:
+    from keenwa_spark.pipeline.bloom import WORD_BITS, _position_exprs
+
+    pos = ", ".join(_position_exprs("h", m_bits, k))
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT ('0x' || substr(md5(event_type || '|' ||
+                       CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ),
+    bpos AS (SELECT DISTINCT unnest([{pos}]) AS pos FROM h)
+    SELECT CAST(pos // {WORD_BITS} AS INT) AS word_idx,
+           bit_or(1::BIGINT << (pos % {WORD_BITS})::INT) AS word_val
+    FROM bpos GROUP BY 1
+    """
+
+
+@df_query(
+    "st_bloom_filter",
+    oracle=_duck_st_bloom_sql(),
+    doc="STREAMING Bloom-filter maintenance: the batch bloom_build plan "
+    "(pipeline/bloom.py) runs UNCHANGED on the event stream over "
+    "(event_type, user_id) membership keys — bit_or words are "
+    "mergeable fixed-size streaming state (complete mode, <= m/32 "
+    "rows at any stream length), the live-updated blocklist/seen-set "
+    "shape. The drained word rows are the frozen portable arithmetic, "
+    "compared EXACTLY against the DuckDB replay; a probe against "
+    "yesterday's persisted filter is the same codegen projection as "
+    "batch (pl_bloom_decontaminate).",
+    tags=("streaming", "sketch"),
+)
+def st_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.pipeline.bloom import bloom_build
+    from keenwa_spark.pipeline.hashing import spark_hash64
+
+    from keenwa_spark.streaming import run_available_now
+
+    key = "concat(event_type, '|', CAST(user_id AS STRING))"
+    hashed = (
+        _stream_source(spark, sf_dir)
+        .where(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.expr(spark_hash64(key)).alias("h"))
+    )
+    return run_available_now(
+        bloom_build(hashed, m_bits=4096, k=4), output_mode="complete"
+    ).orderBy("word_idx")

@@ -605,3 +605,38 @@ class TestStreamingCms:
             ).collect()
         }
         assert streamed == batch and len(batch) <= 1024
+
+
+class TestStreamingBloom:
+    """Streamed Bloom words equal the batch build bit for bit (bit_or
+    is idempotent, so at-least-once replay cannot corrupt the filter)."""
+
+    def test_stream_equals_batch(self, views):
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.pipeline.bloom import bloom_build
+        from keenwa_spark.pipeline.hashing import spark_hash64
+        from keenwa_spark.queries import REGISTRY
+        import keenwa_spark.queries.streaming_queries  # noqa: F401
+
+        import tests.conftest as c
+
+        streamed = {
+            (r.word_idx, r.word_val)
+            for r in REGISTRY["st_bloom_filter"].fn(views, c.SF_DIR).collect()
+        }
+        key = "concat(event_type, '|', CAST(user_id AS STRING))"
+        batch = {
+            (r.word_idx, r.word_val)
+            for r in bloom_build(
+                views.table("events")
+                .where(
+                    F.col("event_type").isNotNull()
+                    & F.col("user_id").isNotNull()
+                )
+                .select(F.expr(spark_hash64(key)).alias("h")),
+                m_bits=4096,
+                k=4,
+            ).collect()
+        }
+        assert streamed == batch and len(batch) <= 4096 // 32
