@@ -121,13 +121,43 @@ def probe_cms(spark) -> None:
         )
 
 
+def probe_vote(spark) -> None:
+    """Token-vote classifier: train once on the 1x slice, then classify
+    1x/10x/100x corpora — the model is vocab-bounded, inference is one
+    token join + one doc agg, both corpus-linear."""
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.pipeline.classify import token_class_model, token_vote_classify
+
+    print("## token_vote_classify (train on 1x, infer 1x/10x/100x docs)")
+    model = token_class_model(
+        spark.read.parquet(stage_documents(spark, 1)), "lang"
+    ).localCheckpoint()
+    n_model = model.count()
+    for factor in (1, 10, 100):
+        path = stage_documents(spark, factor)
+        runs = 3 if factor < 100 else 2
+
+        def build(path=path):
+            return token_vote_classify(
+                spark.read.parquet(path), model
+            )
+
+        out = build()
+        wall, n = _time(build, runs)
+        print(
+            f"{factor}x: wall {wall:.2f}s rows {n} model_rows {n_model} "
+            f"[{_plan_counts(out)}]"
+        )
+
+
 def main() -> None:
     from keenwa_spark.session import get_spark
 
     spark = get_spark("r10b_sketch_scale_probe")
-    probes = sys.argv[1:] or ["bloom", "cms"]
+    probes = sys.argv[1:] or ["bloom", "cms", "vote"]
     for p in probes:
-        {"bloom": probe_bloom, "cms": probe_cms}[p](spark)
+        {"bloom": probe_bloom, "cms": probe_cms, "vote": probe_vote}[p](spark)
 
 
 if __name__ == "__main__":
