@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from keenwa_spark.pipeline.hashing import MINHASH_AB, MINHASH_P, duck_hash64
-from keenwa_spark.queries import df_query
+from keenwa_spark.queries import REGISTRY, df_query
 
 # --- DuckDB-dialect building blocks ----------------------------------------
 
@@ -2301,6 +2301,75 @@ def pl_token_vote_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify_eval(
         spark.table("documents"), F.col("doc_id") % 3 != 0, label_col="lang"
     )
+
+
+def _duck_decon_panel_sql() -> str:
+    """Join the exact, Bloom, and fuzzy decontamination oracles into
+    one per-doc panel. Each arm is a full WITH-query, legal as a
+    parenthesized derived table in both engines. Docs with >= 4 words
+    appear in the exact/bloom arms and always have a MinHash signature
+    (>= 3 words), so the fuzzy arm joins LEFT only for safety on the
+    n-gram-less boundary."""
+    exact = REGISTRY["pl_decontaminate"].oracle
+    bloom = REGISTRY["pl_bloom_decontaminate"].oracle
+    fuzzy = REGISTRY["pl_fuzzy_decontaminate"].oracle
+    return f"""
+    SELECT e.doc_id,
+           e.n_hits,
+           b.n_flagged,
+           COALESCE(f.n_band_hits, 0) AS n_band_hits,
+           (e.n_hits >= 1 OR b.n_flagged >= 1
+            OR COALESCE(f.n_band_hits, 0) >= 1) AS any_contaminated
+    FROM ({exact}) e
+    JOIN ({bloom}) b USING (doc_id)
+    LEFT JOIN ({fuzzy}) f USING (doc_id)
+    """
+
+
+@df_query(
+    "pl_decontamination_panel",
+    oracle=None,  # set right after registration (needs REGISTRY rows)
+    doc="The decontamination PANEL: exact n-gram overlap, Bloom-filtered "
+    "probe, and MinHash-band fuzzy match joined into one per-doc "
+    "report with a combined any_contaminated verdict — the production "
+    "shape (run the cheap probabilistic screens, keep the exact "
+    "counts for audit; bloom n_flagged >= exact n_hits by "
+    "construction). One plan, three arms over one corpus scan family; "
+    "oracle is the three registry oracles joined "
+    "(queries/pipeline.py _duck_decon_panel_sql).",
+    tags=("pipeline", "text", "decontamination"),
+)
+def pl_decontamination_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.bloom import bloom_decontaminate
+    from keenwa_spark.pipeline.decontaminate import (
+        decontaminate,
+        fuzzy_decontaminate,
+    )
+
+    docs = spark.table("documents")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    e = decontaminate(train, bench, n=4).select("doc_id", "n_hits")
+    b = bloom_decontaminate(train, bench, n=4).select("doc_id", "n_flagged")
+    f = fuzzy_decontaminate(train, bench).select("doc_id", "n_band_hits")
+    return (
+        e.join(b, "doc_id")
+        .join(f, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_flagged",
+            F.coalesce(F.col("n_band_hits"), F.lit(0)).alias("n_band_hits"),
+            (
+                (F.col("n_hits") >= 1)
+                | (F.col("n_flagged") >= 1)
+                | (F.coalesce(F.col("n_band_hits"), F.lit(0)) >= 1)
+            ).alias("any_contaminated"),
+        )
+    )
+
+
+REGISTRY["pl_decontamination_panel"].oracle = _duck_decon_panel_sql()
 
 
 @df_query(

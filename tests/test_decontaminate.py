@@ -217,3 +217,22 @@ class TestBloom:
         assert set(exact) == set(bloomed)
         # zero false negatives: bloom flags at least every exact hit
         assert all(bloomed[d] >= exact[d] for d in exact)
+
+
+class TestDecontaminationPanel:
+    """The three-arm panel agrees with its arms and with itself
+    (queries/pipeline.py pl_decontamination_panel)."""
+
+    def test_bloom_dominates_exact_and_verdict_is_or(self, views):
+        from keenwa_spark.queries import REGISTRY
+        import keenwa_spark.queries.pipeline  # noqa: F401
+        import tests.conftest as c
+
+        rows = REGISTRY["pl_decontamination_panel"].fn(views, c.SF_DIR).collect()
+        assert rows
+        for r in rows:
+            # zero false negatives: the Bloom arm flags every exact hit
+            assert r.n_flagged >= r.n_hits
+            assert r.any_contaminated == (
+                r.n_hits >= 1 or r.n_flagged >= 1 or r.n_band_hits >= 1
+            )
