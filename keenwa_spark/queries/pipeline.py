@@ -1206,6 +1206,58 @@ def pl_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "split")
 
 
+@df_query(
+    "pl_cluster_split",
+    oracle=f"""
+    WITH RECURSIVE {_duck_lsh_pair_ctes()},
+    cc_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION SELECT id_b, id_a FROM lsh_pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM cc_edges
+      UNION
+      SELECT e.src, r.lab FROM cc_edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    rooted AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    b AS (
+      SELECT doc_id, component,
+             {_duck_bucket('component', 'csplit0')} AS bk
+      FROM rooted
+    )
+    SELECT doc_id, component,
+           CASE WHEN bk < 800000 THEN 'train'
+                WHEN bk < 1000000 THEN 'test' END AS split
+    FROM b WHERE bk < 1000000
+    """,
+    doc="Near-dup-cluster-aware splits: LSH pairs -> connected "
+    "components -> hash_split keyed on the COMPONENT root, so every "
+    "near-duplicate lands in the same split — the leakage path that "
+    "row-wise and even domain-wise splits miss (a paraphrased doc in "
+    "train and its twin in eval silently inflates metrics). Same "
+    "deterministic bucket math as hash_split; oracle replays the CC "
+    "closure with a recursive CTE and the identical bucket arithmetic "
+    "(pipeline/clustering.py + sampling.py composition).",
+    tags=("pipeline", "sampling", "splits", "dedup"),
+)
+def pl_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.clustering import dedup_groups
+    from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+    from keenwa_spark.pipeline.sampling import hash_split
+
+    docs = spark.table("documents")
+    comp = dedup_groups(docs, minhash_lsh_pairs(docs)).select(
+        "doc_id", "component"
+    )
+    return hash_split(
+        comp, "component", {"train": 0.8, "test": 0.2}, salt="csplit0"
+    ).select("doc_id", "component", "split")
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF (pipeline/tfidf.py)
 # ---------------------------------------------------------------------------

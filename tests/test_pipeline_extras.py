@@ -1623,3 +1623,30 @@ class TestFeatureHash:
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestClusterSplit:
+    """Near-dup-cluster-aware splits: twins can never straddle splits
+    (queries/pipeline.py pl_cluster_split)."""
+
+    def test_near_dups_share_a_split(self, views):
+        from keenwa_spark.pipeline.dedup import minhash_lsh_pairs
+        from keenwa_spark.queries import REGISTRY
+        import keenwa_spark.queries.pipeline  # noqa: F401
+        import tests.conftest as c
+
+        out = {
+            r.doc_id: (r.component, r.split)
+            for r in REGISTRY["pl_cluster_split"].fn(views, c.SF_DIR).collect()
+        }
+        pairs = minhash_lsh_pairs(views.table("documents")).collect()
+        checked = 0
+        for p in pairs:
+            if p.id_a in out and p.id_b in out:
+                # same component -> same split, always
+                assert out[p.id_a] == (out[p.id_a][0], out[p.id_b][1])
+                assert out[p.id_a][0] == out[p.id_b][0]
+                checked += 1
+        # held-out components drop BOTH twins or NEITHER
+        for p in pairs:
+            assert (p.id_a in out) == (p.id_b in out)
