@@ -492,3 +492,39 @@ def test_text_generator_is_deterministic_and_covers_shapes():
                   "ROW_NUMBER() OVER (\n          PARTITION BY tok",
                   "THEN 1 ELSE -1 END"):
         assert shape in text, shape
+
+
+# ---------------------------------------------------------------------------
+# Split/sampling fuzz (keenwa_spark/split_fuzz.py — round 10, session 2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_split_fuzz_corpus_cross_engine(spark, duck, seed):
+    """hash_split / stratified_split / stratified_sample on random
+    keyed populations: 1-row strata (every boundary floors to 0 or 1),
+    percent vectors summing under 100 (held-out mass), 0% arms,
+    sparse non-contiguous ids, skewed labels, random salts — vs
+    DuckDB bucket/window replays. Split bugs poison downstream
+    training silently, hence the dedicated axis. Wider sweeps:
+    tools/split_fuzz.py."""
+    from keenwa_spark.split_fuzz import run_split_fuzz
+
+    mis = run_split_fuzz(spark, duck, seed=seed, n=25)
+    assert mis == [], mis[:3]
+
+
+def test_split_generator_is_deterministic_and_covers_shapes():
+    from keenwa_spark.split_fuzz import SplitGen
+
+    ga, gb = SplitGen(3), SplitGen(3)
+    ca = [ga.case() for _ in range(80)]
+    assert [c.oracle_sql for c in ca] == [gb.case().oracle_sql for _ in range(80)]
+    kinds = {c.kind for c in ca}
+    assert any(k.startswith("hash_") for k in kinds)
+    assert any(k.startswith("strat_") for k in kinds)
+    assert any(k.startswith("sample_n") for k in kinds)
+    text = " ".join(c.oracle_sql for c in ca)
+    for shape in ("PARTITION BY lab", "// 100", "WHEN bk >=",
+                  "COUNT(*) OVER (PARTITION BY lab)"):
+        assert shape in text, shape
