@@ -128,63 +128,64 @@ DRIVER_PREFIX = (
     "agg_group_having",
     "win_topn_per_group",
     "q6_forecast_revenue",
-    # --- round-10 rotation (VERDICT r09 item 2): 46 never-witnessed
-    # names (45 plus the q6 sentinel), priority to the remaining pl_*
-    # pipeline rows and the expr_*/fn_* expression rows; 74
-    # never-witnessed remain after this batch (r11/r12 close them).
-    # expression / function / ordering rows
-    "expr_map_ops",
-    "expr_higher_order",
-    "expr_try_arithmetic",
-    "expr_bitwise",
-    "expr_array_setops",
-    "fn_datetime_extended",
-    "fn_strings_regex",
-    "fn_url_parse",
-    "order_nulls_placement",
-    # the three bench-headline rows still unwitnessed
-    "pl_sketch_distinct_bounds",
-    "pl_shard_manifest",
-    "pl_search_topk",
-    # text analysis
-    "pl_text_stats",
-    "pl_language_id",
-    "pl_token_counts",
-    "pl_text_fingerprint",
-    "pl_pii_redact",
-    # multimodal (real PNG/Y4M/PCM codecs behind mapInPandas)
-    "pl_image_resize_stats",
-    "pl_video_frames",
-    "pl_audio_pcm_features",
-    "pl_multimodal_decode",
-    "pl_video_frame_sample",
-    # ANN / semantic search
-    "pl_ann_lsh_multiprobe",
-    "pl_semantic_dedup",
-    "pl_ann_filtered_topk",
-    "pl_hybrid_search_rrf",
-    # dedup / linkage
-    "pl_incremental_dedup",
-    "pl_lsh_verified_pairs",
-    "pl_dedup_keep_priority",
-    "pl_dedup_triangles",
-    "pl_golden_records",
-    "pl_ngram_containment",
-    "pl_fuzzy_decontaminate",
-    # sampling / packing / sharding
-    "pl_pack_sequences",
-    "pl_doc_chunks",
-    "pl_sample_hash",
-    "pl_token_budget",
-    "pl_sample_split",
-    "pl_sample_stratified",
-    "pl_weighted_sample",
-    "pl_domain_mixture",
-    # quality / features / sketches
-    "pl_quality_gates",
-    "pl_decontaminate",
-    "pl_tfidf_top_terms",
-    "pl_sketch_hll_merge",
+    # --- round-11 rotation (VERDICT r10 item 1): 45 never-witnessed
+    # names, led by the 13 session-2 additions that postdate the r10
+    # rotation (sketch-decontamination, BPE, splits, streaming
+    # sketches) so no family ships un-witnessed; then the temporal/CDC,
+    # aggregate, event, and window families. 42 never-witnessed remain
+    # after this batch (r12 closes them).
+    # session-2 rows (priority per VERDICT r10)
+    "pl_bloom_decontaminate",
+    "pl_cms_heavy_hitters",
+    "pl_token_vote_classify",
+    "pl_bpe_merge_rounds",
+    "pl_bpe_encode",
+    "pl_feature_hash",
+    "pl_stratified_split",
+    "pl_semantic_decontaminate",
+    "pl_seeded_shuffle",
+    "pl_decontamination_panel",
+    "pl_cluster_split",
+    "st_cms_counts",
+    "st_bloom_filter",
+    # aggregate family
+    "agg_rollup_hierarchy",
+    "agg_cube_grouping_id",
+    "agg_pivot_status_priority",
+    "agg_stats_moments",
+    "agg_bool_family",
+    "agg_string_concat",
+    "agg_weighted_avg",
+    # analytics pivots / global ranks
+    "an_pivot_segments",
+    "an_unpivot_stack",
+    "an_price_rank_global",
+    # events family
+    "ev_gap_stats",
+    "ev_props_typed",
+    "ev_sequence_pattern",
+    "ev_type_diversity",
+    "ev_session_window_builtin",
+    "ev_value_percentiles_exact",
+    # window / lateral
+    "win_frames_rows_range",
+    "win_rank_distributions",
+    "join_lateral_topn",
+    "win_ignore_nulls_ffill",
+    # skew tooling
+    "op_salted_join",
+    "op_skew_report",
+    # temporal / CDC family
+    "op_asof_forward",
+    "op_asof_dim_enrich",
+    "op_time_resample",
+    "op_snapshot_diff",
+    "op_merge_upsert",
+    "op_scd2_intervals",
+    "op_interval_coalesce",
+    "op_time_weighted_avg",
+    "op_ohlc_bars",
+    "op_range_join_error_windows",
 )
 
 
