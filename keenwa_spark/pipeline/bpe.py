@@ -36,6 +36,8 @@ SURVEY.md §2 additive-pipeline mandate).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -153,6 +155,12 @@ def bpe_encode(
     Pure codegen projection per word (the same fixed-pass replace
     chain as training) + one doc aggregation: the corpus is scanned
     once and never joins. Docs with no alpha words are absent."""
+    for left, right in merges:
+        if not (re.fullmatch(r"[a-z]+", left) and re.fullmatch(r"[a-z]+", right)):
+            raise ValueError(
+                f"merge symbols must match ^[a-z]+$ (got {(left, right)!r}) — "
+                "they are interpolated into SQL literals"
+            )
     toks = docs.select(
         F.col(id_col),
         F.explode(

@@ -215,7 +215,9 @@ def cms_build(
     the d counters never undercounts, and overshoots by <= 3N/w with
     high probability (the classic e/w bound, integer-rounded here so
     both engines compute it identically)."""
-    if d > CMS_D * 3:  # the frozen family has 12 functions
+    from keenwa_spark.pipeline.hashing import MINHASH_AB
+
+    if d > len(MINHASH_AB):  # the frozen hash family bounds the depth
         raise ValueError(f"d={d} exceeds the frozen hash family")
     arms = ", ".join(
         f"named_struct('j', {j}, 'pos', {_cms_pos(hash_col, j, w)})"

@@ -1,5 +1,6 @@
-"""Wide cross-engine HYPERFUNCTION-operator fuzz sweep
-(keenwa_spark/dedup_fuzz.py — twa/state_durations/counter_delta/ohlc).
+"""Wide cross-engine dedup fuzz sweep
+(keenwa_spark/dedup_fuzz.py — exact/minhash/simhash/ngram dedup
+pipelines vs DuckDB recomputation of the same deterministic hashes).
 
 Usage:
     python tools/dedup_fuzz.py [n_per_seed] [seed seed ...]

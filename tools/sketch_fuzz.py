@@ -1,5 +1,6 @@
-"""Wide cross-engine HYPERFUNCTION-operator fuzz sweep
-(keenwa_spark/sketch_fuzz.py — twa/state_durations/counter_delta/ohlc).
+"""Wide cross-engine sketch fuzz sweep
+(keenwa_spark/sketch_fuzz.py — Bloom filters and Count-Min sketches:
+build/merge/membership/point-query bounds vs exact DuckDB recompute).
 
 Usage:
     python tools/sketch_fuzz.py [n_per_seed] [seed seed ...]

@@ -1,5 +1,6 @@
-"""Wide cross-engine HYPERFUNCTION-operator fuzz sweep
-(keenwa_spark/split_fuzz.py — twa/state_durations/counter_delta/ohlc).
+"""Wide cross-engine split/sampling fuzz sweep
+(keenwa_spark/split_fuzz.py — stratified/group/cluster splits, seeded
+shuffles and hash sampling vs DuckDB recompute of the same hashes).
 
 Usage:
     python tools/split_fuzz.py [n_per_seed] [seed seed ...]

@@ -1,5 +1,6 @@
-"""Wide cross-engine HYPERFUNCTION-operator fuzz sweep
-(keenwa_spark/text_fuzz.py — twa/state_durations/counter_delta/ohlc).
+"""Wide cross-engine text-model fuzz sweep
+(keenwa_spark/text_fuzz.py — BPE train/encode, token-vote classify,
+feature hashing and text stats vs a DuckDB/pure-Python oracle).
 
 Usage:
     python tools/text_fuzz.py [n_per_seed] [seed seed ...]
