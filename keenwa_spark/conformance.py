@@ -231,6 +231,41 @@ WINDOW = _cases(
         "FROM a x JOIN b ON x.a1 = b.b1"
     ),
     "SELECT max(a2) OVER (PARTITION BY a1) AS mx, a2 FROM a",
+    # --- r11 additions (VERDICT r10 item 2): the multi-window and
+    # window-over-aggregate shapes of window_aggregate_tests.yaml that
+    # had no executed row. The reference nests one LogicalWindowAggregate
+    # per distinct window spec; Catalyst plans one Window node per spec
+    # the same way. Ranking cases are strict=False (window ORDER BY is
+    # the documented Spark-superset — SURVEY §7 risk 3), tie-broken on
+    # the unique non-null a4.
+    (
+        "SELECT rank() OVER (PARTITION BY a1, a2 ORDER BY a4) AS r1, "
+        "row_number() OVER (ORDER BY a4) AS rn, a2, "
+        "rank() OVER (PARTITION BY a1 ORDER BY a2) AS r2 FROM a",
+        {"strict": False},
+    ),
+    (
+        "SELECT rank() OVER (ORDER BY a4) AS r, "
+        "row_number() OVER (PARTITION BY a1 ORDER BY a4) AS rn1, "
+        "row_number() OVER (PARTITION BY a1 ORDER BY a4 DESC) AS rn2 FROM a",
+        {"strict": False},
+    ),
+    # window evaluated OVER aggregate output (global and grouped)
+    (
+        "SELECT count(1) AS n, rank() OVER (ORDER BY count(1)) AS r FROM a",
+        {"strict": False},
+    ),
+    (
+        "SELECT a1, sum(a3) AS s, "
+        "rank() OVER (ORDER BY sum(a3)) AS r FROM a "
+        "WHERE a3 IS NOT NULL GROUP BY a1",
+        {"strict": False},
+    ),
+    # aggregate-as-window over a joined input with a filter below
+    (
+        "SELECT x.a1, avg(x.a4) OVER (PARTITION BY b.b2) AS m "
+        "FROM a x JOIN b ON x.a1 = b.b1 WHERE x.a1 > 1"
+    ),
 )
 
 # Mirrors joins_tests.yaml + join_{inner,left,right,full,cross}_tests
@@ -287,6 +322,24 @@ CTE = _cases(
     "WITH t AS (SELECT 1 AS x UNION ALL SELECT 2) SELECT sum(x) AS s FROM t",
     "WITH t AS (SELECT a1 FROM a), t2 AS (SELECT a1 FROM t WHERE a1 > 1) "
     "SELECT (SELECT max(a1) FROM t2) AS mx",
+    # --- r11 additions (VERDICT r10 item 2): the shadowing/nesting
+    # shapes of cte_tests.yaml that had no executed row.
+    # CTE shadowing a BASE TABLE name: 'b' here is the CTE, not the
+    # table — both engines must resolve the nearer binding.
+    "WITH b AS (SELECT a1 AS b1 FROM a WHERE a1 IS NOT NULL) "
+    "SELECT b1 FROM b",
+    # nested WITH inside a CTE body (cte_tests.yaml nested forms)
+    "WITH outerv AS (WITH innerv AS (SELECT a1 FROM a WHERE a1 > 1) "
+    "SELECT a1 + 1 AS x FROM innerv) SELECT sum(x) AS s FROM outerv",
+    # nested WITH with a column alias list on the inner CTE
+    "WITH outerv AS (WITH innerv (k) AS (SELECT a1 FROM a) "
+    "SELECT k FROM innerv WHERE k IS NOT NULL) SELECT max(k) AS mk FROM outerv",
+    # WITH inside a derived table (cte_tests.yaml:08 shape)
+    "SELECT t.a1 FROM (WITH v AS (SELECT a1 FROM a WHERE a1 > 2) "
+    "SELECT a1 FROM v) t",
+    # a CTE consumed by BOTH a scalar subquery and the outer FROM
+    "WITH v AS (SELECT a1 FROM a WHERE a1 IS NOT NULL) "
+    "SELECT a1, (SELECT min(a1) FROM v) AS lo FROM v",
 )
 
 # Mirrors subqueries_tests.yaml (272) + correlated_exists_tests.yaml
@@ -311,6 +364,37 @@ SUBQ = _cases(
     "SELECT a1 FROM a WHERE EXISTS (SELECT 1 FROM b WHERE b.b1 = a.a1 AND b.b3 > 20)",
     "SELECT a1, (SELECT count(*) FROM b WHERE b.b1 < a.a1) AS nb FROM a",
     "SELECT a1 FROM a WHERE a2 IN (SELECT b2 FROM b UNION SELECT c2 FROM c)",
+    # --- r11 additions (VERDICT r10 item 2): the subquery PLACEMENT
+    # matrix of subqueries_tests.yaml — one executed row per clause a
+    # subquery can appear in beyond SELECT/WHERE/FROM.
+    # HAVING
+    "SELECT a1, sum(a3) AS s FROM a WHERE a3 IS NOT NULL GROUP BY a1 "
+    "HAVING sum(a3) > (SELECT avg(b3) FROM b)",
+    # ORDER BY key (boolean subquery comparison + unique tie-break)
+    (
+        "SELECT a1, a4 FROM a WHERE a1 IS NOT NULL "
+        "ORDER BY a1 > (SELECT avg(b1) FROM b WHERE b1 IS NOT NULL), a4",
+        O,
+    ),
+    # EXISTS in the SELECT list (boolean projection)
+    "SELECT a1, EXISTS (SELECT 1 FROM b WHERE b.b1 = a.a1) AS hit FROM a",
+    # IN-subquery in the SELECT list (non-null lhs)
+    "SELECT a1, a2 IN (SELECT b2 FROM b) AS inb FROM a WHERE a2 IS NOT NULL",
+    # IN-subquery in the SELECT list with a NULL lhs: Spark's ListQuery
+    # rewrite yields FALSE where standard three-valued logic (and
+    # DuckDB) yields NULL — a pinned engine divergence, spelled out in
+    # the oracle so the behavior can't drift silently.
+    (
+        "SELECT a1, a2 IN (SELECT b2 FROM b) AS inb FROM a",
+        {"duck_sql": "SELECT a1, CASE WHEN a2 IS NULL THEN false "
+         "ELSE a2 IN (SELECT b2 FROM b) END AS inb FROM a"},
+    ),
+    # subquery inside a CASE condition
+    "SELECT a1, CASE WHEN a1 > (SELECT min(b1) FROM b) THEN 'gt' "
+    "ELSE 'le' END AS cmp FROM a WHERE a1 IS NOT NULL",
+    # scalar subquery inside a JOIN condition
+    "SELECT a.a1, b.b1 FROM a JOIN b "
+    "ON a.a1 = b.b1 AND b.b3 > (SELECT min(b3) FROM b)",
 )
 
 # Mirrors expr_basic_tests.yaml (236) + expr_case_tests.yaml (34):
@@ -373,6 +457,32 @@ INTERVAL = _cases(
     "SELECT CAST(TIMESTAMP '2020-01-15 12:00:00' + INTERVAL '36' HOUR AS DATE) AS d",
     "SELECT CAST(TIMESTAMP '2020-01-15 12:30:00' + INTERVAL '90' MINUTE AS STRING) AS t",
     "SELECT (DATE '2020-03-01' - INTERVAL '1' DAY) = DATE '2020-02-29' AS leap",
+    # --- r11 additions (VERDICT r10 item 2): multi-field interval
+    # literal ARITHMETIC (expr_interval_tests.yaml covers the literal
+    # grammar; these apply the multi-field forms, which DuckDB cannot
+    # parse — its oracle spells the same decomposition via
+    # to_months/to_days/to_seconds).
+    (
+        "SELECT CAST(DATE '2020-01-15' + INTERVAL '2-3' YEAR TO MONTH AS DATE) AS d",
+        {"duck_sql": "SELECT CAST(DATE '2020-01-15' + to_months(27) AS DATE) AS d"},
+    ),
+    (
+        "SELECT CAST(TIMESTAMP '2020-01-15 12:00:00' "
+        "+ INTERVAL '2 01:59:59' DAY TO SECOND AS STRING) AS t",
+        {"duck_sql": "SELECT CAST(TIMESTAMP '2020-01-15 12:00:00' "
+         "+ to_days(2) + to_seconds(7199) AS VARCHAR) AS t"},
+    ),
+    (
+        "SELECT CAST(TIMESTAMP '2020-01-15 12:00:00' "
+        "- INTERVAL '-0 11:22' DAY TO MINUTE AS STRING) AS t",
+        {"duck_sql": "SELECT CAST(TIMESTAMP '2020-01-15 12:00:00' "
+         "+ to_seconds(40920) AS VARCHAR) AS t"},
+    ),
+    # negative whole-literal sign distributes over both fields
+    (
+        "SELECT CAST(DATE '2020-03-31' + INTERVAL '-1-1' YEAR TO MONTH AS DATE) AS d",
+        {"duck_sql": "SELECT CAST(DATE '2020-03-31' + to_months(-13) AS DATE) AS d"},
+    ),
 )
 
 # VALUES / empty-relation forms (reference values.rs, empty.rs,

@@ -1,0 +1,110 @@
+"""Executed sweep of the reference's YAML corpus (VERDICT r10 item 2).
+
+Every ok/error case of the reference's 17 ``src/sql/*_tests.yaml``
+files is executed through ``keenwa_spark.yaml_sweep`` — verbatim
+cross-engine compares, strict-engine rejections, mechanical
+translations, and documented divergences (superset / we_reject lanes).
+The committed YAML_MAP.md is the generated mapping; this test re-runs
+the sweep live so the mapping can never go stale silently.
+
+Skips when the reference tree is absent (the queries are read from it
+at runtime and are not stored in this repo).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from keenwa_spark import yaml_sweep as ys
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ys.REFERENCE_SQL_DIR),
+    reason="reference YAML corpus not available",
+)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def sweep_results(spark):
+    return ys.run_sweep(spark)
+
+
+def test_every_yaml_case_passes_its_lane(sweep_results):
+    fails = [r for r in sweep_results if r.status != "pass"]
+    assert not fails, "\n".join(f"{r.uid} [{r.lane}] {r.detail}" for r in fails)
+
+
+def test_sweep_is_total(sweep_results):
+    """Every parsed reference case gets exactly one result — zero
+    unmapped cases (the VERDICT item's done-condition)."""
+    cases = ys.load_reference_cases()
+    assert len(cases) == len(sweep_results)
+    assert {c.uid for c in cases} == {r.uid for r in sweep_results}
+    # the corpus is the full 17-file set, not a subset
+    assert len({c.file for c in cases}) == 17
+    assert len(cases) >= 328
+
+
+def test_divergences_are_bounded_and_annotated(sweep_results):
+    """Divergence lanes stay the documented exception, not the rule,
+    and every divergence carries a note (and we_reject an artifact or
+    note pointing at the supported alternative)."""
+    lanes: dict[str, int] = {}
+    for r in sweep_results:
+        lanes[r.lane] = lanes.get(r.lane, 0) + 1
+    n = len(sweep_results)
+    assert lanes.get("verbatim", 0) + lanes.get("reject", 0) >= 0.75 * n
+    for r in sweep_results:
+        if r.lane in ("superset", "we_reject", "translated"):
+            assert r.note, f"{r.uid} lane {r.lane} lacks a note"
+
+
+def test_committed_map_matches_live_sweep(sweep_results):
+    """YAML_MAP.md was regenerated after the last sweep change."""
+    path = os.path.join(REPO_ROOT, "YAML_MAP.md")
+    assert os.path.exists(path), "YAML_MAP.md missing — run tools/yaml_corpus_map.py"
+    text = open(path).read()
+    m = re.search(r"\*\*(\d+) cases, (\d+) failing\.\*\*", text)
+    assert m, "summary line missing from YAML_MAP.md"
+    assert int(m.group(1)) == len(sweep_results)
+    assert int(m.group(2)) == 0
+    # every case uid appears in the committed table
+    for r in sweep_results:
+        assert f"`{r.uid}`" in text
+
+
+def test_interval_parser_agrees_with_reference_decompositions():
+    """The local interval parser (the sweep's oracle) reproduces the
+    reference's own pretty-printed decompositions for every ok-case
+    (e.g. '10-1' YEAR TO MONTH == 10 YEARS 1 MONTHS == 121 months)."""
+    import yaml
+
+    path = os.path.join(ys.REFERENCE_SQL_DIR, "expr_interval_tests.yaml")
+    n_checked = 0
+    with open(path) as fh:
+        for doc in yaml.safe_load_all(fh):
+            if not doc or "query" not in doc or "ok" not in doc:
+                continue
+            lit = " ".join(str(doc["query"]).split())
+            ref = str(doc["ok"]).strip()
+            got = ys.parse_interval_literal(lit)
+            assert got is not None, lit
+            months, days, secs = got
+            ym = re.match(r"(-?)(\d+) YEARS (\d+) MONTHS$", ref)
+            ds = re.match(r"(-?)(\d+) DAYS (\d+) HOURS (\d+) MINUTES (\d+) SECONDS$", ref)
+            if ym:
+                sign = -1 if ym.group(1) == "-" else 1
+                want = sign * (int(ym.group(2)) * 12 + int(ym.group(3)))
+                assert (months, days, secs) == (want, 0, 0), (lit, ref, got)
+            else:
+                assert ds, f"unrecognized ref decomposition {ref!r}"
+                sign = -1 if ds.group(1) == "-" else 1
+                d, h, mi, s = (int(ds.group(i)) for i in range(2, 6))
+                want = (0, sign * d, sign * (h * 3600 + mi * 60 + s))
+                assert (months, days, secs) == want, (lit, ref, got)
+            n_checked += 1
+    assert n_checked >= 40
