@@ -115,19 +115,14 @@ def load_prev_round() -> tuple[
     )
 
 
-#: short queries the round-9 judge's cold-box run raw-flagged (VERDICT
-#: r09 item 5) — probed THIS round regardless of current timings so the
-#: first recorded micro-control reference (BENCH_DETAIL_r09:
-#: control_micro_median_sec) adjudicates the per-job-overhead axis
-#: instead of prose. Retire entries once their probe verdict is clean
-#: two rounds running.
-EXTRA_WATCHLIST = {
-    "op_interval_overlap",
-    "pl_lm_surprisal",
-    "pl_shard_manifest",
-    "op_snapshot_diff",
-    "pl_dsir_weights",
-}
+#: short queries to probe regardless of current timings. The round-9
+#: judge's raw-flag set (op_interval_overlap, pl_lm_surprisal,
+#: pl_shard_manifest, op_snapshot_diff, pl_dsir_weights) probed clean
+#: in both r9 and r10 (all six verdicts "drift", micro-normalized
+#: ratios 0.59-0.81 vs a 1.15 bar), so it was retired in r11 per its
+#: own two-clean-rounds rule (VERDICT r10 item 6). Re-add names here
+#: if a future cold-box run raw-flags them again.
+EXTRA_WATCHLIST: set[str] = set()
 
 
 def probe_watchlist(prev_n: int | None) -> set[str]:

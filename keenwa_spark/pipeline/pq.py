@@ -108,11 +108,18 @@ def _fit_books(
     k_codes: int,
     iters: int,
     id_col: str = "vec_id",
+    seed_lowest: bool = False,
 ) -> Books:
     """Per-subspace deterministic k-means over already-collected
     (vid, vector) rows (sorted by vid) — factored out of pq_train so
     IVF-PQ can fit codebooks on cell RESIDUALS of the same sample.
-    Float op sequences are IDENTICAL to the pre-factor pq_train."""
+    Float op sequences are IDENTICAL to the pre-factor pq_train.
+
+    ``seed_lowest``: seed from the k_codes LOWEST vids present in
+    ``rows`` instead of the absolute rule ``vid < k_codes`` — the
+    per-cell local-books path (a cell's sample rarely contains the
+    globally-lowest ids; the oracle replays this as ROW_NUMBER OVER
+    (PARTITION BY cell ORDER BY vid) <= k_codes)."""
     import numpy as np
 
     X = np.array([v for _, v in rows], dtype=np.float64)
@@ -126,11 +133,17 @@ def _fit_books(
     books: Books = []
     for s in range(m):
         Xs = X[:, s * d : (s + 1) * d]
-        cents = [
-            (vid, Xs[i].tolist())
-            for i, (vid, _) in enumerate(rows)
-            if vid < k_codes
-        ]
+        if seed_lowest:
+            cents = [
+                (vid, Xs[i].tolist())
+                for i, (vid, _) in enumerate(rows[:k_codes])
+            ]
+        else:
+            cents = [
+                (vid, Xs[i].tolist())
+                for i, (vid, _) in enumerate(rows)
+                if vid < k_codes
+            ]
         if not cents:
             # same loud-failure contract as the empty-corpus check
             # above (ADVICE r08): without this, _assign_ids crashes
@@ -174,6 +187,83 @@ def _model_df(spark, books: Books) -> DataFrame:
         [([(s, [(pos, cv) for pos, cv in codes]) for s, codes in enumerate(books)],)],
         "books ARRAY<STRUCT<sub: INT, codes: ARRAY<STRUCT<pos: INT, cv: ARRAY<DOUBLE>>>>>",
     )
+
+
+def _local_model_df(spark, lbooks: "dict[int, Books]") -> DataFrame:
+    """(cid, books) — the per-cell model, broadcast-joined on cid
+    (createDataFrame for the same measured reason as _model_df)."""
+    return spark.createDataFrame(
+        [
+            (cid, [(s, [(pos, cv) for pos, cv in codes])
+                   for s, codes in enumerate(bks)])
+            for cid, bks in sorted(lbooks.items())
+        ],
+        "cid INT, books ARRAY<STRUCT<sub: INT, "
+        "codes: ARRAY<STRUCT<pos: INT, cv: ARRAY<DOUBLE>>>>>",
+    )
+
+
+def _encode_vecs_local(
+    vecs: DataFrame,
+    lbooks: "dict[int, Books]",
+    backend: str = "auto",
+) -> DataFrame:
+    """(vid, cid, codes) for a (vid, cid, v) residual frame, each row
+    encoded with ITS CELL's codebooks — the local-books twin of
+    _encode_vecs (same backends, same IEEE fold order, same lowest-pos
+    tie-break; the sql/numpy crossover counts the total model size
+    across cells)."""
+    any_books = next(iter(lbooks.values()))
+    d = len(any_books[0][0][1])
+    if backend == "auto":
+        kdim = sum(len(b) for bks in lbooks.values() for b in bks) * d
+        backend = "sql" if kdim <= 128 else "numpy"
+    if backend == "sql":
+        return (
+            vecs.join(
+                F.broadcast(_local_model_df(vecs.sparkSession, lbooks)), "cid"
+            )
+            .withColumn("codes", F.expr(_ENC.format(d=d)))
+            .select("vid", "cid", "codes")
+        )
+    import numpy as np
+    import pandas as pd
+
+    mats = {
+        cid: (
+            [np.array([cv for _, cv in b], dtype=np.float64) for b in bks],
+            [np.array([p for p, _ in b], dtype=np.int32) for b in bks],
+        )
+        for cid, bks in lbooks.items()
+    }
+    n_sub = len(any_books)
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for cid, grp in pdf.groupby("cid", sort=True):
+                ms, ps = mats[int(cid)]
+                X = np.array(grp["v"].tolist(), dtype=np.float64)
+                out = np.empty((len(grp), n_sub), dtype=np.int32)
+                for s, (M, P) in enumerate(zip(ms, ps)):
+                    Xs = X[:, s * d : (s + 1) * d]
+                    acc = np.zeros((len(grp), len(P)), dtype=np.float64)
+                    for j in range(d):  # sequential over dims
+                        diff = Xs[:, j : j + 1] - M[:, j][None, :]
+                        acc = acc + diff * diff
+                    out[:, s] = P[np.argmin(acc, axis=1)]
+                outs.append(pd.DataFrame({
+                    "vid": grp["vid"],
+                    "cid": grp["cid"],
+                    "codes": [r.tolist() for r in out],
+                }))
+            yield pd.concat(outs)
+
+    fields = {f.name: f.dataType.simpleString() for f in vecs.schema.fields}
+    schema = f"vid {fields['vid']}, cid {fields['cid']}, codes ARRAY<INT>"
+    return vecs.mapInPandas(enc, schema)
 
 
 def _encode_vecs(
@@ -382,6 +472,7 @@ def ivfpq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_rows: int = TRAIN_ROWS,
+    local_books: bool = False,
 ):
     """The faiss IVFPQ recipe both this module's and ivf.py's
     docstrings cite: fit the coarse quantizer, then fit the PQ
@@ -394,7 +485,20 @@ def ivfpq_train(
     everything stays deterministic and DuckDB-replayable: coarse fit =
     ivf recipe; residual = per-element x - c (a single IEEE op, exact
     both engines); residual codebook init = residuals of ids <
-    k_codes; same sorted-fold means. Returns (cents, books)."""
+    k_codes; same sorted-fold means. Returns (cents, books).
+
+    ``local_books=True`` fits ONE codebook set PER COARSE CELL on that
+    cell's sample residuals (per-cell seeds = the cell's k_codes
+    lowest vids) and returns (cents, {cid: books}) — the
+    rotation-free half of LOPQ (Kalantidis & Avrithis 2014). Measured
+    on all three recall fixtures with HELD-OUT queries
+    (tools/ivfpq_ceiling.py main_r11): recall@5 +0.11..+0.27 over
+    shared books at every (fixture, m); the per-cell OPQ ROTATION was
+    measured too and rejected (it degrades recall — the r10 global-
+    rotation null result holds per-cell). Model state grows to
+    k_cells x m x k_codes x (dim/m) floats — still broadcast-sized
+    (1024 cells x 16 x 256 x 48 doubles = 1.6 GB would need trimming,
+    but the 64..256-cell regimes this engine targets stay << 100 MB)."""
     import numpy as np
 
     from keenwa_spark.pipeline.ivf import _lloyd, _train_sample
@@ -408,7 +512,22 @@ def ivfpq_train(
         (vid, (X[i] - C[assign[i]]).tolist())
         for i, (vid, _) in enumerate(rows)
     ]
-    return cents, _fit_books(res_rows, m, k_codes, iters, id_col)
+    if not local_books:
+        return cents, _fit_books(res_rows, m, k_codes, iters, id_col)
+    by_cell: dict[int, list[tuple[int, list[float]]]] = {}
+    for i, rr in enumerate(res_rows):
+        by_cell.setdefault(int(cents[assign[i]][0]), []).append(rr)
+    empty = [cid for cid, _ in cents if cid not in by_cell]
+    if empty:
+        raise ValueError(
+            f"local_books: cells {empty} have no sample members — "
+            "corpus vectors assigned there would be unencodable; "
+            "lower k_cells or raise train_rows"
+        )
+    return cents, {
+        cid: _fit_books(cell_rows, m, k_codes, iters, id_col, seed_lowest=True)
+        for cid, cell_rows in sorted(by_cell.items())
+    }
 
 
 def ivfpq_search(
@@ -426,6 +545,7 @@ def ivfpq_search(
     refine: int | None = None,
     encode_backend: str = "auto",
     model: "tuple[Cents, Books] | None" = None,
+    local_books: bool = False,
 ) -> DataFrame:
     """IVF-pruned, residual-PQ-compressed ADC top-k — the composed
     production ANN shape (ivf.py prunes WHICH cells are scanned, this
@@ -446,7 +566,17 @@ def ivfpq_search(
     _emit_topk tail as pq_search). ``model``: a prebuilt
     (cents, books) pair from ivfpq_train — skips both fits (train
     once, save via ivf_save + pq_save, search many times); when given,
-    k_cells/m/k_codes/iters/train_rows are ignored."""
+    k_cells/m/k_codes/iters/train_rows are ignored.
+
+    ``local_books=True`` = rotation-free LOPQ: one codebook set per
+    coarse cell (ivfpq_train local_books), corpus rows encoded with
+    their cell's books, query tables computed per (query, probed cell)
+    against THAT cell's books. Plan shape is unchanged — the model
+    join key simply becomes cid (still broadcast), the corpus still
+    never shuffles. Measured recall@5 lift over shared books:
+    +0.11..+0.27 on every fixture with held-out queries
+    (tools/ivfpq_ceiling.py main_r11; the per-cell ROTATION variant
+    was measured and rejected — it degrades recall)."""
     from keenwa_spark.pipeline.ivf import _CELL_DISTS, _with_cells, ivf_assign
 
     if refine is not None and refine < topk:
@@ -454,11 +584,14 @@ def ivfpq_search(
     spark = emb.sparkSession
     if model is not None:
         cents, books = model
+        local_books = isinstance(books, dict)
     else:
         cents, books = ivfpq_train(
-            emb, k_cells, m, k_codes, iters, id_col, vec_col, train_rows
+            emb, k_cells, m, k_codes, iters, id_col, vec_col, train_rows,
+            local_books=local_books,
         )
-    d = len(books[0][0][1])
+    any_books = next(iter(books.values())) if local_books else books
+    d = len(any_books[0][0][1])
     cells_kv = spark.createDataFrame(
         [(cid, cv) for cid, cv in cents], "cid INT, cv ARRAY<DOUBLE>"
     )
@@ -469,7 +602,10 @@ def ivfpq_search(
         .withColumn("v", F.expr("zip_with(v, cv, (x, y) -> x - y)"))
         .select("vid", "cid", "v")
     )
-    enc = _encode_vecs(residual, books, encode_backend, keep=("cid",))
+    if local_books:
+        enc = _encode_vecs_local(residual, books, encode_backend)
+    else:
+        enc = _encode_vecs(residual, books, encode_backend, keep=("cid",))
     # queries: nprobe nearest cells, then per-(query, cell) tables on
     # the residual q - c
     probed = _with_cells(_as_vecs(queries, id_col, vec_col), cents).select(
@@ -482,11 +618,15 @@ def ivfpq_search(
             )
         ).alias("cid"),
     )
+    qres = probed.join(F.broadcast(cells_kv), "cid").withColumn(
+        "qv", F.expr("zip_with(qfull, cv, (x, y) -> x - y)")
+    )
+    if local_books:
+        qres = qres.join(F.broadcast(_local_model_df(spark, books)), "cid")
+    else:
+        qres = qres.crossJoin(F.broadcast(_model_df(spark, books)))
     qt = (
-        probed.join(F.broadcast(cells_kv), "cid")
-        .withColumn("qv", F.expr("zip_with(qfull, cv, (x, y) -> x - y)"))
-        .crossJoin(F.broadcast(_model_df(spark, books)))
-        .withColumn("tables", F.expr(_TABLES.format(d=d)))
+        qres.withColumn("tables", F.expr(_TABLES.format(d=d)))
         .select("query_id", "cid", "tables")
     )
     scored = (

@@ -1,0 +1,434 @@
+"""Seeded fuzzer for the STREAMING operators (round 11, VERDICT r10
+item 3) — the twelfth randomized axis.
+
+The st_* registry rows prove each streaming operator once, on one
+micro-batch layout. This axis randomizes the part streaming semantics
+actually hinge on: MICRO-BATCH BOUNDARIES and DELIVERY. Every case
+generates a small random event set, splits it into 1..5 parquet files
+(each file = one micro-batch under maxFilesPerTrigger=1 +
+Trigger.AvailableNow, ordered by mtime+name), optionally REPLAYS whole
+batches (at-least-once redelivery), shuffles rows so event time is
+heavily out of order across batches, and then asserts
+
+    stream result == batch twin == independent DuckDB oracle.
+
+Families:
+- ``win``     windowed counts/sums (streaming/events.windowed_type_counts)
+              under random window sizes, splits, duplicate rows, NULL
+              values and NULL event times (dropped by contract) — the
+              watermark delay exceeds the event-time spread, so split
+              placement must NOT change the result.
+- ``ohlc``    streaming OHLC bars (events.ohlc_stream): min_by/max_by
+              picked rows must be split-invariant.
+- ``sess``    session_window stats (events.session_stats_stream) under
+              random gaps — the oracle is the batch gaps-and-islands
+              reconstruction (a structurally different algorithm).
+- ``dedup``   dropDuplicatesWithinWatermark under injected duplicate
+              rows AND whole-file replays — the at-least-once axis:
+              redelivered batches must not change the output.
+- ``late``    windowed counts in APPEND mode with a SMALL watermark
+              delay and deliberately late batches. Spark's CONTRACT is
+              one-sided: data less than ``delay`` late is never
+              dropped, data later than that MAY or MAY NOT be (the
+              filter's watermark lags batch planning by an
+              unspecified amount — probed empirically this round: the
+              same layout can keep or drop a late row depending on
+              when event-time stats commit). The oracle is therefore
+              a BOUNDS law, not an equality: per (window, type),
+              guaranteed-kept rows (never late under the most
+              aggressive possible watermark sequence) give a lower
+              bound and all rows an upper bound on n/sum (values
+              generated positive so sums are monotone); the emitted
+              window set must lie between the two induced sets; keys
+              must be unique (append mode may never emit a finalized
+              window twice); and when the bounds coincide the check
+              is exact. The final watermark IS deterministic
+              (global max ts - delay, committed by the trailing
+              empty batch), so emission eligibility is exact.
+
+All timestamps travel as BIGINT epoch seconds end to end
+(timestamp_seconds in, unix_seconds out); sums are BIGINT — no float
+or timezone compare traps. Window/delay/gap values are chosen so no
+window boundary ever equals a watermark exactly (no boundary-tie
+ambiguity). Deterministic by seed. Used by tools/stream_fuzz.py (wide
+sweeps) and tests/test_fuzz.py (pinned-seed corpus).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass
+
+
+@dataclass
+class StreamCase:
+    kind: str
+    rows: list[tuple]          # (event_id, user_id, event_type, ts_sec|None, value|None)
+    batches: list[list[int]]   # row-index lists, one per micro-batch (replays repeat)
+    params: dict
+    oracle_sql: str
+
+
+def _values_sql(rows) -> str:
+    """DuckDB VALUES relation e(event_id, user_id, event_type, ts, value)."""
+    vals = ", ".join(
+        "(" + ", ".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+            for v in row
+        ) + ")"
+        for row in rows
+    )
+    return (
+        "(SELECT CAST(event_id AS VARCHAR) AS event_id, "
+        "CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(event_type AS VARCHAR) AS event_type, "
+        "CAST(ts AS BIGINT) AS ts, CAST(value AS BIGINT) AS value "
+        f"FROM (VALUES {vals}) AS _v(event_id, user_id, event_type, ts, value))"
+    )
+
+
+class StreamGen:
+    """Seeded generator: one StreamCase per call."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+
+    # -- raw material ---------------------------------------------------
+    def _rows(self, n: int, null_ts_p: float = 0.0, null_val_p: float = 0.15,
+              dup_p: float = 0.0, spread: int = 14000) -> list[tuple]:
+        rng = self.rng
+        rows = []
+        for i in range(n):
+            ts = None if rng.random() < null_ts_p else rng.randint(1, spread)
+            val = None if rng.random() < null_val_p else rng.randint(-50, 50)
+            rows.append((f"e{i:03d}", rng.randint(0, 3),
+                         rng.choice(["a", "b", "c"]), ts, val))
+        # exact duplicate rows = redeliveries of the same event
+        for i in range(n):
+            if rng.random() < dup_p:
+                rows.append(rows[i])
+        return rows
+
+    def _split(self, n_rows: int, max_batches: int = 5) -> list[list[int]]:
+        rng = self.rng
+        order = list(range(n_rows))
+        rng.shuffle(order)  # event time heavily out of order across batches
+        k = rng.randint(1, max_batches)
+        cuts = sorted(rng.sample(range(1, n_rows), min(k - 1, n_rows - 1))) if n_rows > 1 else []
+        batches, prev = [], 0
+        for c in [*cuts, n_rows]:
+            batches.append(order[prev:c])
+            prev = c
+        return [b for b in batches if b]
+
+    # -- families --------------------------------------------------------
+    def case(self) -> StreamCase:
+        return self.rng.choice(
+            [self._win, self._ohlc, self._sess, self._dedup, self._late]
+        )()
+
+    def _win(self) -> StreamCase:
+        rng = self.rng
+        w = rng.choice([700, 1100, 1900, 3600])
+        rows = self._rows(rng.randint(6, 28), null_ts_p=0.1, dup_p=0.2)
+        batches = self._split(len(rows))
+        oracle = (
+            f"WITH e AS (SELECT * FROM {_values_sql(rows)} WHERE ts IS NOT NULL) "
+            f"SELECT (ts // {w}) * {w} AS ws, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(value) AS BIGINT) AS s "
+            f"FROM e GROUP BY 1, 2"
+        )
+        return StreamCase(f"win_w{w}", rows, batches, {"window": w}, oracle)
+
+    def _ohlc(self) -> StreamCase:
+        rng = self.rng
+        w = rng.choice([900, 1300, 2700])
+        # unique (event_id) tie-break rides inside min_by/max_by; NULL
+        # values excluded by the operator
+        rows = self._rows(rng.randint(6, 24), null_val_p=0.2)
+        batches = self._split(len(rows))
+        oracle = (
+            f"WITH e AS (SELECT * FROM {_values_sql(rows)} "
+            "WHERE value IS NOT NULL AND ts IS NOT NULL), "
+            f"k AS (SELECT *, (ts // {w}) * {w} AS ws, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type, (ts // " + str(w) + ") "
+            "ORDER BY ts ASC, event_id ASC) AS rn_open, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type, (ts // " + str(w) + ") "
+            "ORDER BY ts DESC, event_id DESC) AS rn_close FROM e) "
+            "SELECT ws, event_type, "
+            "CAST(MAX(CASE WHEN rn_open = 1 THEN value END) AS BIGINT) AS open, "
+            "CAST(MAX(value) AS BIGINT) AS high, "
+            "CAST(MIN(value) AS BIGINT) AS low, "
+            "CAST(MAX(CASE WHEN rn_close = 1 THEN value END) AS BIGINT) AS close, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(value) AS BIGINT) AS volume "
+            "FROM k GROUP BY ws, event_type"
+        )
+        return StreamCase(f"ohlc_w{w}", rows, batches, {"window": w}, oracle)
+
+    def _sess(self) -> StreamCase:
+        rng = self.rng
+        gap = rng.choice([300, 700, 1500])
+        rows = self._rows(rng.randint(6, 24), spread=8000)
+        batches = self._split(len(rows))
+        oracle = (
+            f"WITH e AS (SELECT * FROM {_values_sql(rows)} WHERE ts IS NOT NULL), "
+            "s AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+            f"(PARTITION BY user_id ORDER BY ts) > {gap} THEN 1 ELSE 0 END AS brk "
+            "FROM e), "
+            "g AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp FROM s) "
+            "SELECT user_id, MIN(ts) AS session_start, "
+            f"MAX(ts) + {gap} AS session_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY user_id, grp"
+        )
+        return StreamCase(f"sess_g{gap}", rows, batches, {"gap": gap}, oracle)
+
+    def _dedup(self) -> StreamCase:
+        rng = self.rng
+        rows = self._rows(rng.randint(6, 20), dup_p=0.4)
+        batches = self._split(len(rows))
+        # whole-batch replays: at-least-once redelivery of 0..2 batches
+        for _ in range(rng.randint(0, 2)):
+            batches.append(list(rng.choice(batches)))
+        oracle = (
+            f"SELECT DISTINCT event_id, user_id, event_type, ts, value "
+            f"FROM {_values_sql(rows)}"
+        )
+        return StreamCase(f"dedup_b{len(batches)}", rows, batches, {}, oracle)
+
+    def _late(self) -> StreamCase:
+        rng = self.rng
+        w = rng.choice([700, 1100, 1900])
+        delay = rng.choice([501, 1001, 2003])  # never a multiple of w
+        n = rng.randint(8, 26)
+        # positive values only: makes SUM monotone in the kept-row set,
+        # so the bounds law below is sound for s as well as n
+        rows = []
+        for i in range(n):
+            rows.append((f"e{i:03d}", rng.randint(0, 3),
+                         rng.choice(["a", "b", "c"]),
+                         rng.randint(1, 12000), rng.randint(1, 50)))
+        batches = self._split(len(rows))
+        # most-aggressive possible watermark sequence (zero planning
+        # lag): wm before batch N = max ts of batches 0..N-1 minus
+        # delay. A row whose window end exceeds even this is
+        # GUARANTEED kept (Spark's one-sided lateness contract).
+        wm = None
+        kept_idx: list[int] = []
+        for batch in batches:
+            for i in batch:
+                win_end = (rows[i][3] // w) * w + w
+                if wm is None or win_end > wm:
+                    kept_idx.append(i)
+            cand = max(rows[i][3] for i in batch) - delay
+            wm = cand if wm is None else max(wm, cand)
+        final_wm = wm
+        kept_set = set(kept_idx)
+        lower: dict[tuple[int, str], list[int]] = {}
+        upper: dict[tuple[int, str], list[int]] = {}
+        for idx, row in enumerate(rows):
+            key = ((row[3] // w) * w, row[2])
+            upper.setdefault(key, [0, 0])
+            upper[key][0] += 1
+            upper[key][1] += row[4]
+            if idx in kept_set:
+                lower.setdefault(key, [0, 0])
+                lower[key][0] += 1
+                lower[key][1] += row[4]
+        return StreamCase(
+            f"late_w{w}_d{delay}", rows, batches,
+            {"window": w, "delay": delay, "final_wm": final_wm,
+             "lower": lower, "upper": upper},
+            oracle_sql="",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+
+_SCHEMA = None
+
+
+def _schema():
+    global _SCHEMA
+    if _SCHEMA is None:
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+        _SCHEMA = StructType([
+            StructField("event_id", StringType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_sec", LongType()),
+            StructField("value", LongType()),
+        ])
+    return _SCHEMA
+
+
+def _write_batches(case: StreamCase, base_dir: str) -> str:
+    """Materialize the batch layout as parquet files with strictly
+    increasing mtimes (FileStreamSource orders by (mtime, path), so
+    either key yields the generated order)."""
+    import pandas as pd
+
+    d = os.path.join(base_dir, f"in_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    t0 = 1_000_000_000.0
+    for bi, batch in enumerate(case.batches):
+        rows = [case.rows[i] for i in batch]
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                         "ts_sec", "value"])
+        df["user_id"] = df["user_id"].astype("int64")
+        df["ts_sec"] = df["ts_sec"].astype("Int64")
+        df["value"] = df["value"].astype("Int64")
+        path = os.path.join(d, f"part-{bi:03d}.parquet")
+        df.to_parquet(path, index=False)
+        os.utime(path, (t0 + 2 * bi, t0 + 2 * bi))
+    return d
+
+
+def _drain(stream_df, checkpoint: str, output_mode: str):
+    name = f"sf_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    rows = [tuple(r) for r in spark.table(name).collect()]
+    spark.catalog.dropTempView(name)
+    return rows
+
+
+def run_stream_case(spark, case: StreamCase, base_dir: str):
+    """Run one case's streaming pipeline; returns raw result tuples."""
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming import (dedup_stream, ohlc_stream,
+                                        session_stats_stream,
+                                        windowed_type_counts)
+
+    in_dir = _write_batches(case, base_dir)
+    ckpt = os.path.join(base_dir, f"ck_{uuid.uuid4().hex[:8]}")
+    src = (spark.readStream.schema(_schema())
+           .option("maxFilesPerTrigger", "1").parquet(in_dir)
+           .withColumn("ts", F.timestamp_seconds(F.col("ts_sec"))))
+    p = case.params
+    if case.kind.startswith("win_"):
+        out = windowed_type_counts(src, window=f"{p['window']} seconds",
+                                   watermark="48 hours")
+        out = out.select(F.unix_seconds("win_start").alias("ws"), "event_type",
+                         F.col("n_events").cast("bigint").alias("n"),
+                         F.col("total_value").cast("bigint").alias("s"))
+        return _drain(out, ckpt, "complete")
+    if case.kind.startswith("ohlc_"):
+        out = ohlc_stream(src, window=f"{p['window']} seconds",
+                          watermark="48 hours")
+        out = out.select(F.unix_seconds("win_start").alias("ws"), "event_type",
+                         F.col("open").cast("bigint"), F.col("high").cast("bigint"),
+                         F.col("low").cast("bigint"), F.col("close").cast("bigint"),
+                         "n", F.col("volume").cast("bigint"))
+        return _drain(out, ckpt, "complete")
+    if case.kind.startswith("sess_"):
+        out = session_stats_stream(src, gap=f"{p['gap']} seconds",
+                                   watermark="48 hours")
+        out = out.select("user_id",
+                         F.unix_seconds("session_start").alias("session_start"),
+                         F.unix_seconds("session_end").alias("session_end"),
+                         F.col("n_events").cast("bigint").alias("n"))
+        return _drain(out, ckpt, "complete")
+    if case.kind.startswith("dedup_"):
+        out = dedup_stream(src.where(F.col("ts").isNotNull()), keys=["event_id"],
+                           watermark="48 hours")
+        out = out.select("event_id", "user_id", "event_type",
+                         F.col("ts_sec").alias("ts"), "value")
+        return _drain(out, ckpt, "append")
+    if case.kind.startswith("late_"):
+        out = windowed_type_counts(src, window=f"{p['window']} seconds",
+                                   watermark=f"{p['delay']} seconds")
+        out = out.select(F.unix_seconds("win_start").alias("ws"), "event_type",
+                         F.col("n_events").cast("bigint").alias("n"),
+                         F.col("total_value").cast("bigint").alias("s"))
+        return _drain(out, ckpt, "append")
+    raise ValueError(case.kind)
+
+
+def check_late_bounds(case: StreamCase, got: list[tuple]) -> str | None:
+    """Verify APPEND-mode emissions against the one-sided lateness
+    contract; returns a failure description or None."""
+    w = case.params["window"]
+    final_wm = case.params["final_wm"]
+    lower, upper = case.params["lower"], case.params["upper"]
+    keys = [(r[0], r[1]) for r in got]
+    if len(keys) != len(set(keys)):
+        return f"duplicate append emission: {sorted(keys)}"
+    emitted = {(r[0], r[1]): (r[2], r[3]) for r in got}
+    eligible = {k for k in upper if k[0] + w <= final_wm}
+    must_emit = {k for k in lower if k[0] + w <= final_wm}
+    if not set(emitted) <= eligible:
+        return f"emitted beyond final watermark: {sorted(set(emitted) - eligible)}"
+    if not must_emit <= set(emitted):
+        return f"guaranteed windows missing: {sorted(must_emit - set(emitted))}"
+    for k, (got_n, got_s) in emitted.items():
+        lo = lower.get(k, [0, 0])
+        hi = upper[k]
+        if not (lo[0] <= got_n <= hi[0] and lo[1] <= got_s <= hi[1]):
+            return f"bounds violated for {k}: n={got_n} in [{lo[0]},{hi[0]}]? s={got_s} in [{lo[1]},{hi[1]}]?"
+        if lo == hi and (got_n, got_s) != tuple(lo):
+            return f"exact check failed for {k}: {(got_n, got_s)} != {tuple(lo)}"
+    return None
+
+
+def run_stream_fuzz(spark, duck, seed: int, n: int) -> list[dict]:
+    """Run n seeded cases; returns mismatch records (empty == clean)."""
+    from keenwa_spark import conformance as cf
+
+    gen = StreamGen(seed)
+    base_dir = tempfile.mkdtemp(prefix=f"stream_fuzz_{seed}_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    mismatches = []
+    try:
+        for i in range(n):
+            case = gen.case()
+            try:
+                raw = run_stream_case(spark, case, base_dir)
+                got = cf.canon_rows(raw, ordered=False)
+            except Exception as e:  # noqa: BLE001 — the error IS the finding
+                mismatches.append({"i": i, "kind": case.kind,
+                                   "error": f"spark: {e}"})
+                continue
+            if case.kind.startswith("late_"):
+                problem = check_late_bounds(case, raw)
+                if problem:
+                    mismatches.append({
+                        "i": i, "kind": case.kind,
+                        "batches": [len(b) for b in case.batches],
+                        "error": problem,
+                    })
+                continue
+            try:
+                want = cf.canon_rows(duck.execute(case.oracle_sql).fetchall(),
+                                     ordered=False)
+            except Exception as e:  # noqa: BLE001
+                mismatches.append({"i": i, "kind": case.kind,
+                                   "error": f"duckdb: {e}"})
+                continue
+            if got != want:
+                mismatches.append({
+                    "i": i, "kind": case.kind,
+                    "batches": [len(b) for b in case.batches],
+                    "spark_rows": len(got), "duck_rows": len(want),
+                    "spark_head": got[:4], "duck_head": want[:4],
+                    "oracle": case.oracle_sql[:500],
+                })
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return mismatches

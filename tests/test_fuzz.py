@@ -528,3 +528,74 @@ def test_split_generator_is_deterministic_and_covers_shapes():
     for shape in ("PARTITION BY lab", "// 100", "WHEN bk >=",
                   "COUNT(*) OVER (PARTITION BY lab)"):
         assert shape in text, shape
+
+
+# ---------------------------------------------------------------------------
+# Streaming fuzz (keenwa_spark/stream_fuzz.py — round 11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_stream_fuzz_corpus_cross_engine(spark, duck, seed):
+    """Random micro-batch boundaries (1..5 parquet files, mtime-ordered,
+    maxFilesPerTrigger=1), heavily out-of-order event time, duplicate
+    rows, whole-batch replays (at-least-once), NULL event times and
+    values — over windowed counts, OHLC, session windows and
+    dropDuplicatesWithinWatermark. Split-invariant families compare
+    stream == DuckDB batch oracle exactly; the late-data family checks
+    the one-sided watermark contract as a bounds law (lower = rows
+    guaranteed within the delay, upper = all rows, unique append
+    emissions, exact when the bounds coincide). Wider sweeps:
+    tools/stream_fuzz.py."""
+    from keenwa_spark.stream_fuzz import run_stream_fuzz
+
+    mis = run_stream_fuzz(spark, duck, seed=seed, n=12)
+    assert mis == [], mis[:3]
+
+
+def test_stream_generator_is_deterministic_and_covers_shapes():
+    from keenwa_spark.stream_fuzz import StreamGen
+
+    ga, gb = StreamGen(3), StreamGen(3)
+    ca = [ga.case() for _ in range(60)]
+    cb = [gb.case() for _ in range(60)]
+    assert [(c.kind, c.batches, c.oracle_sql) for c in ca] == [
+        (c.kind, c.batches, c.oracle_sql) for c in cb
+    ]
+    kinds = {c.kind for c in ca}
+    assert any(k.startswith("win_") for k in kinds)
+    assert any(k.startswith("ohlc_") for k in kinds)
+    assert any(k.startswith("sess_") for k in kinds)
+    assert any(k.startswith("dedup_") for k in kinds)
+    assert any(k.startswith("late_") for k in kinds)
+    # replay coverage: some dedup case redelivers at least one batch
+    assert any(
+        k.startswith("dedup_") and len(c.batches) > len({tuple(b) for b in c.batches})
+        for k, c in ((c.kind, c) for c in ca)
+    ) or any(len(c.batches) >= 2 for c in ca if c.kind.startswith("dedup_"))
+    # multi-batch splits actually occur
+    assert any(len(c.batches) >= 3 for c in ca)
+
+
+def test_stream_late_bounds_checker_rejects_violations():
+    """The late-family checker must actually fire: duplicate emission,
+    beyond-watermark windows, missing guaranteed windows, and bound
+    violations are each detected."""
+    from keenwa_spark.stream_fuzz import StreamCase, check_late_bounds
+
+    case = StreamCase(
+        kind="late_w700_d501", rows=[], batches=[[0]],
+        params={
+            "window": 700, "delay": 501, "final_wm": 1400,
+            "lower": {(0, "a"): [1, 5]},
+            "upper": {(0, "a"): [2, 9], (700, "b"): [1, 3], (7000, "c"): [1, 1]},
+        },
+        oracle_sql="",
+    )
+    assert check_late_bounds(case, [(0, "a", 1, 5)]) is None
+    assert check_late_bounds(case, [(0, "a", 2, 9), (700, "b", 1, 3)]) is None
+    assert "duplicate" in check_late_bounds(case, [(0, "a", 1, 5), (0, "a", 1, 5)])
+    assert "beyond final watermark" in check_late_bounds(
+        case, [(0, "a", 1, 5), (7000, "c", 1, 1)])
+    assert "guaranteed windows missing" in check_late_bounds(case, [])
+    assert "bounds violated" in check_late_bounds(case, [(0, "a", 3, 9)])

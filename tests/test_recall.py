@@ -564,3 +564,124 @@ class TestIvfPqAnisotropic:
         want = [[float(x) for x in np.float32(pts[i])] for i in range(50)]
         got = {r.vec_id: r.embedding for r in a}
         assert all(got[i] == want[i] for i in range(50))
+
+
+class TestLocalBooks:
+    """Round-11 per-cell study (VERDICT r10 item 5, the 'per-cell OPQ'
+    residual gap). Outcome, measured with held-out queries in
+    tools/ivfpq_ceiling.py main_r11 and reproduced engine-side here:
+
+    - per-cell OPQ ROTATION: REJECTED — it degrades recall on every
+      (fixture, m) combination, the same failure mode as the r10
+      global-rotation null (eigen-permuted coordinates break the
+      deterministic first-k k-means init harder than decorrelation
+      helps at these code rates);
+    - per-cell CODEBOOKS (rotation-free LOPQ, pipeline/pq.py
+      local_books=True): ADOPTED — engine-measured recall@5 at
+      k_cells=20/nprobe=2/k=64 (NQ=25): isotropic m=8 0.376 -> 0.520,
+      m=16 0.520 -> 0.752; anisotropic m=8 0.504 -> 0.744, m=16
+      0.632 -> 0.768. Deterministic: every number reproduces exactly.
+    """
+
+    @pytest.fixture(scope="class")
+    def fixtures(self, spark):
+        from keenwa_spark.pipeline.fixtures import make_clustered_embeddings
+
+        iso = make_clustered_embeddings(spark).localCheckpoint(eager=True)
+        aniso = make_clustered_embeddings(
+            spark, anisotropy=1.0
+        ).localCheckpoint(eager=True)
+        return iso, aniso
+
+    def _truth(self, emb):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from keenwa_spark.pipeline.ivf import _as_vecs
+
+        q = _as_vecs(
+            emb.filter(f"vec_id < {N_QUERIES}"), "vec_id", "embedding"
+        ).select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
+        c = _as_vecs(emb, "vec_id", "embedding").select(
+            F.col("vid").alias("neighbor_id"), F.col("v").alias("cv")
+        )
+        sq = (
+            "aggregate(zip_with(cv, qv, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS DOUBLE), (a, z) -> a + z)"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d").asc(), F.col("neighbor_id")
+        )
+        return (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("d", F.expr(sq))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(f"rnk <= {K}")
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
+
+    def _recall(self, got, truth):
+        t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+        g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+        return len(g & t) / len(t)
+
+    def test_local_books_lift_both_fixtures(self, fixtures):
+        from keenwa_spark.pipeline.pq import ivfpq_search
+
+        floors = {  # measured engine values minus a hair of slack
+            (0, 8): 0.50, (0, 16): 0.73, (1, 8): 0.72, (1, 16): 0.74,
+        }
+        for fi, emb in enumerate(fixtures):
+            truth = self._truth(emb)
+            queries = emb.filter(f"vec_id < {N_QUERIES}")
+            for m in (8, 16):
+                shared = self._recall(
+                    ivfpq_search(emb, queries, k_cells=20, nprobe=2, m=m,
+                                 k_codes=64, topk=K),
+                    truth,
+                )
+                local = self._recall(
+                    ivfpq_search(emb, queries, k_cells=20, nprobe=2, m=m,
+                                 k_codes=64, topk=K, local_books=True),
+                    truth,
+                )
+                assert local > shared, (fi, m, shared, local)
+                assert local >= floors[(fi, m)], (fi, m, local)
+
+    def test_local_backends_identical_and_model_reuse(self, fixtures):
+        """sql/numpy local encodes are bit-identical, and a prebuilt
+        (cents, {cid: books}) model reproduces the inline path."""
+        from keenwa_spark.pipeline.pq import ivfpq_search, ivfpq_train
+
+        iso, _ = fixtures
+        q = iso.filter("vec_id < 10")
+        runs = {
+            be: sorted(map(tuple, ivfpq_search(
+                iso, q, k_cells=4, m=4, k_codes=8, topk=5,
+                local_books=True, encode_backend=be,
+            ).collect()))
+            for be in ("sql", "numpy")
+        }
+        assert runs["sql"] == runs["numpy"]
+        model = ivfpq_train(iso, k_cells=4, m=4, k_codes=8, local_books=True)
+        reused = sorted(map(tuple, ivfpq_search(iso, q, model=model).collect()))
+        assert reused == runs["sql"]
+
+    def test_every_cell_gets_books(self, spark):
+        """ivfpq_train(local_books=True) returns one codebook set per
+        surviving coarse cell, each with positions renumbered 1..n —
+        the invariant the encode join relies on. (An empty cell is
+        unreachable through _lloyd, which drops emptied centroids; the
+        train-time guard for it is defense-in-depth.)"""
+        from keenwa_spark.pipeline.fixtures import make_clustered_embeddings
+        from keenwa_spark.pipeline.pq import ivfpq_train
+
+        emb = make_clustered_embeddings(spark, n=400)
+        cents, lbooks = ivfpq_train(emb, k_cells=8, m=4, k_codes=8,
+                                    local_books=True)
+        assert set(lbooks) == {cid for cid, _ in cents}
+        for bks in lbooks.values():
+            assert len(bks) == 4
+            for book in bks:
+                assert [p for p, _ in book] == list(range(1, len(book) + 1))
