@@ -669,3 +669,33 @@ def pq_load(spark, path: str) -> Books:
             books.append([])
         books[r["sub"]].append((int(r["pos"]), list(r["cv"])))
     return books
+
+
+def lopq_save(spark, lbooks: "dict[int, Books]", path: str) -> None:
+    """pq_save's local-books twin: persist the per-cell codebooks of
+    ivfpq_train(local_books=True) as one parquet keyed by (cid, sub,
+    pos). Pair with ivf_save for the coarse centroids — together they
+    reconstruct the full (cents, {cid: books}) model."""
+    rows = [
+        (cid, s, pos, cv)
+        for cid, bks in sorted(lbooks.items())
+        for s, codes in enumerate(bks)
+        for pos, cv in codes
+    ]
+    spark.createDataFrame(
+        rows, "cid INT, sub INT, pos INT, cv ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def lopq_load(spark, path: str) -> "dict[int, Books]":
+    """Load per-cell codebooks saved by ``lopq_save``; float64
+    roundtrips parquet bit-exactly, so loaded books encode identically
+    (same contract as pq_load, pinned in tests/test_recall.py)."""
+    rows = spark.read.parquet(path).orderBy("cid", "sub", "pos").collect()
+    out: dict[int, Books] = {}
+    for r in rows:
+        bks = out.setdefault(int(r["cid"]), [])
+        while len(bks) <= r["sub"]:
+            bks.append([])
+        bks[r["sub"]].append((int(r["pos"]), list(r["cv"])))
+    return out

@@ -5248,6 +5248,29 @@ def pl_ann_ivfpq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@df_query(
+    "pl_ann_lopq_refined_topk",
+    oracle=_duck_ivfpq_sql(
+        k_cells=4, nprobe=2, m=4, k_codes=8, iters=2, topk=5, refine=50,
+        local_books=True,
+    ),
+    doc="Per-cell-codebook IVF-PQ (pl_ann_lopq_topk) + exact "
+    "refinement — the full deployment shape with the adopted local "
+    "books: per-cell ADC shortlists top-50, the shortlist's true "
+    "vectors re-rank by exact squared L2 via a broadcast shortlist "
+    "join. Fully oracle-replayed incl. every per-cell training.",
+    tags=("pipeline", "similarity", "ann", "pq", "ivf", "lopq"),
+)
+def pl_ann_lopq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from keenwa_spark.pipeline.pq import ivfpq_search
+
+    emb = spark.table("embeddings")
+    return ivfpq_search(
+        emb, emb.filter("vec_id < 10"), k_cells=4, nprobe=2, m=4,
+        k_codes=8, topk=5, refine=50, local_books=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Z-order key (sources/writers.py zorder_key_expr)
 # ---------------------------------------------------------------------------

@@ -668,6 +668,26 @@ class TestLocalBooks:
         reused = sorted(map(tuple, ivfpq_search(iso, q, model=model).collect()))
         assert reused == runs["sql"]
 
+    def test_lopq_books_roundtrip_parquet_bit_exactly(self, fixtures, tmp_path):
+        """lopq_save/lopq_load: a loaded per-cell model must search
+        IDENTICALLY to the in-memory one (pq_save's contract, local)."""
+        from keenwa_spark.pipeline.pq import (ivfpq_search, ivfpq_train,
+                                              lopq_load, lopq_save)
+
+        iso, _ = fixtures
+        spark = iso.sparkSession
+        q = iso.filter("vec_id < 10")
+        cents, lbooks = ivfpq_train(iso, k_cells=4, m=4, k_codes=8,
+                                    local_books=True)
+        lopq_save(spark, lbooks, str(tmp_path / "lopq"))
+        loaded = lopq_load(spark, str(tmp_path / "lopq"))
+        assert loaded == lbooks
+        a = sorted(map(tuple, ivfpq_search(
+            iso, q, model=(cents, lbooks)).collect()))
+        b = sorted(map(tuple, ivfpq_search(
+            iso, q, model=(cents, loaded)).collect()))
+        assert a == b
+
     def test_every_cell_gets_books(self, spark):
         """ivfpq_train(local_books=True) returns one codebook set per
         surviving coarse cell, each with positions renumbered 1..n —
