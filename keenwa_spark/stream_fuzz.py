@@ -26,6 +26,13 @@ Families:
 - ``dedup``   dropDuplicatesWithinWatermark under injected duplicate
               rows AND whole-file replays — the at-least-once axis:
               redelivered batches must not change the output.
+- ``sjoin``   stream-STREAM interval join (events.interval_join_streams):
+              the row set is split into two independent file streams
+              with INDEPENDENT random batch layouts, so join partners
+              routinely arrive batches apart and out of order — the
+              buffered-state path. The generous watermark keeps both
+              sides' state alive to the end, so the result must equal
+              the batch inequality join exactly (DuckDB oracle).
 - ``late``    windowed counts in APPEND mode with a SMALL watermark
               delay and deliberately late batches. Spark's CONTRACT is
               one-sided: data less than ``delay`` late is never
@@ -71,6 +78,8 @@ class StreamCase:
     batches: list[list[int]]   # row-index lists, one per micro-batch (replays repeat)
     params: dict
     oracle_sql: str
+    #: second independent stream's batch layout (stream-stream joins)
+    batches2: "list[list[int]] | None" = None
 
 
 def _values_sql(rows) -> str:
@@ -128,7 +137,8 @@ class StreamGen:
     # -- families --------------------------------------------------------
     def case(self) -> StreamCase:
         return self.rng.choice(
-            [self._win, self._ohlc, self._sess, self._dedup, self._late]
+            [self._win, self._ohlc, self._sess, self._dedup, self._late,
+             self._sjoin]
         )()
 
     def _win(self) -> StreamCase:
@@ -202,6 +212,32 @@ class StreamGen:
         )
         return StreamCase(f"dedup_b{len(batches)}", rows, batches, {}, oracle)
 
+    def _sjoin(self) -> StreamCase:
+        rng = self.rng
+        within = rng.choice([300, 900, 2100])
+        n_left = rng.randint(4, 14)
+        n_right = rng.randint(4, 14)
+        rows = []
+        for i in range(n_left + n_right):
+            rows.append((f"e{i:03d}", rng.randint(0, 2),
+                         "l" if i < n_left else "r",
+                         rng.randint(1, 6000), rng.randint(-50, 50)))
+        right_idx = list(range(n_left, n_left + n_right))
+        batches = self._split(n_left)
+        batches2 = [[right_idx[j] for j in b] for b in self._split(n_right)]
+        oracle = (
+            f"WITH e AS (SELECT * FROM {_values_sql(rows)}), "
+            "l AS (SELECT user_id, event_id AS l_event_id, ts AS l_ts "
+            "FROM e WHERE event_type = 'l'), "
+            "r AS (SELECT user_id, event_id AS r_event_id, ts AS r_ts "
+            "FROM e WHERE event_type = 'r') "
+            "SELECT l.user_id, l_event_id, l_ts, r_event_id, r_ts "
+            "FROM l JOIN r ON l.user_id = r.user_id "
+            f"AND r_ts >= l_ts - {within} AND r_ts <= l_ts + {within}"
+        )
+        return StreamCase(f"sjoin_w{within}", rows, batches,
+                          {"within": within}, oracle, batches2=batches2)
+
     def _late(self) -> StreamCase:
         rng = self.rng
         w = rng.choice([700, 1100, 1900])
@@ -271,8 +307,9 @@ def _schema():
     return _SCHEMA
 
 
-def _write_batches(case: StreamCase, base_dir: str) -> str:
-    """Materialize the batch layout as parquet files with strictly
+def _write_batches(case: StreamCase, base_dir: str,
+                   batches: "list[list[int]] | None" = None) -> str:
+    """Materialize a batch layout as parquet files with strictly
     increasing mtimes (FileStreamSource orders by (mtime, path), so
     either key yields the generated order)."""
     import pandas as pd
@@ -280,7 +317,7 @@ def _write_batches(case: StreamCase, base_dir: str) -> str:
     d = os.path.join(base_dir, f"in_{uuid.uuid4().hex[:8]}")
     os.makedirs(d)
     t0 = 1_000_000_000.0
-    for bi, batch in enumerate(case.batches):
+    for bi, batch in enumerate(case.batches if batches is None else batches):
         rows = [case.rows[i] for i in batch]
         df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
                                          "ts_sec", "value"])
@@ -348,6 +385,22 @@ def run_stream_case(spark, case: StreamCase, base_dir: str):
                            watermark="48 hours")
         out = out.select("event_id", "user_id", "event_type",
                          F.col("ts_sec").alias("ts"), "value")
+        return _drain(out, ckpt, "append")
+    if case.kind.startswith("sjoin_"):
+        from keenwa_spark.streaming import interval_join_streams
+
+        in2 = _write_batches(case, base_dir, case.batches2)
+        src2 = (spark.readStream.schema(_schema())
+                .option("maxFilesPerTrigger", "1").parquet(in2)
+                .withColumn("ts", F.timestamp_seconds(F.col("ts_sec"))))
+        out = interval_join_streams(
+            src, src2, on="user_id", within=f"{p['within']} seconds",
+            watermark="48 hours",
+        )
+        out = out.select("user_id", "l_event_id",
+                         F.unix_seconds("l_ts").alias("l_ts"),
+                         "r_event_id",
+                         F.unix_seconds("r_ts").alias("r_ts"))
         return _drain(out, ckpt, "append")
     if case.kind.startswith("late_"):
         out = windowed_type_counts(src, window=f"{p['window']} seconds",

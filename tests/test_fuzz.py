@@ -540,8 +540,10 @@ def test_stream_fuzz_corpus_cross_engine(spark, duck, seed):
     """Random micro-batch boundaries (1..5 parquet files, mtime-ordered,
     maxFilesPerTrigger=1), heavily out-of-order event time, duplicate
     rows, whole-batch replays (at-least-once), NULL event times and
-    values — over windowed counts, OHLC, session windows and
-    dropDuplicatesWithinWatermark. Split-invariant families compare
+    values — over windowed counts, OHLC, session windows,
+    dropDuplicatesWithinWatermark, and the stream-STREAM interval join
+    (two independent file streams with independent batch layouts, so
+    join partners arrive batches apart). Split-invariant families compare
     stream == DuckDB batch oracle exactly; the late-data family checks
     the one-sided watermark contract as a bounds law (lower = rows
     guaranteed within the delay, upper = all rows, unique append
@@ -568,6 +570,9 @@ def test_stream_generator_is_deterministic_and_covers_shapes():
     assert any(k.startswith("sess_") for k in kinds)
     assert any(k.startswith("dedup_") for k in kinds)
     assert any(k.startswith("late_") for k in kinds)
+    assert any(k.startswith("sjoin_") for k in kinds)
+    # stream-stream join cases carry an independent second layout
+    assert all(c.batches2 for c in ca if c.kind.startswith("sjoin_"))
     # replay coverage: some dedup case redelivers at least one batch
     assert any(
         k.startswith("dedup_") and len(c.batches) > len({tuple(b) for b in c.batches})
