@@ -210,6 +210,10 @@ HEADLINE = [
     "pl_bloom_decontaminate",
     "pl_cms_heavy_hitters",
     "pl_token_vote_classify",
+    # round-11 addition: per-cell-codebook IVF-PQ (rotation-free LOPQ,
+    # adopted from the r11 per-cell study for +0.11..+0.27 recall@5) —
+    # same broadcast-model plan family as ivfpq, model join key = cid
+    "pl_ann_lopq_topk",
 ]
 
 
