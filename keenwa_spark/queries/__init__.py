@@ -132,8 +132,10 @@ DRIVER_PREFIX = (
     # names, led by the 13 session-2 additions that postdate the r10
     # rotation (sketch-decontamination, BPE, splits, streaming
     # sketches) so no family ships un-witnessed; then the temporal/CDC,
-    # aggregate, event, and window families. 42 never-witnessed remain
-    # after this batch (r12 closes them).
+    # aggregate, event, and window families. 44 never-witnessed remain
+    # after this batch (42 scheduled + the two r11 LOPQ additions
+    # pl_ann_lopq_topk / pl_ann_lopq_refined_topk) — one r12 rotation
+    # closes the tail with a slot to spare.
     # session-2 rows (priority per VERDICT r10)
     "pl_bloom_decontaminate",
     "pl_cms_heavy_hitters",
