@@ -30,8 +30,9 @@ Lanes
   RUNTIME under real multi-row data). Executed rejection, plus the
   registry/conformance artifact that pins our supported alternative.
 
-The queries executed here are read from the reference at runtime and
-never stored in this repo; the committed deliverable is the mapping
+The queries executed here are loaded from the reference tree at
+runtime, never vendored as fixtures; the committed deliverable is the
+mapping
 (YAML_MAP.md, written by tools/yaml_corpus_map.py) plus this
 adjudication table. Interval literals (expr_interval_tests.yaml, 80
 cases) get a computed oracle instead of a hand table: a local parser
@@ -574,8 +575,9 @@ def write_map(results: list[SweepResult], cases: list[RefCase], path: str) -> No
         "files (golden plan-text tests — the reference has no executor) is",
         "EXECUTED here: on Spark, and on DuckDB whenever the text or a",
         "mechanical translation of it is expressible on both engines.",
-        "Query texts are read from the reference tree at runtime and not",
-        "stored in this repo.",
+        "The sweep loads the query texts from the reference tree at",
+        "runtime (they are not vendored as test fixtures); this table",
+        "quotes each case so the mapping is auditable line by line.",
         "",
         f"**{len(results)} cases, {n_fail} failing.** Lanes: "
         + ", ".join(f"{k} {v}" for k, v in sorted(lanes.items())) + ".",
