@@ -64,6 +64,8 @@ EXPECTED = {
         "pl_ann_pq_refined_topk": "documented loud trainer error on empty corpus",
         "pl_ann_ivfpq_topk": "documented loud trainer error on empty corpus",
         "pl_ann_ivfpq_refined_topk": "documented loud trainer error on empty corpus",
+        "pl_ann_lopq_topk": "documented loud trainer error on empty corpus",
+        "pl_ann_lopq_refined_topk": "documented loud trainer error on empty corpus",
     },
     "one": {
         "agg_rollup_hierarchy": "pinned Spark bug via join-emptied input",
@@ -74,6 +76,8 @@ EXPECTED = {
         "pl_ann_pq_refined_topk": "documented loud trainer error (all vectors NULL)",
         "pl_ann_ivfpq_topk": "documented loud trainer error (all vectors NULL)",
         "pl_ann_ivfpq_refined_topk": "documented loud trainer error (all vectors NULL)",
+        "pl_ann_lopq_topk": "documented loud trainer error (all vectors NULL)",
+        "pl_ann_lopq_refined_topk": "documented loud trainer error (all vectors NULL)",
     },
     "dup": {},
 }
