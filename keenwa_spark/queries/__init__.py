@@ -128,66 +128,60 @@ DRIVER_PREFIX = (
     "agg_group_having",
     "win_topn_per_group",
     "q6_forecast_revenue",
-    # --- round-11 rotation (VERDICT r10 item 1): 45 never-witnessed
-    # names, led by the 13 session-2 additions that postdate the r10
-    # rotation (sketch-decontamination, BPE, splits, streaming
-    # sketches) so no family ships un-witnessed; then the temporal/CDC,
-    # aggregate, event, and window families. 44 never-witnessed remain
-    # after this batch (42 scheduled + the two r11 LOPQ additions
-    # pl_ann_lopq_topk / pl_ann_lopq_refined_topk) — one r12 rotation
-    # closes the tail with a slot to spare.
-    # session-2 rows (priority per VERDICT r10)
-    "pl_bloom_decontaminate",
-    "pl_cms_heavy_hitters",
-    "pl_token_vote_classify",
-    "pl_bpe_merge_rounds",
-    "pl_bpe_encode",
-    "pl_feature_hash",
-    "pl_stratified_split",
-    "pl_semantic_decontaminate",
-    "pl_seeded_shuffle",
-    "pl_decontamination_panel",
-    "pl_cluster_split",
-    "st_cms_counts",
-    "st_bloom_filter",
-    # aggregate family
-    "agg_rollup_hierarchy",
-    "agg_cube_grouping_id",
-    "agg_pivot_status_priority",
-    "agg_stats_moments",
-    "agg_bool_family",
-    "agg_string_concat",
-    "agg_weighted_avg",
-    # analytics pivots / global ranks
-    "an_pivot_segments",
-    "an_unpivot_stack",
-    "an_price_rank_global",
-    # events family
-    "ev_gap_stats",
-    "ev_props_typed",
-    "ev_sequence_pattern",
-    "ev_type_diversity",
-    "ev_session_window_builtin",
-    "ev_value_percentiles_exact",
-    # window / lateral
-    "win_frames_rows_range",
-    "win_rank_distributions",
-    "join_lateral_topn",
-    "win_ignore_nulls_ffill",
-    # skew tooling
-    "op_salted_join",
-    "op_skew_report",
-    # temporal / CDC family
-    "op_asof_forward",
-    "op_asof_dim_enrich",
-    "op_time_resample",
-    "op_snapshot_diff",
-    "op_merge_upsert",
-    "op_scd2_intervals",
-    "op_interval_coalesce",
-    "op_time_weighted_avg",
-    "op_ohlc_bars",
-    "op_range_join_error_windows",
+    # --- round-12 rotation (VERDICT r11 item 1): the FINAL 44
+    # never-witnessed names — this batch closes the witness tail
+    # completely (every one of the 290 registry entries then holds at
+    # least one driver-file row across r1–r12). Led by the two r11
+    # LOPQ additions per the verdict; the spare 45th slot re-witnesses
+    # q3_shipping_priority (stalest TPC-H row, last seen r2).
+    "pl_ann_lopq_topk",
+    "pl_ann_lopq_refined_topk",
+    # pipeline / training-data family
+    "pl_embed_quantize",
+    "pl_embed_quant_error",
+    "pl_quality_drop_stats",
+    "pl_repetition_stats",
+    "pl_vocab_topk",
+    "pl_quality_topk_per_domain",
+    "pl_profile_columns",
+    "pl_negative_samples",
+    "pl_group_split",
+    "pl_winsorize",
+    "pl_feature_scale",
+    "pl_chunk_pack_pipeline",
+    "pl_value_histogram",
+    "pl_mixture_report",
+    "pl_expectations_report",
+    "pl_quantile_bins",
+    "pl_feature_bucketize",
+    "pl_robust_scale",
+    "pl_target_encode",
+    "pl_temperature_mixture",
+    "pl_rfm_segments",
+    "pl_embedding_norms",
+    "pl_centroid_classify",
+    "pl_centroid_confusion",
+    "pl_benford_digits",
+    "pl_category_drift",
+    "pl_numeric_drift_ks",
+    "pl_association_cramers_v",
+    "pl_distinct_estimate_kmv",
+    "pl_sketch_quantile_bounds",
+    "pl_mixture_export_manifest",
+    # window / temporal tail
+    "win_time_range_rolling",
+    "win_rolling_median",
+    "op_activity_islands",
+    "op_rolling_anomaly",
+    "op_changelog_compact",
+    "op_state_durations",
+    "op_counter_delta",
+    "op_time_interpolate",
+    "op_uptime_gaps",
+    "op_ema_smoothing",
+    "op_skyline_orders",
+    # spare slot: stalest previously-witnessed row (last driver row r2)
+    "q3_shipping_priority",
 )
 
 
