@@ -165,3 +165,194 @@ def validate(sql: str, strict: bool = False) -> None:
                 raise NotSupportedError(f"not supported: {label}")
         if _has_nested_over(upper):
             raise NotSupportedError("not supported: nested window functions")
+
+
+# ---------------------------------------------------------------------------
+# Strict-mode 3VL rewrite for IN-subqueries in the SELECT list
+# (VERDICT r11 item 5)
+# ---------------------------------------------------------------------------
+#
+# Projected (not filtering) IN-subqueries diverge from standard
+# three-valued logic in Spark's ListQuery rewrite, pinned in
+# conformance.py (SUBQ): a NULL lhs yields FALSE (standard: NULL when
+# the subquery is non-empty), and a non-matching non-NULL lhs with a
+# NULL in the subquery also yields FALSE (standard: NULL). In WHERE
+# context Spark plans a null-aware (anti) join and IS standard — so
+# the rewrite below applies ONLY inside a SELECT list, where the CASE
+# expansion restores the standard result:
+#
+#   L [NOT] IN (Q)  ->
+#   (CASE WHEN (L) IN (Q) THEN <true|false>
+#         WHEN (L) IS NULL THEN
+#              (CASE WHEN EXISTS (Q) THEN CAST(NULL AS BOOLEAN)
+#                    ELSE <false|true> END)
+#         WHEN EXISTS (SELECT 1 FROM (Q) __kw_q(__kw_c)
+#                      WHERE __kw_c IS NULL) THEN CAST(NULL AS BOOLEAN)
+#         ELSE <false|true> END)
+#
+# The raw Spark behavior stays the documented default; Engine.sql
+# applies the rewrite only under strict=True (the conformance lane —
+# the tripled subquery is the price of standard NULLs, not a hot path).
+
+_IN_SUBQ_RE = re.compile(r"\b(NOT\s+)?IN\s*\(", re.IGNORECASE)
+_SUBQ_HEAD_RE = re.compile(r"\s*(SELECT|WITH|VALUES|TABLE)\b", re.IGNORECASE)
+_CLAUSE_TOKEN_RE = re.compile(
+    r"\(|\)|\bSELECT\b|\bFROM\b|\bWHERE\b|\bGROUP\b|\bHAVING\b|\bORDER\b"
+    r"|\bLIMIT\b|\bQUALIFY\b|\bON\b|\bUSING\b",
+    re.IGNORECASE,
+)
+
+
+def _mask_literals_keep_len(sql: str) -> str:
+    """Length-preserving mask: string-literal/comment bodies become
+    spaces so structural scans can't be fooled, while every position
+    still maps 1:1 onto the original text."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        elif sql.startswith("--", i):
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            for k in range(i, j):
+                out[k] = " "
+            i = j
+        elif sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            j = n - 2 if j < 0 else j
+            for k in range(i, j + 2):
+                out[k] = " "
+            i = j + 2
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _clause_at(masked: str, pos: int) -> str:
+    """The clause ('select' = SELECT list, or 'other') enclosing
+    ``pos``. Parens inherit the surrounding clause (CASE/function
+    grouping stays in the SELECT list) until a clause keyword inside
+    them overrides it — so a subquery's own FROM/WHERE is 'other'."""
+    depth = 0
+    clause: dict[int, str] = {0: ""}
+    for m in _CLAUSE_TOKEN_RE.finditer(masked):
+        if m.start() >= pos:
+            break
+        t = m.group(0).upper()
+        if t == "(":
+            depth += 1
+            clause[depth] = clause.get(depth - 1, "")
+        elif t == ")":
+            depth = max(0, depth - 1)
+        elif t == "SELECT":
+            clause[depth] = "select"
+        else:
+            clause[depth] = "other"
+    return clause.get(depth, "")
+
+
+def _balanced_end(masked: str, open_pos: int) -> int | None:
+    """Index just past the ')' matching the '(' at open_pos."""
+    depth = 0
+    for i in range(open_pos, len(masked)):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return None
+
+
+_OPERAND_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.$")
+
+
+def _lhs_span(masked: str, end: int) -> tuple[int, int] | None:
+    """Backward scan for the primary expression ending at ``end``:
+    a (qualified) identifier/number, or a parenthesized expression /
+    function call. Returns None when the operand shape is ambiguous."""
+    j = end
+    while j > 0 and masked[j - 1].isspace():
+        j -= 1
+    if j == 0:
+        return None
+    if masked[j - 1] == ")":
+        depth, i = 0, j
+        while i > 0:
+            i -= 1
+            if masked[i] == ")":
+                depth += 1
+            elif masked[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            return None
+        k = i
+        while k > 0 and masked[k - 1] in _OPERAND_CHARS:
+            k -= 1
+        return (k, j)
+    k = j
+    while k > 0 and masked[k - 1] in _OPERAND_CHARS:
+        k -= 1
+    if k == j:
+        return None
+    return (k, j)
+
+
+def rewrite_strict(sql: str) -> str:
+    """Rewrite SELECT-list IN-subqueries to standard 3VL (see the
+    block comment above). Raises NotSupportedError when a projected
+    IN-subquery's left operand is a bare arithmetic chain (``a + b IN
+    (...)``) — parenthesize it; a silent partial grab would change
+    semantics."""
+    masked = _mask_literals_keep_len(sql)
+    edits: list[tuple[int, int, str]] = []
+    for m in _IN_SUBQ_RE.finditer(masked):
+        open_pos = masked.index("(", m.end() - 1)
+        if not _SUBQ_HEAD_RE.match(masked, open_pos + 1):
+            continue  # IN-list, not a subquery
+        if _clause_at(masked, m.start()) != "select":
+            continue  # WHERE/HAVING/ON context: Spark is already standard
+        close = _balanced_end(masked, open_pos)
+        if close is None:
+            continue  # unbalanced — let the parser produce the error
+        span = _lhs_span(masked, m.start())
+        if span is None:
+            raise NotSupportedError(
+                "strict mode: cannot isolate the left operand of a projected "
+                f"IN-subquery near offset {m.start()} — parenthesize it")
+        ls, le = span
+        before = masked[:ls].rstrip()
+        if before and (before[-1] in "+-*/%|&^~" or before.upper().endswith(("||",))):
+            raise NotSupportedError(
+                "strict mode: projected IN-subquery left operand is part of an "
+                "operator chain — parenthesize the full operand")
+        lhs = sql[ls:le]
+        q = sql[open_pos:close]  # includes parens
+        negated = bool(m.group(1))
+        yes, no = ("false", "true") if negated else ("true", "false")
+        repl = (
+            f"(CASE WHEN ({lhs}) IN {q} THEN {yes} "
+            f"WHEN ({lhs}) IS NULL THEN "
+            f"(CASE WHEN EXISTS {q} THEN CAST(NULL AS BOOLEAN) ELSE {no} END) "
+            f"WHEN EXISTS (SELECT 1 FROM {q} __kw_q(__kw_c) "
+            f"WHERE __kw_c IS NULL) THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE {no} END)"
+        )
+        edits.append((ls, close, repl))
+    for ls, close, repl in sorted(edits, reverse=True):
+        sql = sql[:ls] + repl + sql[close:]
+    return sql

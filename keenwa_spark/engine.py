@@ -31,8 +31,16 @@ class Engine:
 
     # -- SQL entry point (reference src/sql/mod.rs:85-100 parse + build) --
     def sql(self, query: str) -> DataFrame:
-        """Validate against the dialect then plan+execute via Catalyst."""
+        """Validate against the dialect then plan+execute via Catalyst.
+
+        Under ``strict=True`` the query also goes through the 3VL
+        shim for SELECT-list IN-subqueries (dialect.rewrite_strict,
+        VERDICT r11 item 5): standard NULL results instead of Spark's
+        ListQuery FALSE. The default lane keeps raw Spark behavior
+        (pinned in conformance.py SUBQ)."""
         dialect.validate(query, strict=self.strict)
+        if self.strict:
+            query = dialect.rewrite_strict(query)
         return self.spark.sql(query)
 
     def explain(self, query: str, mode: str = "formatted") -> str:

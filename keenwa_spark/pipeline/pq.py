@@ -585,6 +585,21 @@ def ivfpq_search(
     if model is not None:
         cents, books = model
         local_books = isinstance(books, dict)
+        if local_books:
+            # ADVICE r11: a coarse cell present in cents but missing
+            # from the per-cell codebooks (stale lopq_load vs fresh
+            # centroids, or a trimmed model) would silently DROP that
+            # cell's corpus rows on the sql backend (inner join on
+            # cid) while the numpy backend raises KeyError. Fail loud
+            # and identically on both backends, like ivfpq_train's
+            # empty-cell guard.
+            missing = [cid for cid, _ in cents if cid not in books]
+            if missing:
+                raise ValueError(
+                    f"local_books model is missing codebooks for coarse "
+                    f"cells {missing} — cents/lbooks mismatch (stale "
+                    f"lopq_load against fresh centroids?)"
+                )
     else:
         cents, books = ivfpq_train(
             emb, k_cells, m, k_codes, iters, id_col, vec_col, train_rows,

@@ -55,9 +55,11 @@ Families:
 
 All timestamps travel as BIGINT epoch seconds end to end
 (timestamp_seconds in, unix_seconds out); sums are BIGINT — no float
-or timezone compare traps. Window/delay/gap values are chosen so no
-window boundary ever equals a watermark exactly (no boundary-tie
-ambiguity). Deterministic by seed. Used by tools/stream_fuzz.py (wide
+or timezone compare traps. In the late family, event times are drawn
+with ``ts % w != delay % w`` so no realizable watermark (always some
+``ts - delay``) ever equals a window boundary (always a multiple of
+``w``) — no boundary-tie ambiguity at Spark's eviction-at-equality
+edge (ADVICE r11). Deterministic by seed. Used by tools/stream_fuzz.py (wide
 sweeps) and tests/test_fuzz.py (pinned-seed corpus).
 """
 
@@ -244,12 +246,19 @@ class StreamGen:
         delay = rng.choice([501, 1001, 2003])  # never a multiple of w
         n = rng.randint(8, 26)
         # positive values only: makes SUM monotone in the kept-row set,
-        # so the bounds law below is sound for s as well as n
+        # so the bounds law below is sound for s as well as n.
+        # ts is drawn with ts % w != delay % w (ADVICE r11): every
+        # realizable watermark is (some ts) - delay, so this guarantees
+        # no watermark ever equals a window boundary (multiple of w) —
+        # the <= comparisons below never sit on Spark's eviction-at-
+        # equality edge, and the must_emit/eligible sets stay exact.
         rows = []
         for i in range(n):
+            ts = rng.randint(1, 12000)
+            while ts % w == delay % w:
+                ts = rng.randint(1, 12000)
             rows.append((f"e{i:03d}", rng.randint(0, 3),
-                         rng.choice(["a", "b", "c"]),
-                         rng.randint(1, 12000), rng.randint(1, 50)))
+                         rng.choice(["a", "b", "c"]), ts, rng.randint(1, 50)))
         batches = self._split(len(rows))
         # most-aggressive possible watermark sequence (zero planning
         # lag): wm before batch N = max ts of batches 0..N-1 minus

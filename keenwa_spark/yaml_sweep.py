@@ -409,6 +409,59 @@ def register_sweep_catalog(spark, duck) -> None:
         duck.executemany("INSERT INTO test VALUES (?, ?, ?)", TEST_TABLE_ROWS)
 
 
+#: Allowlist gate for query text loaded from the UNTRUSTED reference
+#: tree (ADVICE r11, medium). The accepted lanes execute raw case text
+#: on Spark and DuckDB; without a gate, Spark's ``format.`/path```
+#: relation syntax or DuckDB's read_csv/read_text table functions (or
+#: its bare ``FROM '/path'`` string relations) would let a crafted
+#: case in the public reference tree read arbitrary local files — and
+#: mismatch details flow into the committed YAML_MAP.md. Only
+#: read-only SELECT/WITH/VALUES/TABLE shapes over the registered mini
+#: catalog may reach either engine.
+_SAFE_START_RE = re.compile(r"^\s*(?:\(|SELECT\b|WITH\b|VALUES\b|TABLE\b)", re.IGNORECASE)
+_PATH_TVF_RE = re.compile(
+    r"\b(?:read_\w+|parquet_scan|parquet_metadata|glob|sniff_csv|getenv"
+    r"|install|load_extension|attach|copy|export|pragma|duckdb_settings"
+    r"|inline|java_method|reflect)\b",
+    re.IGNORECASE,
+)
+_STRING_RELATION_RE = re.compile(r"\b(?:FROM|JOIN)\s+'", re.IGNORECASE)
+
+
+_QUOTED_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def assert_sweep_safe(sql: str) -> None:
+    """Raise before any engine sees untrusted text that could touch
+    the filesystem or session state. Raising inside a reject lane
+    still records the correct outcome (we refused to run it).
+
+    Content checks run on a copy with quoted string literals blanked
+    (an SQL-escaped ``''`` never closes one), so ``WHERE s = 'from
+    it'`` can't false-positive — a path can only reach an engine as a
+    RELATION, never as a plain literal."""
+    if not _SAFE_START_RE.match(sql):
+        raise ValueError(f"sweep gate: non-query statement blocked: {sql[:60]!r}")
+    stripped = _QUOTED_LITERAL_RE.sub("''", sql)
+    if "`" in stripped:
+        raise ValueError(
+            "sweep gate: backtick relation blocked (Spark `format`.`path` reads files)")
+    if ";" in stripped.rstrip().rstrip(";"):
+        raise ValueError("sweep gate: multi-statement text blocked")
+    if _PATH_TVF_RE.search(stripped):
+        raise ValueError("sweep gate: path-capable/session table function blocked")
+    if _STRING_RELATION_RE.search(stripped):
+        raise ValueError(
+            "sweep gate: string-literal relation blocked (DuckDB reads files by path)")
+
+
+def _clip(v: object, n: int = 80) -> str:
+    """Bound live row values before they reach a committed artifact
+    (ADVICE r11: FAIL details are written into YAML_MAP.md)."""
+    s = repr(v)
+    return s if len(s) <= n else s[:n] + "..."
+
+
 def _wrap_expr(case: RefCase) -> str:
     """Bare expressions run as SELECT (expr) AS v [FROM test]."""
     text = case.text
@@ -421,10 +474,12 @@ def _wrap_expr(case: RefCase) -> str:
 
 
 def _spark_rows(spark, sql: str):
+    assert_sweep_safe(sql)
     return canon_rows([tuple(r) for r in spark.sql(sql).collect()], False)
 
 
 def _duck_rows(duck, sql: str):
+    assert_sweep_safe(sql)
     return canon_rows(duck.execute(sql).fetchall(), False)
 
 
@@ -434,6 +489,7 @@ def _run_interval_case(spark, duck, case: RefCase) -> SweepResult:
     decomp = parse_interval_literal(lit)
     if case.kind == "error" and lit not in INTERVAL_SUPERSET:
         try:
+            assert_sweep_safe(probe)
             spark.sql(probe).collect()
         except Exception:
             return SweepResult(case.uid, case.kind, "reject", "pass")
@@ -449,6 +505,7 @@ def _run_interval_case(spark, duck, case: RefCase) -> SweepResult:
     mo, d, s = decomp
     expected = interval_expected(mo, d, s) or INTERVAL_FAR_EXPECTED.get(lit)
     try:
+        assert_sweep_safe(probe)
         got = spark.sql(probe).collect()[0][0]
     except Exception as e:
         return SweepResult(case.uid, case.kind, lane, "FAIL",
@@ -482,6 +539,7 @@ def run_case(spark, duck, engine, case: RefCase) -> SweepResult:
 
     if lane == "reject":
         try:
+            assert_sweep_safe(case.text)
             engine.sql(case.text).collect()
         except Exception:
             return SweepResult(case.uid, case.kind, lane, "pass")
@@ -490,6 +548,7 @@ def run_case(spark, duck, engine, case: RefCase) -> SweepResult:
 
     if lane == "we_reject":
         try:
+            assert_sweep_safe(case.text)
             engine.sql(case.text).collect()
         except Exception:
             return SweepResult(case.uid, case.kind, lane, "pass",
@@ -508,7 +567,7 @@ def run_case(spark, duck, engine, case: RefCase) -> SweepResult:
                                detail=str(e).replace("\n", " ")[:160])
         ok = srows == drows
         return SweepResult(case.uid, case.kind, lane, "pass" if ok else "FAIL",
-                           detail="" if ok else f"value mismatch: {srows[:2]} vs {drows[:2]}")
+                           detail="" if ok else f"value mismatch: {_clip(srows[:2])} vs {_clip(drows[:2])}")
 
     if lane == "translated":
         s_sql, d_sql = adj["spark"], adj["duck"] or adj["spark"]
@@ -520,7 +579,7 @@ def run_case(spark, duck, engine, case: RefCase) -> SweepResult:
                                detail=str(e).replace("\n", " ")[:160], note=note)
         ok = srows == drows
         return SweepResult(case.uid, case.kind, lane, "pass" if ok else "FAIL",
-                           detail="" if ok else f"value mismatch: {srows[:2]} vs {drows[:2]}",
+                           detail="" if ok else f"value mismatch: {_clip(srows[:2])} vs {_clip(drows[:2])}",
                            note=note)
 
     if lane == "superset":
@@ -541,7 +600,7 @@ def run_case(spark, duck, engine, case: RefCase) -> SweepResult:
                                detail=f"duck oracle failed: {str(e)[:120]}", note=note)
         ok = srows == drows
         return SweepResult(case.uid, case.kind, lane, "pass" if ok else "FAIL",
-                           detail="" if ok else f"value mismatch: {srows[:2]} vs {drows[:2]}",
+                           detail="" if ok else f"value mismatch: {_clip(srows[:2])} vs {_clip(drows[:2])}",
                            note=note)
 
     raise ValueError(f"unknown lane {lane!r} for {case.uid}")
@@ -559,8 +618,10 @@ def run_sweep(spark, duck=None) -> list[SweepResult]:
     return [run_case(spark, duck, engine, c) for c in load_reference_cases()]
 
 
-def write_map(results: list[SweepResult], cases: list[RefCase], path: str) -> None:
-    """Emit the committed mapping table (YAML_MAP.md)."""
+def write_map(results: list[SweepResult], cases: list[RefCase], path: str,
+              regimes_note: str = "") -> None:
+    """Emit the committed mapping table (YAML_MAP.md). ``regimes_note``
+    (one line) records an all-regimes re-run in the header."""
     by_uid = {c.uid: c for c in cases}
     lanes: dict[str, int] = {}
     for r in results:
@@ -581,6 +642,7 @@ def write_map(results: list[SweepResult], cases: list[RefCase], path: str) -> No
         "",
         f"**{len(results)} cases, {n_fail} failing.** Lanes: "
         + ", ".join(f"{k} {v}" for k, v in sorted(lanes.items())) + ".",
+        *( [ "", regimes_note ] if regimes_note else [] ),
         "",
         "| lane | meaning |",
         "|---|---|",

@@ -604,3 +604,25 @@ def test_stream_late_bounds_checker_rejects_violations():
         case, [(0, "a", 1, 5), (7000, "c", 1, 1)])
     assert "guaranteed windows missing" in check_late_bounds(case, [])
     assert "bounds violated" in check_late_bounds(case, [(0, "a", 3, 9)])
+
+
+def test_stream_late_family_never_generates_watermark_boundary_ties():
+    """ADVICE r11: every realizable watermark is (some ts) - delay and
+    every window boundary is a multiple of w, so drawing ts with
+    ts % w != delay % w guarantees the bounds law in check_late_bounds
+    never sits on Spark's eviction-at-equality edge."""
+    from keenwa_spark.stream_fuzz import StreamGen
+
+    gen = StreamGen(99)
+    n_late = 0
+    while n_late < 40:
+        case = gen.case()
+        if not case.kind.startswith("late_"):
+            continue
+        n_late += 1
+        w, delay = case.params["window"], case.params["delay"]
+        for row in case.rows:
+            assert row[3] % w != delay % w, (case.kind, row)
+        # hence no watermark the prefix-max construction can realize
+        # is a window boundary
+        assert case.params["final_wm"] % w != 0

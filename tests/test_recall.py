@@ -705,3 +705,23 @@ class TestLocalBooks:
             assert len(bks) == 4
             for book in bks:
                 assert [p for p, _ in book] == list(range(1, len(book) + 1))
+
+
+    def test_trimmed_model_raises_loud_on_both_backends(self, fixtures):
+        """ADVICE r11: a coarse cell present in cents but missing from
+        the per-cell codebooks (stale lopq_load vs fresh centroids, or
+        a trimmed model) must raise the same loud ValueError on BOTH
+        encode backends — never silently drop that cell's corpus rows
+        via the sql backend's inner join on cid."""
+        from keenwa_spark.pipeline.pq import ivfpq_search, ivfpq_train
+
+        iso, _ = fixtures
+        q = iso.filter("vec_id < 5")
+        cents, lbooks = ivfpq_train(iso, k_cells=4, m=4, k_codes=8,
+                                    local_books=True)
+        dropped = max(lbooks)
+        trimmed = {cid: bks for cid, bks in lbooks.items() if cid != dropped}
+        for be in ("sql", "numpy"):
+            with pytest.raises(ValueError, match="missing codebooks"):
+                ivfpq_search(iso, q, model=(cents, trimmed),
+                             encode_backend=be).collect()

@@ -108,3 +108,47 @@ def test_interval_parser_agrees_with_reference_decompositions():
                 assert (months, days, secs) == want, (lit, ref, got)
             n_checked += 1
     assert n_checked >= 40
+
+
+def test_sweep_gate_blocks_path_capable_text():
+    """ADVICE r11 (medium): accepted lanes execute raw case text loaded
+    from the UNTRUSTED reference tree on Spark and DuckDB. The
+    allowlist gate must refuse anything path-capable BEFORE either
+    engine sees it; the live sweep above proves it blocks none of the
+    328 real corpus cases."""
+    blocked = [
+        "SELECT * FROM text.`/etc/passwd`",                  # Spark format.`path`
+        "SELECT * FROM `parquet`.`/root/testdata/sf0.001/orders.parquet`",
+        "SELECT * FROM read_text('/etc/passwd')",            # DuckDB TVF
+        "SELECT * FROM read_csv_auto('/etc/hostname')",
+        "SELECT * FROM '/etc/passwd'",                       # DuckDB string relation
+        "SELECT a1 FROM a JOIN '/tmp/x.csv' ON true",
+        "SELECT glob('/root/*')",
+        "INSTALL httpfs",                                    # non-query statement
+        "COPY a TO '/tmp/out.csv'",
+        "PRAGMA database_list",
+        "ATTACH '/tmp/x.db'",
+        "SELECT 1; SELECT 2",                                # multi-statement
+        "SELECT getenv('HOME')",
+        "SELECT java_method('java.lang.System', 'getenv')",  # Spark reflect
+    ]
+    for sql in blocked:
+        with pytest.raises(ValueError, match="sweep gate"):
+            ys.assert_sweep_safe(sql)
+    # benign shapes sail through, including string literals in predicates
+    for sql in [
+        "SELECT a1, count(*) FROM a GROUP BY a1",
+        "WITH t AS (SELECT 1 AS x) SELECT * FROM t",
+        "VALUES (1, 'aBc'), (2, 'from ''quoted''')",
+        "SELECT * FROM test WHERE s = 'aBc' AND i BETWEEN 1 AND 2;",
+        "(SELECT 1) UNION ALL (SELECT 2)",
+    ]:
+        ys.assert_sweep_safe(sql)
+
+
+def test_sweep_fail_details_are_clipped():
+    """ADVICE r11: mismatch details flow into the committed YAML_MAP.md
+    — live row values must be bounded before they reach it."""
+    s = ys._clip([("x" * 500, 12345)])
+    assert len(s) <= 83 and s.endswith("...")
+    assert ys._clip((1, 2)) == "(1, 2)"
