@@ -161,6 +161,34 @@ def test_q21_plans_semi_and_anti_self_joins(views):
     assert "CartesianProduct" not in ex
 
 
+def test_q21_exact_join_census(views):
+    """Pin q21's full join census (VERDICT r11 item 2): exactly five
+    BroadcastHashJoins — three Inner (supplier-lineitem,
+    orders-lineitem, nation-supplier) plus the LeftSemi/LeftAnti
+    lineitem self-joins — and nothing else. q21 is a recurring bench
+    watchlist entry; with the shape pinned, a future slow flag that
+    still passes this test is scheduler drift, not a plan regression."""
+    import re
+    from collections import Counter
+
+    ex = _executed_plan("q21_waiting_supplier", views)
+    # the executed-plan text prints codegen subtrees twice — dedupe on
+    # the join head normalized of tree art / codegen ids
+    heads = {
+        re.sub(r"^\W*(\*\(\d+\)\s*)?", "", line).strip()
+        for line in ex.splitlines()
+        if "BroadcastHashJoin" in line
+    }
+    kinds = Counter(
+        m.group(1)
+        for h in heads
+        for m in [re.search(r"BroadcastHashJoin \[[^\]]*\], \[[^\]]*\], (\w+)", h)]
+        if m
+    )
+    assert kinds == Counter({"Inner": 3, "LeftSemi": 1, "LeftAnti": 1}), (kinds, heads)
+    assert "SortMergeJoin" not in ex and "BroadcastNestedLoopJoin" not in ex
+
+
 def test_q17_decorrelates_avg_subquery(views):
     """The correlated AVG must decorrelate into a per-part aggregate
     joined back on partkey (one extra fact aggregate, no NLJ)."""
