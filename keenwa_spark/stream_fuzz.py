@@ -33,6 +33,24 @@ Families:
               buffered-state path. The generous watermark keeps both
               sides' state alive to the end, so the result must equal
               the batch inequality join exactly (DuckDB oracle).
+- ``ck*``     KILL-RESTART (failure recovery, VERDICT r11 item 4):
+              the query writes to a fault-tolerant parquet file sink,
+              is killed after a random micro-batch — either a clean
+              crash at a batch boundary (``staged``: only a prefix of
+              the input files exists for phase 1) or an abrupt
+              mid-run ``stop()`` that can cancel a half-written sink
+              batch — and a NEW query object resumes from the same
+              checkpoint + sink. The manifest-read final output must
+              equal the batch/DuckDB oracle exactly (exactly-once
+              resume; restart-after-completion must re-emit nothing).
+              Sub-shapes: ``ckwin`` windowed counts with time-ordered
+              batches (no row ever late, so the append oracle is
+              EXACT: all windows ending <= final watermark, straddling
+              windows aggregating phase-1 rows out of recovered
+              state), ``ckdedup`` duplicates + whole-batch
+              redeliveries across the failure point, ``cksjoin``
+              stream-stream interval join with buffered state spanning
+              the restart.
 - ``late``    windowed counts in APPEND mode with a SMALL watermark
               delay and deliberately late batches. Spark's CONTRACT is
               one-sided: data less than ``delay`` late is never
@@ -140,8 +158,107 @@ class StreamGen:
     def case(self) -> StreamCase:
         return self.rng.choice(
             [self._win, self._ohlc, self._sess, self._dedup, self._late,
-             self._sjoin]
+             self._sjoin, self._restart]
         )()
+
+    def _kill_params(self, n_batches: int) -> dict:
+        """Random failure point + kill mode (VERDICT r11 item 4).
+
+        ``staged``: phase 1 sees only the first ``point`` input files,
+        drains to completion (a crash at a micro-batch boundary), then
+        the rest of the files land and a NEW query resumes from the
+        same checkpoint + sink. ``stop``: all files present, the query
+        is stopped mid-run after ~point progress reports (may cancel a
+        half-written sink batch — the manifest must exclude it), then
+        resumed. point == n_batches exercises restart-after-completion
+        (the resume must not re-emit anything)."""
+        rng = self.rng
+        return {"mode": rng.choice(["staged", "stop"]),
+                "point": rng.randint(1, n_batches)}
+
+    def _restart(self) -> StreamCase:
+        return self.rng.choice(
+            [self._ckwin, self._ckdedup, self._cksjoin]
+        )()
+
+    def _ckwin(self) -> StreamCase:
+        """Kill-restart windowed counts with an EXACT append-mode
+        oracle: rows are time-sorted ACROSS batches (shuffled only
+        within a batch), so no row is ever late under any watermark
+        sequence, and the emitted set is exactly {windows with end <=
+        final_wm} — straddling windows force the restarted query to
+        aggregate phase-1 rows out of recovered state. ts is drawn
+        with ts % w != delay % w so the end <= final_wm cutoff never
+        ties (same tie-freedom law as the late family)."""
+        rng = self.rng
+        w = rng.choice([700, 1100, 1900])
+        delay = rng.choice([501, 1001, 2003])
+        n = rng.randint(10, 28)
+        tss = []
+        for _ in range(n):
+            ts = rng.randint(1, 12000)
+            while ts % w == delay % w:
+                ts = rng.randint(1, 12000)
+            tss.append(ts)
+        tss.sort()
+        rows = [(f"e{i:03d}", rng.randint(0, 3), rng.choice(["a", "b", "c"]),
+                 tss[i], None if rng.random() < 0.15 else rng.randint(-50, 50))
+                for i in range(n)]
+        # sequential (time-ordered) split, disorder only within a batch
+        k = rng.randint(2, 5)
+        cuts = sorted(rng.sample(range(1, n), min(k - 1, n - 1)))
+        batches, prev = [], 0
+        for c in [*cuts, n]:
+            b = list(range(prev, c))
+            rng.shuffle(b)
+            batches.append(b)
+            prev = c
+        final_wm = max(tss) - delay
+        oracle = (
+            f"WITH e AS (SELECT * FROM {_values_sql(rows)}) "
+            f"SELECT (ts // {w}) * {w} AS ws, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(value) AS BIGINT) AS s "
+            f"FROM e WHERE (ts // {w}) * {w} + {w} <= {final_wm} "
+            "GROUP BY 1, 2"
+        )
+        return StreamCase(
+            f"ckwin_w{w}_d{delay}", rows, batches,
+            {"window": w, "delay": delay,
+             "restart": self._kill_params(len(batches))},
+            oracle,
+        )
+
+    def _ckdedup(self) -> StreamCase:
+        """Kill-restart dropDuplicatesWithinWatermark: duplicate rows
+        and whole-batch redeliveries that may land on EITHER side of
+        the failure point — the recovered dedup state must still drop
+        them (exactly-once output)."""
+        rng = self.rng
+        rows = self._rows(rng.randint(6, 20), dup_p=0.4)
+        batches = self._split(len(rows))
+        for _ in range(rng.randint(0, 2)):
+            batches.append(list(rng.choice(batches)))
+        oracle = (
+            f"SELECT DISTINCT event_id, user_id, event_type, ts, value "
+            f"FROM {_values_sql(rows)}"
+        )
+        return StreamCase(
+            f"ckdedup_b{len(batches)}", rows, batches,
+            {"restart": self._kill_params(len(batches))}, oracle,
+        )
+
+    def _cksjoin(self) -> StreamCase:
+        """Kill-restart stream-STREAM interval join: both sides'
+        buffered join state must survive the restart — partners that
+        arrive in phase 2 must still join rows buffered in phase 1."""
+        base = self._sjoin()
+        n_b = max(len(base.batches), len(base.batches2 or []))
+        return StreamCase(
+            "cksjoin_" + base.kind.removeprefix("sjoin_"),
+            base.rows, base.batches,
+            {**base.params, "restart": self._kill_params(n_b)},
+            base.oracle_sql, batches2=base.batches2,
+        )
 
     def _win(self) -> StreamCase:
         rng = self.rng
@@ -316,19 +433,19 @@ def _schema():
     return _SCHEMA
 
 
-def _write_batches(case: StreamCase, base_dir: str,
-                   batches: "list[list[int]] | None" = None) -> str:
-    """Materialize a batch layout as parquet files with strictly
-    increasing mtimes (FileStreamSource orders by (mtime, path), so
-    either key yields the generated order)."""
+def _write_some(rows: list[tuple], batches: list[list[int]], d: str,
+                start_idx: int = 0) -> None:
+    """Write a batch layout (or a phase of one) as parquet files with
+    strictly increasing mtimes (FileStreamSource orders by (mtime,
+    path), so either key yields the generated order). ``start_idx``
+    keeps file names/mtimes unique when a later phase appends more
+    files to a directory the source has already seen."""
     import pandas as pd
 
-    d = os.path.join(base_dir, f"in_{uuid.uuid4().hex[:8]}")
-    os.makedirs(d)
     t0 = 1_000_000_000.0
-    for bi, batch in enumerate(case.batches if batches is None else batches):
-        rows = [case.rows[i] for i in batch]
-        df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+    for bi, batch in enumerate(batches, start=start_idx):
+        part = [rows[i] for i in batch]
+        df = pd.DataFrame(part, columns=["event_id", "user_id", "event_type",
                                          "ts_sec", "value"])
         df["user_id"] = df["user_id"].astype("int64")
         df["ts_sec"] = df["ts_sec"].astype("Int64")
@@ -336,6 +453,38 @@ def _write_batches(case: StreamCase, base_dir: str,
         path = os.path.join(d, f"part-{bi:03d}.parquet")
         df.to_parquet(path, index=False)
         os.utime(path, (t0 + 2 * bi, t0 + 2 * bi))
+
+
+def _write_sentinel(d: str, idx: int = 999) -> None:
+    """A ZERO-ROW parquet file with the full typed schema. Used by the
+    kill-restart 'stop' mode: if the kill lands after the last data
+    batch but before the trailing watermark-flush batch, a restarted
+    AvailableNow query that sees no new files runs no batch at all and
+    the final watermark is never APPLIED — windows that are fully
+    eligible stay unemitted forever. One empty heartbeat file (a
+    realistic delivery) forces >=1 micro-batch, which applies the
+    checkpointed watermark and flushes the eligible state. Rows: none,
+    so no oracle is affected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([
+        ("event_id", pa.string()), ("user_id", pa.int64()),
+        ("event_type", pa.string()), ("ts_sec", pa.int64()),
+        ("value", pa.int64()),
+    ])
+    t = pa.Table.from_arrays([pa.array([], type=f.type) for f in schema],
+                             schema=schema)
+    path = os.path.join(d, f"part-{idx:03d}.parquet")
+    pq.write_table(t, path)
+    os.utime(path, (1_000_000_000.0 + 2 * idx,) * 2)
+
+
+def _write_batches(case: StreamCase, base_dir: str,
+                   batches: "list[list[int]] | None" = None) -> str:
+    d = os.path.join(base_dir, f"in_{uuid.uuid4().hex[:8]}")
+    os.makedirs(d)
+    _write_some(case.rows, case.batches if batches is None else batches, d)
     return d
 
 
@@ -421,6 +570,107 @@ def run_stream_case(spark, case: StreamCase, base_dir: str):
     raise ValueError(case.kind)
 
 
+def run_stream_case_restart(spark, case: StreamCase, base_dir: str):
+    """Run one kill-restart case (VERDICT r11 item 4): the pipeline
+    writes to a fault-tolerant parquet FILE sink (a memory sink would
+    forget phase-1 output on restart), is killed per
+    params['restart'], and a fresh query object resumes from the SAME
+    checkpoint + sink. The read-back goes through the sink's
+    _spark_metadata manifest, so a batch cancelled mid-write by the
+    'stop' mode is invisible unless the restarted query re-commits it
+    exactly once."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.streaming import (dedup_stream, interval_join_streams,
+                                        windowed_type_counts)
+
+    p = case.params
+    uid = uuid.uuid4().hex[:8]
+    in_dir = os.path.join(base_dir, f"in_{uid}")
+    os.makedirs(in_dir)
+    out_dir = os.path.join(base_dir, f"out_{uid}")
+    ckpt = os.path.join(base_dir, f"ck_{uid}")
+    two_sided = case.kind.startswith("cksjoin_")
+    in2_dir = None
+    if two_sided:
+        in2_dir = os.path.join(base_dir, f"in2_{uid}")
+        os.makedirs(in2_dir)
+
+    def _src(d: str):
+        return (spark.readStream.schema(_schema())
+                .option("maxFilesPerTrigger", "1").parquet(d)
+                .withColumn("ts", F.timestamp_seconds(F.col("ts_sec"))))
+
+    def _pipeline():
+        src = _src(in_dir)
+        if case.kind.startswith("ckwin_"):
+            out = windowed_type_counts(src, window=f"{p['window']} seconds",
+                                       watermark=f"{p['delay']} seconds")
+            return out.select(F.unix_seconds("win_start").alias("ws"),
+                              "event_type",
+                              F.col("n_events").cast("bigint").alias("n"),
+                              F.col("total_value").cast("bigint").alias("s"))
+        if case.kind.startswith("ckdedup_"):
+            out = dedup_stream(src.where(F.col("ts").isNotNull()),
+                               keys=["event_id"], watermark="48 hours")
+            return out.select("event_id", "user_id", "event_type",
+                              F.col("ts_sec").alias("ts"), "value")
+        if case.kind.startswith("cksjoin_"):
+            out = interval_join_streams(
+                src, _src(in2_dir), on="user_id",
+                within=f"{p['within']} seconds", watermark="48 hours")
+            return out.select("user_id", "l_event_id",
+                              F.unix_seconds("l_ts").alias("l_ts"),
+                              "r_event_id",
+                              F.unix_seconds("r_ts").alias("r_ts"))
+        raise ValueError(case.kind)
+
+    def _start():
+        return (_pipeline().writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True).start())
+
+    mode, point = p["restart"]["mode"], p["restart"]["point"]
+    b1, b2 = case.batches, case.batches2 or []
+    if mode == "staged":
+        _write_some(case.rows, b1[:point], in_dir, 0)
+        if two_sided:
+            _write_some(case.rows, b2[:point], in2_dir, 0)
+        q = _start()
+        q.awaitTermination()
+        _write_some(case.rows, b1[point:], in_dir, min(point, len(b1)))
+        if two_sided:
+            _write_some(case.rows, b2[point:], in2_dir, min(point, len(b2)))
+    else:  # abrupt stop mid-run
+        _write_some(case.rows, b1, in_dir, 0)
+        if two_sided:
+            _write_some(case.rows, b2, in2_dir, 0)
+        q = _start()
+        deadline = time.time() + 120
+        while (q.isActive and len(q.recentProgress) < point
+               and time.time() < deadline):
+            time.sleep(0.005)
+        try:
+            q.stop()
+            q.awaitTermination()
+        except Exception:  # noqa: BLE001 — a cancelled batch may raise
+            pass
+        # the kill may have cancelled the trailing watermark-flush
+        # batch AFTER all data batches committed; see _write_sentinel
+        _write_sentinel(in_dir)
+        if two_sided:
+            _write_sentinel(in2_dir)
+    q = _start()
+    q.awaitTermination()
+    if not os.path.isdir(out_dir):
+        return []  # nothing ever committed (valid when the oracle is empty)
+    return [tuple(r) for r in spark.read.parquet(out_dir).collect()]
+
+
 def check_late_bounds(case: StreamCase, got: list[tuple]) -> str | None:
     """Verify APPEND-mode emissions against the one-sided lateness
     contract; returns a failure description or None."""
@@ -447,8 +697,12 @@ def check_late_bounds(case: StreamCase, got: list[tuple]) -> str | None:
     return None
 
 
-def run_stream_fuzz(spark, duck, seed: int, n: int) -> list[dict]:
-    """Run n seeded cases; returns mismatch records (empty == clean)."""
+def run_stream_fuzz(spark, duck, seed: int, n: int,
+                    only_prefix: str | None = None) -> list[dict]:
+    """Run n seeded cases; returns mismatch records (empty == clean).
+    ``only_prefix`` keeps drawing until the case kind matches (e.g.
+    "ck" for a dedicated kill-restart sweep) — the generator sequence
+    stays seed-deterministic, skipped cases are simply not run."""
     from keenwa_spark import conformance as cf
 
     gen = StreamGen(seed)
@@ -459,8 +713,13 @@ def run_stream_fuzz(spark, duck, seed: int, n: int) -> list[dict]:
     try:
         for i in range(n):
             case = gen.case()
+            while only_prefix and not case.kind.startswith(only_prefix):
+                case = gen.case()
             try:
-                raw = run_stream_case(spark, case, base_dir)
+                if case.kind.startswith("ck"):
+                    raw = run_stream_case_restart(spark, case, base_dir)
+                else:
+                    raw = run_stream_case(spark, case, base_dir)
                 got = cf.canon_rows(raw, ordered=False)
             except Exception as e:  # noqa: BLE001 — the error IS the finding
                 mismatches.append({"i": i, "kind": case.kind,

@@ -559,8 +559,8 @@ def test_stream_generator_is_deterministic_and_covers_shapes():
     from keenwa_spark.stream_fuzz import StreamGen
 
     ga, gb = StreamGen(3), StreamGen(3)
-    ca = [ga.case() for _ in range(60)]
-    cb = [gb.case() for _ in range(60)]
+    ca = [ga.case() for _ in range(150)]
+    cb = [gb.case() for _ in range(150)]
     assert [(c.kind, c.batches, c.oracle_sql) for c in ca] == [
         (c.kind, c.batches, c.oracle_sql) for c in cb
     ]
@@ -571,8 +571,24 @@ def test_stream_generator_is_deterministic_and_covers_shapes():
     assert any(k.startswith("dedup_") for k in kinds)
     assert any(k.startswith("late_") for k in kinds)
     assert any(k.startswith("sjoin_") for k in kinds)
+    # kill-restart recovery family: all three sub-shapes and both kill
+    # modes must be reachable
+    for prefix in ("ckwin_", "ckdedup_", "cksjoin_"):
+        assert any(k.startswith(prefix) for k in kinds), prefix
+    modes = {c.params["restart"]["mode"] for c in ca if c.kind.startswith("ck")}
+    assert modes == {"staged", "stop"}
+    # ckwin batches are time-ordered across batches (the exact-oracle
+    # precondition: no row is ever late)
+    for c in ca:
+        if c.kind.startswith("ckwin_"):
+            prev_max = None
+            for b in c.batches:
+                lo = min(c.rows[i][3] for i in b)
+                assert prev_max is None or lo >= prev_max, c.kind
+                prev_max = max(c.rows[i][3] for i in b)
     # stream-stream join cases carry an independent second layout
     assert all(c.batches2 for c in ca if c.kind.startswith("sjoin_"))
+    assert all(c.batches2 for c in ca if c.kind.startswith("cksjoin_"))
     # replay coverage: some dedup case redelivers at least one batch
     assert any(
         k.startswith("dedup_") and len(c.batches) > len({tuple(b) for b in c.batches})

@@ -280,3 +280,34 @@ class TestScratchReclaim:
         # oldest generation emptied but tombstoned; newer two intact
         assert os.listdir(dirs[0]) == ["RECLAIMED_RAISE_KEENWA_SCRATCH_KEEP"]
         assert os.path.isdir(dirs[1]) and os.path.isdir(dirs[2])
+
+
+class TestKillRestartRecovery:
+    """Failure-recovery pin (VERDICT r11 item 4): a streaming query
+    killed after a random micro-batch and restarted from the same
+    checkpoint + parquet file sink must produce EXACTLY the batch/
+    DuckDB-oracle result — windowed aggregation state, dedup state,
+    and stream-stream join buffers all recover; the sink manifest
+    makes a cancelled half-written batch invisible. Wide sweeps:
+    tools/stream_fuzz.py --family=ck."""
+
+    def test_kill_restart_cases_match_oracle_exactly(self, spark):
+        import duckdb
+
+        from keenwa_spark.stream_fuzz import run_stream_fuzz
+
+        duck = duckdb.connect()
+        mis = run_stream_fuzz(spark, duck, seed=41, n=8, only_prefix="ck")
+        assert mis == [], mis[:3]
+
+    def test_every_subshape_and_kill_mode_is_exercised(self):
+        from keenwa_spark.stream_fuzz import StreamGen
+
+        gen = StreamGen(41)
+        seen = set()
+        for _ in range(400):
+            c = gen.case()
+            if c.kind.startswith("ck"):
+                seen.add((c.kind.split("_")[0], c.params["restart"]["mode"]))
+        assert seen == {(k, m) for k in ("ckwin", "ckdedup", "cksjoin")
+                        for m in ("staged", "stop")}

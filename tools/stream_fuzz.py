@@ -6,6 +6,10 @@ late-data contract).
 
 Usage:
     python tools/stream_fuzz.py [n_per_seed] [seed seed ...]
+    python tools/stream_fuzz.py --family=ck [n_per_seed] [seed ...]
+        # dedicated sweep of one family prefix (e.g. the kill-restart
+        # recovery family "ck") — the generator stays seed-
+        # deterministic; non-matching draws are skipped, not run.
 
 Defaults: 100 cases per seed, seeds 1-5. Exit 1 on any mismatch.
 """
@@ -25,13 +29,18 @@ def main() -> None:
     from keenwa_spark.session import get_spark
     from keenwa_spark.stream_fuzz import run_stream_fuzz
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    seeds = [int(s) for s in sys.argv[2:]] or [1, 2, 3, 4, 5]
+    args = sys.argv[1:]
+    family = None
+    if args and args[0].startswith("--family="):
+        family = args.pop(0).split("=", 1)[1]
+    n = int(args[0]) if args else 100
+    seeds = [int(s) for s in args[1:]] or [1, 2, 3, 4, 5]
     spark = get_spark("stream_fuzz")
     duck = duckdb.connect()
     total_bad = 0
     for seed in seeds:
-        mis = run_stream_fuzz(spark, duck, seed=seed, n=n)
+        mis = run_stream_fuzz(spark, duck, seed=seed, n=n,
+                              only_prefix=family)
         print(f"seed {seed}: {n} cases, {len(mis)} mismatches", flush=True)
         for m in mis:
             print(json.dumps(m, default=str)[:900])
