@@ -1,0 +1,105 @@
+"""Seeded fuzzer for the strict-mode 3VL IN-projection rewrite
+(dialect.rewrite_strict, VERDICT r11 item 5).
+
+The rewrite is a TEXT transformation (CASE + EXISTS expansion of
+SELECT-list IN-subqueries), so its risk surface is shape coverage:
+lhs forms (columns, qualified names, function calls, parenthesized
+arithmetic, literals, NULL casts), polarity, nesting (bare, inside
+COALESCE/CASE, two INs in one projection, IN next to a WHERE-context
+IN that must stay untouched), and subquery bodies that are empty /
+NULL-bearing / correlated. Every generated query runs through
+Engine(strict=True) — validate + rewrite + Catalyst — and must equal
+DuckDB's answer for the ORIGINAL text exactly (DuckDB implements
+standard three-valued IN natively, so it is the oracle the rewrite is
+chasing). Deterministic by seed; used by tools/in3vl_fuzz.py (wide
+sweeps) and tests/test_dialect.py (pinned corpus).
+"""
+
+from __future__ import annotations
+
+import random
+
+#: lhs forms — (sql, needs_parens_for_chain). Chains like a1 + a2 are
+#: generated ONLY parenthesized: the rewrite deliberately rejects bare
+#: operator chains (documented NotSupportedError), which the generator
+#: covers as a rejection case instead.
+_LHS = [
+    "a1",
+    "a2",
+    "a.a2",
+    "(a1 + a2)",
+    "(a2 * 2)",
+    "coalesce(a2, a1)",
+    "abs(a2)",
+    "CAST(NULL AS INT)",
+    "7",
+]
+
+#: subquery bodies over the mini catalog; some empty, some NULL-bearing,
+#: one correlated (decorrelates to the same standard semantics).
+_SUBQ = [
+    "SELECT b2 FROM b",
+    "SELECT b1 FROM b",
+    "SELECT b2 FROM b WHERE b1 > 2",
+    "SELECT b2 FROM b WHERE 1 = 0",
+    "SELECT CASE WHEN b1 = 1 THEN NULL ELSE b2 END FROM b",
+    "SELECT CASE WHEN b1 < 3 THEN b2 END FROM b WHERE b3 IS NOT NULL",
+    "SELECT c2 FROM c",
+    "SELECT b2 FROM b WHERE b.b3 > a.a1",  # correlated
+]
+
+
+def gen_query(rng: random.Random) -> str:
+    """One projected-IN query over table a (mini catalog)."""
+    lhs = rng.choice(_LHS)
+    subq = rng.choice(_SUBQ)
+    neg = rng.choice(["", "NOT "])
+    expr = f"{lhs} {neg}IN ({subq})"
+    shape = rng.randrange(5)
+    if shape == 0:
+        proj = f"{expr} AS v"
+    elif shape == 1:
+        proj = f"coalesce({expr}, false) AS v"
+    elif shape == 2:
+        proj = f"CASE WHEN a1 IS NOT NULL THEN {expr} END AS v"
+    elif shape == 3:
+        lhs2 = rng.choice(_LHS)
+        subq2 = rng.choice(_SUBQ)
+        proj = f"{expr} AS v, {lhs2} IN ({subq2}) AS v2"
+    else:
+        proj = f"({expr}) IS NULL AS v"  # make the NULL observable as a bool
+    sql = f"SELECT a1, a4, {proj} FROM a"
+    if rng.random() < 0.3:
+        # a WHERE-context IN in the same query must stay untouched
+        sql += " WHERE a1 IN (SELECT b1 FROM b) OR a1 IS NULL"
+    return sql
+
+
+def run_in3vl_fuzz(spark, duck, seed: int, n: int) -> list[dict]:
+    """Run n seeded cases; returns mismatch records (empty == clean)."""
+    from keenwa_spark import conformance as cf
+    from keenwa_spark.engine import Engine
+
+    cf.register_mini_catalog(spark)
+    eng = Engine(spark, strict=True)
+    rng = random.Random(seed)
+    mismatches = []
+    for i in range(n):
+        sql = gen_query(rng)
+        try:
+            got = cf.canon_rows(
+                [tuple(r) for r in eng.sql(sql).collect()], False)
+        except Exception as e:  # noqa: BLE001 — the error IS the finding
+            mismatches.append({"i": i, "sql": sql, "error": f"spark: {e}"[:300]})
+            continue
+        try:
+            want = cf.canon_rows(duck.execute(sql).fetchall(), False)
+        except Exception as e:  # noqa: BLE001
+            mismatches.append({"i": i, "sql": sql, "error": f"duck: {e}"[:300]})
+            continue
+        if got != want:
+            mismatches.append({
+                "i": i, "sql": sql,
+                "spark": got[:4], "duck": want[:4],
+            })
+    return mismatches

@@ -184,3 +184,22 @@ def test_strict_engine_in_projection_matches_duckdb_without_oracle_rewrite(views
         got = cf.canon_rows([tuple(r) for r in eng.sql(sql).collect()], False)
         want = cf.canon_rows(duck.execute(sql).fetchall(), False)
         assert got == want, sql
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_in3vl_rewrite_fuzz_corpus(views, seed):
+    """Seeded shape-coverage fuzz of the strict 3VL IN-projection
+    rewrite (keenwa_spark/in3vl_fuzz.py): random lhs forms (qualified
+    names, function calls, parenthesized arithmetic, NULL casts),
+    polarity, nesting (COALESCE/CASE/multiple-IN/IS NULL observers),
+    empty / NULL-bearing / correlated subqueries, plus WHERE-context
+    INs that must stay untouched — strict Engine == DuckDB on the
+    original text, exactly. Wide sweeps: tools/in3vl_fuzz.py."""
+    import duckdb
+
+    from keenwa_spark.conformance import duckdb_mini_catalog
+    from keenwa_spark.in3vl_fuzz import run_in3vl_fuzz
+
+    duck = duckdb_mini_catalog()
+    mis = run_in3vl_fuzz(views, duck, seed=seed, n=25)
+    assert mis == [], mis[:3]
