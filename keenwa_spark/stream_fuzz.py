@@ -50,7 +50,11 @@ Families:
               state), ``ckdedup`` duplicates + whole-batch
               redeliveries across the failure point, ``cksjoin``
               stream-stream interval join with buffered state spanning
-              the restart.
+              the restart. Half the cases also RESUME UNDER A
+              DIFFERENT spark.sql.shuffle.partitions (a cluster resize
+              between crash and restart) — stateful operators must
+              keep the checkpointed state partitioning, so the result
+              is invariant to the drift.
 - ``late``    windowed counts in APPEND mode with a SMALL watermark
               delay and deliberately late batches. Spark's CONTRACT is
               one-sided: data less than ``delay`` late is never
@@ -174,7 +178,12 @@ class StreamGen:
         (the resume must not re-emit anything)."""
         rng = self.rng
         return {"mode": rng.choice(["staged", "stop"]),
-                "point": rng.randint(1, n_batches)}
+                "point": rng.randint(1, n_batches),
+                # restart under a DIFFERENT session shuffle-partition
+                # count (a cluster resize between crash and resume):
+                # stateful operators must keep the CHECKPOINTED state
+                # partitioning, so results are invariant to the drift
+                "rescale": rng.random() < 0.5}
 
     def _restart(self) -> StreamCase:
         return self.rng.choice(
@@ -664,8 +673,15 @@ def run_stream_case_restart(spark, case: StreamCase, base_dir: str):
         _write_sentinel(in_dir)
         if two_sided:
             _write_sentinel(in2_dir)
-    q = _start()
-    q.awaitTermination()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if p["restart"].get("rescale"):
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(int(old_parts) + 3))
+    try:
+        q = _start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if not os.path.isdir(out_dir):
         return []  # nothing ever committed (valid when the oracle is empty)
     return [tuple(r) for r in spark.read.parquet(out_dir).collect()]

@@ -305,9 +305,14 @@ class TestKillRestartRecovery:
 
         gen = StreamGen(41)
         seen = set()
+        rescales = set()
         for _ in range(400):
             c = gen.case()
             if c.kind.startswith("ck"):
                 seen.add((c.kind.split("_")[0], c.params["restart"]["mode"]))
+                rescales.add(c.params["restart"]["rescale"])
         assert seen == {(k, m) for k in ("ckwin", "ckdedup", "cksjoin")
                         for m in ("staged", "stop")}
+        # the cluster-resize axis (resume under different
+        # shuffle.partitions) must be drawn both ways
+        assert rescales == {True, False}
