@@ -425,10 +425,11 @@ _PATH_TVF_RE = re.compile(
     r"|inline|java_method|reflect)\b",
     re.IGNORECASE,
 )
-_STRING_RELATION_RE = re.compile(r"\b(?:FROM|JOIN)\s+'", re.IGNORECASE)
-
-
-_QUOTED_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+# No whitespace REQUIRED after FROM/JOIN: SQL tokenizes FROM'/path'
+# without a space (ADVICE r12 medium), and DuckDB's replacement scans
+# also accept a double-quoted path-like identifier as a relation — the
+# mask keeps quote characters, so FROM'' / FROM"" still match.
+_STRING_RELATION_RE = re.compile(r"\b(?:FROM|JOIN)\s*['\"]", re.IGNORECASE)
 
 
 def assert_sweep_safe(sql: str) -> None:
@@ -436,13 +437,20 @@ def assert_sweep_safe(sql: str) -> None:
     the filesystem or session state. Raising inside a reject lane
     still records the correct outcome (we refused to run it).
 
-    Content checks run on a copy with quoted string literals blanked
-    (an SQL-escaped ``''`` never closes one), so ``WHERE s = 'from
-    it'`` can't false-positive — a path can only reach an engine as a
-    RELATION, never as a plain literal."""
+    Content checks run on a copy masked by the comment-AND-literal-
+    aware scanner (dialect._mask_literals_keep_len: handles ``--``,
+    ``/* */``, doubled-quote escapes, and double-quoted identifiers in
+    true lexing order), so ``WHERE s = 'from it'`` can't
+    false-positive AND an apostrophe inside a ``--`` comment can't
+    open a phantom literal that swallows live code — the naive
+    quoted-literal regex let ``SELECT * -- x'\\nFROM read_csv(...)``
+    through exactly that way (ADVICE r12 high). A path can only reach
+    an engine as a RELATION, never as a plain literal."""
+    from keenwa_spark.dialect import _mask_literals_keep_len
+
     if not _SAFE_START_RE.match(sql):
         raise ValueError(f"sweep gate: non-query statement blocked: {sql[:60]!r}")
-    stripped = _QUOTED_LITERAL_RE.sub("''", sql)
+    stripped = _mask_literals_keep_len(sql)
     if "`" in stripped:
         raise ValueError(
             "sweep gate: backtick relation blocked (Spark `format`.`path` reads files)")

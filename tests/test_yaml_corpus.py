@@ -131,6 +131,16 @@ def test_sweep_gate_blocks_path_capable_text():
         "SELECT 1; SELECT 2",                                # multi-statement
         "SELECT getenv('HOME')",
         "SELECT java_method('java.lang.System', 'getenv')",  # Spark reflect
+        # ADVICE r12 high: apostrophe inside a -- comment must not open
+        # a phantom literal that swallows the read_csv call
+        "SELECT * -- x'\nFROM read_csv('/etc/passwd')",
+        "SELECT * /* y' */ FROM read_text('/etc/passwd')",
+        # ADVICE r12 medium: SQL tokenizes FROM'/path' without a space
+        "SELECT * FROM'/tmp/secret.csv'",
+        "SELECT a1 FROM a JOIN'/tmp/x.csv' ON true",
+        # DuckDB replacement scans also accept double-quoted path-like
+        # identifiers as relations
+        'SELECT * FROM "/tmp/secret.csv"',
     ]
     for sql in blocked:
         with pytest.raises(ValueError, match="sweep gate"):
@@ -142,6 +152,10 @@ def test_sweep_gate_blocks_path_capable_text():
         "VALUES (1, 'aBc'), (2, 'from ''quoted''')",
         "SELECT * FROM test WHERE s = 'aBc' AND i BETWEEN 1 AND 2;",
         "(SELECT 1) UNION ALL (SELECT 2)",
+        # comment/literal interleavings that must NOT false-positive
+        "SELECT a1 -- plain comment\nFROM a",
+        "SELECT 'don''t from x' AS v FROM a JOIN b ON a.a1 = b.b1",
+        "SELECT * /* c ' */ FROM a -- tail ' comment",
     ]:
         ys.assert_sweep_safe(sql)
 

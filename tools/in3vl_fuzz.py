@@ -4,9 +4,11 @@ Engine(strict=True) — validate + rewrite_strict + Catalyst — compared
 against DuckDB running the ORIGINAL text (native standard 3VL).
 
 Usage:
-    python tools/in3vl_fuzz.py [n_per_seed] [seed seed ...]
+    python tools/in3vl_fuzz.py [--nested] [n_per_seed] [seed seed ...]
 
 Defaults: 100 cases per seed, seeds 1-5. Exit 1 on any mismatch.
+``--nested`` switches to the nested-projected-IN grammar (IN inside
+another projected IN's subquery body / lhs — VERDICT r12 item 1).
 """
 
 from __future__ import annotations
@@ -23,13 +25,16 @@ def main() -> None:
     from keenwa_spark.in3vl_fuzz import run_in3vl_fuzz
     from keenwa_spark.session import get_spark
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    seeds = [int(s) for s in sys.argv[2:]] or [1, 2, 3, 4, 5]
+    argv = sys.argv[1:]
+    nested = "--nested" in argv
+    argv = [a for a in argv if a != "--nested"]
+    n = int(argv[0]) if argv else 100
+    seeds = [int(s) for s in argv[1:]] or [1, 2, 3, 4, 5]
     spark = get_spark("in3vl_fuzz")
     duck = duckdb_mini_catalog()
     total_bad = 0
     for seed in seeds:
-        mis = run_in3vl_fuzz(spark, duck, seed=seed, n=n)
+        mis = run_in3vl_fuzz(spark, duck, seed=seed, n=n, nested=nested)
         print(f"seed {seed}: {n} cases, {len(mis)} mismatches", flush=True)
         for m in mis:
             print(json.dumps(m, default=str)[:600])
