@@ -128,60 +128,59 @@ DRIVER_PREFIX = (
     "agg_group_having",
     "win_topn_per_group",
     "q6_forecast_revenue",
-    # --- round-12 rotation (VERDICT r11 item 1): the FINAL 44
-    # never-witnessed names — this batch closes the witness tail
-    # completely (every one of the 290 registry entries then holds at
-    # least one driver-file row across r1–r12). Led by the two r11
-    # LOPQ additions per the verdict; the spare 45th slot re-witnesses
-    # q3_shipping_priority (stalest TPC-H row, last seen r2).
-    "pl_ann_lopq_topk",
-    "pl_ann_lopq_refined_topk",
-    # pipeline / training-data family
-    "pl_embed_quantize",
-    "pl_embed_quant_error",
-    "pl_quality_drop_stats",
-    "pl_repetition_stats",
-    "pl_vocab_topk",
-    "pl_quality_topk_per_domain",
-    "pl_profile_columns",
-    "pl_negative_samples",
-    "pl_group_split",
-    "pl_winsorize",
-    "pl_feature_scale",
-    "pl_chunk_pack_pipeline",
-    "pl_value_histogram",
-    "pl_mixture_report",
-    "pl_expectations_report",
-    "pl_quantile_bins",
-    "pl_feature_bucketize",
-    "pl_robust_scale",
-    "pl_target_encode",
-    "pl_temperature_mixture",
-    "pl_rfm_segments",
-    "pl_embedding_norms",
-    "pl_centroid_classify",
-    "pl_centroid_confusion",
-    "pl_benford_digits",
-    "pl_category_drift",
-    "pl_numeric_drift_ks",
-    "pl_association_cramers_v",
-    "pl_distinct_estimate_kmv",
-    "pl_sketch_quantile_bounds",
-    "pl_mixture_export_manifest",
-    # window / temporal tail
-    "win_time_range_rolling",
-    "win_rolling_median",
-    "op_activity_islands",
-    "op_rolling_anomaly",
-    "op_changelog_compact",
-    "op_state_durations",
-    "op_counter_delta",
-    "op_time_interpolate",
-    "op_uptime_gaps",
-    "op_ema_smoothing",
-    "op_skyline_orders",
-    # spare slot: stalest previously-witnessed row (last driver row r2)
-    "q3_shipping_priority",
+    # --- round-13 rotation (VERDICT r12 item 4): POLICY SWITCH —
+    # the never-witnessed tail closed in r12 (every registry entry
+    # holds >=1 driver-file row), so from this round the 45
+    # non-sentinel slots re-witness the STALEST rows first (oldest
+    # last-witness round, tools/next_rotation.py staleness order).
+    # This batch is the r2-era cohort: TPC-H q5/q10/q18, the events
+    # suite, the expression/function rows, and the earliest pipeline
+    # dedup/ANN rows — none witnessed since CORRECTNESS_r02.json.
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "ev_value_percentiles",
+    "agg_grouping_sets",
+    "q18_large_volume_customer",
+    "bld_star_join_topk",
+    "bld_setops_semi",
+    "bld_distinct_on_window",
+    "ev_type_rollup",
+    "ev_daily_activity",
+    "ev_topk_users",
+    "ev_sessionize",
+    "ev_funnel",
+    "ev_cohort_retention",
+    "ev_props_json",
+    "expr_arithmetic",
+    "expr_comparison_logic",
+    "expr_concat",
+    "expr_cast",
+    "expr_not_negation",
+    "expr_in_list",
+    "expr_is_family",
+    "expr_between",
+    "expr_case",
+    "expr_tuple",
+    "expr_tuple_field",
+    "expr_like",
+    "expr_like_escape",
+    "agg_distinct_filter",
+    "fn_strings",
+    "expr_interval",
+    "expr_array_explode",
+    "expr_time_shim",
+    "fn_strings_superset",
+    "expr_interval_ops",
+    "fn_math_datetime",
+    "expr_typed_null",
+    "pl_dedup_exact",
+    "pl_minhash_signatures",
+    "pl_dedup_clusters",
+    "pl_simhash",
+    "pl_ngram_jaccard",
+    "pl_ann_lsh_topk",
+    "pl_ann_ivf_topk",
+    "pl_embedding_centroids",
 )
 
 
