@@ -162,10 +162,10 @@ class StreamGen:
     def case(self) -> StreamCase:
         return self.rng.choice(
             [self._win, self._ohlc, self._sess, self._dedup, self._late,
-             self._sjoin, self._restart]
+             self._sjoin, self._restart, self._multikill]
         )()
 
-    def _kill_params(self, n_batches: int) -> dict:
+    def _kill_params(self, n_batches: int, multi: bool = False) -> dict:
         """Random failure point + kill mode (VERDICT r11 item 4).
 
         ``staged``: phase 1 sees only the first ``point`` input files,
@@ -175,20 +175,48 @@ class StreamGen:
         is stopped mid-run after ~point progress reports (may cancel a
         half-written sink batch — the manifest must exclude it), then
         resumed. point == n_batches exercises restart-after-completion
-        (the resume must not re-emit anything)."""
+        (the resume must not re-emit anything).
+
+        ``multi`` (VERDICT r12 item 5) adds a SECOND kill that lands
+        during the first resume — mode/point/rescale drawn
+        independently (a staged second point never precedes the first,
+        so the file timeline stays monotone); the second rescale can
+        resize the "cluster" AGAIN relative to the first."""
         rng = self.rng
-        return {"mode": rng.choice(["staged", "stop"]),
-                "point": rng.randint(1, n_batches),
-                # restart under a DIFFERENT session shuffle-partition
-                # count (a cluster resize between crash and resume):
-                # stateful operators must keep the CHECKPOINTED state
-                # partitioning, so results are invariant to the drift
-                "rescale": rng.random() < 0.5}
+        k = {"mode": rng.choice(["staged", "stop"]),
+             "point": rng.randint(1, n_batches),
+             # restart under a DIFFERENT session shuffle-partition
+             # count (a cluster resize between crash and resume):
+             # stateful operators must keep the CHECKPOINTED state
+             # partitioning, so results are invariant to the drift
+             "rescale": rng.random() < 0.5}
+        if multi:
+            mode2 = rng.choice(["staged", "stop"])
+            k["second"] = {
+                "mode": mode2,
+                "point": (rng.randint(k["point"], n_batches)
+                          if mode2 == "staged"
+                          else rng.randint(1, n_batches)),
+                "rescale": rng.random() < 0.5,
+            }
+        return k
 
     def _restart(self) -> StreamCase:
         return self.rng.choice(
             [self._ckwin, self._ckdedup, self._cksjoin]
         )()
+
+    def _multikill(self) -> StreamCase:
+        """Two consecutive kill/resume cycles over a kill-restart case
+        (VERDICT r12 item 5): the second kill can land DURING the
+        first resume (stop mode), or stage yet another clean-boundary
+        crash, and can resize the shuffle-partition count a second
+        time. Kind prefix ``ck2`` for dedicated sweeps."""
+        base = self._restart()
+        n_b = max(len(base.batches), len(base.batches2 or []))
+        base.params["restart"] = self._kill_params(n_b, multi=True)
+        base.kind = "ck2" + base.kind.removeprefix("ck")
+        return base
 
     def _ckwin(self) -> StreamCase:
         """Kill-restart windowed counts with an EXACT append-mode
@@ -580,14 +608,17 @@ def run_stream_case(spark, case: StreamCase, base_dir: str):
 
 
 def run_stream_case_restart(spark, case: StreamCase, base_dir: str):
-    """Run one kill-restart case (VERDICT r11 item 4): the pipeline
-    writes to a fault-tolerant parquet FILE sink (a memory sink would
-    forget phase-1 output on restart), is killed per
-    params['restart'], and a fresh query object resumes from the SAME
-    checkpoint + sink. The read-back goes through the sink's
-    _spark_metadata manifest, so a batch cancelled mid-write by the
-    'stop' mode is invisible unless the restarted query re-commits it
-    exactly once."""
+    """Run one kill-restart case (VERDICT r11 item 4; multi-kill r12
+    item 5): the pipeline writes to a fault-tolerant parquet FILE sink
+    (a memory sink would forget phase-1 output on restart), is killed
+    per params['restart'] — once, or twice when a 'second' kill is
+    present (the second landing during the first resume) — and a fresh
+    query object resumes from the SAME checkpoint + sink after every
+    kill. The read-back goes through the sink's _spark_metadata
+    manifest, so a batch cancelled mid-write by the 'stop' mode is
+    invisible unless a restarted query re-commits it exactly once.
+    Each kill may independently resize the session shuffle-partition
+    count before its resume (repeated cluster-resize drift)."""
     import time
 
     from pyspark.sql import functions as F
@@ -601,7 +632,7 @@ def run_stream_case_restart(spark, case: StreamCase, base_dir: str):
     os.makedirs(in_dir)
     out_dir = os.path.join(base_dir, f"out_{uid}")
     ckpt = os.path.join(base_dir, f"ck_{uid}")
-    two_sided = case.kind.startswith("cksjoin_")
+    two_sided = case.kind.startswith(("cksjoin_", "ck2sjoin_"))
     in2_dir = None
     if two_sided:
         in2_dir = os.path.join(base_dir, f"in2_{uid}")
@@ -614,19 +645,19 @@ def run_stream_case_restart(spark, case: StreamCase, base_dir: str):
 
     def _pipeline():
         src = _src(in_dir)
-        if case.kind.startswith("ckwin_"):
+        if case.kind.startswith(("ckwin_", "ck2win_")):
             out = windowed_type_counts(src, window=f"{p['window']} seconds",
                                        watermark=f"{p['delay']} seconds")
             return out.select(F.unix_seconds("win_start").alias("ws"),
                               "event_type",
                               F.col("n_events").cast("bigint").alias("n"),
                               F.col("total_value").cast("bigint").alias("s"))
-        if case.kind.startswith("ckdedup_"):
+        if case.kind.startswith(("ckdedup_", "ck2dedup_")):
             out = dedup_stream(src.where(F.col("ts").isNotNull()),
                                keys=["event_id"], watermark="48 hours")
             return out.select("event_id", "user_id", "event_type",
                               F.col("ts_sec").alias("ts"), "value")
-        if case.kind.startswith("cksjoin_"):
+        if case.kind.startswith(("cksjoin_", "ck2sjoin_")):
             out = interval_join_streams(
                 src, _src(in2_dir), on="user_id",
                 within=f"{p['within']} seconds", watermark="48 hours")
@@ -643,41 +674,57 @@ def run_stream_case_restart(spark, case: StreamCase, base_dir: str):
                 .outputMode("append")
                 .trigger(availableNow=True).start())
 
-    mode, point = p["restart"]["mode"], p["restart"]["point"]
+    kills = [p["restart"]]
+    if p["restart"].get("second"):
+        kills.append(p["restart"]["second"])
     b1, b2 = case.batches, case.batches2 or []
-    if mode == "staged":
-        _write_some(case.rows, b1[:point], in_dir, 0)
-        if two_sided:
-            _write_some(case.rows, b2[:point], in2_dir, 0)
-        q = _start()
-        q.awaitTermination()
-        _write_some(case.rows, b1[point:], in_dir, min(point, len(b1)))
-        if two_sided:
-            _write_some(case.rows, b2[point:], in2_dir, min(point, len(b2)))
-    else:  # abrupt stop mid-run
-        _write_some(case.rows, b1, in_dir, 0)
-        if two_sided:
-            _write_some(case.rows, b2, in2_dir, 0)
-        q = _start()
-        deadline = time.time() + 120
-        while (q.isActive and len(q.recentProgress) < point
-               and time.time() < deadline):
-            time.sleep(0.005)
-        try:
-            q.stop()
-            q.awaitTermination()
-        except Exception:  # noqa: BLE001 — a cancelled batch may raise
-            pass
-        # the kill may have cancelled the trailing watermark-flush
-        # batch AFTER all data batches committed; see _write_sentinel
-        _write_sentinel(in_dir)
-        if two_sided:
-            _write_sentinel(in2_dir)
+    n_all = max(len(b1), len(b2))
+    written = {in_dir: 0}
+    if two_sided:
+        written[in2_dir] = 0
+
+    def _write_upto(point: int) -> None:
+        """Land batch files up to ``point`` per side (no-op for sides
+        already past it); start_idx keeps names/mtimes monotone."""
+        for d, batches in ((in_dir, b1), *(((in2_dir, b2),) if two_sided else ())):
+            upto = min(point, len(batches))
+            if upto > written[d]:
+                _write_some(case.rows, batches[written[d]:upto], d, written[d])
+                written[d] = upto
+
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if p["restart"].get("rescale"):
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(int(old_parts) + 3))
+    sentinel_idx = 990  # above any real batch index; unique per kill
     try:
+        for ki, k in enumerate(kills):
+            if k["mode"] == "staged":
+                # clean-boundary crash: drain whatever has landed
+                _write_upto(k["point"])
+                q = _start()
+                q.awaitTermination()
+            else:  # abrupt stop mid-run
+                _write_upto(n_all)
+                q = _start()
+                deadline = time.time() + 120
+                while (q.isActive and len(q.recentProgress) < k["point"]
+                       and time.time() < deadline):
+                    time.sleep(0.005)
+                try:
+                    q.stop()
+                    q.awaitTermination()
+                except Exception:  # noqa: BLE001 — a cancelled batch may raise
+                    pass
+                # the kill may have cancelled the trailing
+                # watermark-flush batch AFTER all data batches
+                # committed; see _write_sentinel
+                _write_sentinel(in_dir, sentinel_idx)
+                if two_sided:
+                    _write_sentinel(in2_dir, sentinel_idx)
+                sentinel_idx += 1
+            if k.get("rescale"):
+                # a different resize after EACH kill (+3 then +5)
+                spark.conf.set("spark.sql.shuffle.partitions",
+                               str(int(old_parts) + 3 + 2 * ki))
+        _write_upto(n_all)
         q = _start()
         q.awaitTermination()
     finally:

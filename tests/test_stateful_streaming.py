@@ -300,19 +300,43 @@ class TestKillRestartRecovery:
         mis = run_stream_fuzz(spark, duck, seed=41, n=8, only_prefix="ck")
         assert mis == [], mis[:3]
 
+    def test_multi_kill_restart_cases_match_oracle_exactly(self, spark):
+        """Two consecutive kill/resume cycles (VERDICT r12 item 5):
+        the second kill lands during the first resume (or stages a
+        second clean-boundary crash), optionally under a SECOND
+        shuffle-partition resize — state must still recover to exact
+        oracle equality. Wide sweeps: tools/stream_fuzz.py
+        --family=ck2."""
+        import duckdb
+
+        from keenwa_spark.stream_fuzz import run_stream_fuzz
+
+        duck = duckdb.connect()
+        mis = run_stream_fuzz(spark, duck, seed=43, n=6, only_prefix="ck2")
+        assert mis == [], mis[:3]
+
     def test_every_subshape_and_kill_mode_is_exercised(self):
         from keenwa_spark.stream_fuzz import StreamGen
 
         gen = StreamGen(41)
         seen = set()
         rescales = set()
-        for _ in range(400):
+        second = set()
+        for _ in range(600):
             c = gen.case()
             if c.kind.startswith("ck"):
                 seen.add((c.kind.split("_")[0], c.params["restart"]["mode"]))
                 rescales.add(c.params["restart"]["rescale"])
-        assert seen == {(k, m) for k in ("ckwin", "ckdedup", "cksjoin")
+                k2 = c.params["restart"].get("second")
+                if k2:
+                    second.add((k2["mode"], k2["rescale"]))
+        assert seen == {(k, m)
+                        for k in ("ckwin", "ckdedup", "cksjoin",
+                                  "ck2win", "ck2dedup", "ck2sjoin")
                         for m in ("staged", "stop")}
         # the cluster-resize axis (resume under different
         # shuffle.partitions) must be drawn both ways
         assert rescales == {True, False}
+        # and the SECOND kill covers both modes x both resize choices
+        assert second == {(m, r) for m in ("staged", "stop")
+                          for r in (True, False)}
