@@ -122,7 +122,16 @@ def load_prev_round() -> tuple[
 #: ratios 0.59-0.81 vs a 1.15 bar), so it was retired in r11 per its
 #: own two-clean-rounds rule (VERDICT r10 item 6). Re-add names here
 #: if a future cold-box run raw-flags them again.
-EXTRA_WATCHLIST: set[str] = set()
+#:
+#: op_interval_overlap re-entered via the r11 recurring flag; its r12
+#: probe was clean round 1 (recorded ratio_norm 0.579, judge's own run
+#:  0.746 — both "drift", median 0.302s vs the 0.504s r11 recording).
+#: r12 recorded zero regressions so the automatic watchlist is empty
+#: for r13; the entry below forces the round-2 probe into the r13
+#: recording. RETIRE RULE: with r12 + r13 both clean it retires per
+#: the two-clean-rounds rule — remove the entry in r14 exactly as the
+#: r9 set was removed in r11.
+EXTRA_WATCHLIST: set[str] = {"op_interval_overlap"}
 
 
 def probe_watchlist(prev_n: int | None) -> set[str]:
@@ -226,6 +235,15 @@ HEADLINE = [
 #: cost — so the ratio is an upper bound on per-query overhead, not a
 #: scale prediction.
 DUCK_YARDSTICK = 10
+
+#: the round-8 throughput-control recording — the same round the
+#: per-query baseline records in BASELINE.md were pinned. The DuckDB
+#: yardstick geomean drifted 4.83 -> 7.15 across r8-r12 purely with
+#: box state (VERDICT r12 item 7); ``yardstick_norm`` = geomean x
+#: (CONTROL_REF_SEC / this run's control median) rescales the geomean
+#: to r8-box conditions so an ALGORITHMIC ratio jump (a plan that got
+#: worse) is machine-separable from box drift without per-round prose.
+CONTROL_REF_SEC = 0.997
 
 
 def duckdb_yardstick(registry, sf_dir: str) -> dict[str, float]:
@@ -346,8 +364,15 @@ def main() -> None:
     geo = round(
         math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 2
     ) if ratios else None
+    # control-normalized yardstick (VERDICT r12 item 7): geomean
+    # rescaled to r8-box conditions via the pinned control reference
+    ynorm = (
+        round(geo * CONTROL_REF_SEC / control_med, 2)
+        if geo and control_med else None
+    )
     print(
         f"# duckdb yardstick (spark/duck, sf={sf}): geomean {geo}x "
+        f"(norm {ynorm}x) "
         + " ".join(f"{n}={r}x" for n, r in ratios.items()),
         file=sys.stderr,
     )
@@ -376,6 +401,8 @@ def main() -> None:
             "queries_sec": duck,
             "spark_over_duck": ratios,
             "geomean_ratio": geo,
+            "yardstick_norm": ynorm,
+            "control_ref_sec": CONTROL_REF_SEC,
         },
     }
     detail_path = os.path.join(BENCH_DIR, f"BENCH_DETAIL_r{rnd:02d}.json")
