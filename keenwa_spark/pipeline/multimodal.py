@@ -241,16 +241,25 @@ def ahash_fingerprints(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def ahash_near_dup_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3
+    fingerprints: DataFrame, max_hamming: int = 3, max_bucket: int = 1000
 ) -> DataFrame:
     """(id_a, id_b, hamming) image near-dup pairs with hash hamming
-    distance <= max_hamming, via banded self-join — the same
-    pigeonhole as banded MinHash-LSH: splitting 64 bits into 4 16-bit
-    bands guarantees any pair within hamming 3 agrees on at least one
-    band, so candidates come from 4 equi-joins on (band, value), never
-    an all-pairs crossing; the exact popcount verification (xor +
-    bit_count, pure JVM) then removes band false-positives. Scale
-    cost: one shuffle on the band key over 12-byte rows."""
+    distance <= max_hamming — the same pigeonhole as banded
+    MinHash-LSH: splitting 64 bits into 4 16-bit bands guarantees any
+    pair within hamming 3 agrees on at least one band, so candidates
+    come from per-(band, value) buckets, never an all-pairs crossing;
+    the exact popcount verification (xor + bit_count, pure JVM)
+    removes band false-positives.
+
+    Same at-scale shape as dedup.minhash_lsh_pairs: ONE shuffle on the
+    band key, per-bucket inline pair expansion with array lambdas
+    (measured faster than a bucket self-join there), and a
+    ``max_bucket`` viral-content guard — at 100 TB a single viral
+    image (a logo, a tracking pixel) otherwise lands its whole copy
+    set in one bucket and the pair output goes QUADRATIC in the copy
+    count (the r13 100x probe's dup-heavy staging surfaced exactly
+    this); buckets wider than the cap are dropped, which also bounds
+    the collected member lists."""
     if not 0 <= max_hamming <= 3:
         # 4 bands of 16 bits pigeonhole-guarantee a shared band only
         # up to hamming 3; a larger threshold would silently miss
@@ -269,18 +278,20 @@ def ahash_near_dup_pairs(
             )
         ).alias("bv"),
     ).select("doc_id", "ahash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("ahash").alias("h_a"), "band", "val"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("ahash").alias("h_b"), "band", "val"
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(x.doc_id AS id_a, y.doc_id AS id_b, "
+        "bit_count(x.ahash ^ y.ahash) AS hamming))))"
     )
     return (
-        a.join(b, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr("bit_count(h_a ^ h_b)").alias("hamming"))
-        .distinct()
+        bands.groupBy("band", "val")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "ahash"))).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
