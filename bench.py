@@ -128,9 +128,11 @@ def load_prev_round() -> tuple[
 #:  0.746 — both "drift", median 0.302s vs the 0.504s r11 recording).
 #: r12 recorded zero regressions so the automatic watchlist is empty
 #: for r13; the entry below forces the round-2 probe into the r13
-#: recording. RETIRE RULE: with r12 + r13 both clean it retires per
-#: the two-clean-rounds rule — remove the entry in r14 exactly as the
-#: r9 set was removed in r11.
+#: recording — measured clean: median 0.404s, ratio_norm 0.721,
+#: verdict "drift" (BENCH_DETAIL_r13.json). RETIRED per the
+#: two-clean-rounds rule (r12 + r13 both clean); the entry stays only
+#: so the r13 driver recording re-witnesses the closing probe — remove
+#: it in r14 exactly as the r9 set was removed in r11.
 EXTRA_WATCHLIST: set[str] = {"op_interval_overlap"}
 
 
