@@ -159,6 +159,25 @@ class TestImageDedup:
         plan = explain_text(ahash_near_dup_pairs(fps))
         assert "EvalPython" not in plan
 
+    def test_max_bucket_drops_viral_groups_only(self, spark):
+        """The viral-content guard (r13, mirroring minhash_lsh_pairs):
+        a band bucket wider than max_bucket is dropped wholesale —
+        bounding the quadratic pair blowup a viral image causes at
+        100 TB — while smaller groups keep their exact pairs."""
+        from keenwa_spark.pipeline.multimodal import ahash_near_dup_pairs
+
+        # fingerprints directly: 6 copies of hash A (viral), 3 of hash B
+        rows = [(i, 0x0F0F0F0F) for i in range(6)]
+        rows += [(10 + i, 0x12345678) for i in range(3)]
+        fps = spark.createDataFrame(rows, "doc_id LONG, ahash LONG")
+        capped = ahash_near_dup_pairs(fps, max_hamming=0, max_bucket=5)
+        got = {(r.id_a, r.id_b) for r in capped.collect()}
+        # viral group (6 > 5) gone; small group's C(3,2)=3 pairs intact
+        assert got == {(10, 11), (10, 12), (11, 12)}
+        # without the cap the viral group's C(6,2)=15 pairs come back
+        full = ahash_near_dup_pairs(fps, max_hamming=0, max_bucket=1000)
+        assert full.count() == 15 + 3
+
 
 class TestPngCodec:
     def test_roundtrip_rgb(self):
