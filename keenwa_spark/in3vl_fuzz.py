@@ -13,6 +13,14 @@ DuckDB's answer for the ORIGINAL text exactly (DuckDB implements
 standard three-valued IN natively, so it is the oracle the rewrite is
 chasing). Deterministic by seed; used by tools/in3vl_fuzz.py (wide
 sweeps) and tests/test_dialect.py (pinned corpus).
+
+The NESTED grammar (``nested=True`` / ``--nested``, VERDICT r12 item
+1) generates the shape the r12 judge's repro exposed: a projected IN
+whose subquery body ITSELF projects an IN (1-2 levels, boolean-typed
+operands so the outer comparison is well-typed), plus the lhs-side
+variant (a scalar subquery projecting an IN), both polarities at
+every level — the offsets-splice corruption class the outermost-
+edit + recursive-rewrite fix addresses.
 """
 
 from __future__ import annotations

@@ -54,7 +54,13 @@ Families:
               DIFFERENT spark.sql.shuffle.partitions (a cluster resize
               between crash and restart) — stateful operators must
               keep the checkpointed state partitioning, so the result
-              is invariant to the drift.
+              is invariant to the drift. ``ck2*`` (MULTI-KILL, VERDICT
+              r12 item 5) runs TWO consecutive kill/resume cycles over
+              the same sub-shapes: the second kill lands during the
+              first resume (or stages another clean-boundary crash /
+              restart-after-completion), with an independent second
+              shuffle-partition resize (+3 then +5) — same exact
+              oracle.
 - ``late``    windowed counts in APPEND mode with a SMALL watermark
               delay and deliberately late batches. Spark's CONTRACT is
               one-sided: data less than ``delay`` late is never
