@@ -249,6 +249,10 @@ def test_strict_engine_nested_projected_in_matches_duckdb(views):
         # lhs-side nesting: scalar subquery projecting an IN
         "SELECT a1, (SELECT (min(b1) = 2) IN (SELECT c1 = 3 FROM c) FROM b) "
         "IN (SELECT b1 = 1 FROM b) AS v FROM a",
+        # three levels deep, mixed polarity, NULL-bearing innermost
+        "SELECT a1, (a1 = 1) IN (SELECT (b1 = 2) NOT IN "
+        "(SELECT (c1 = 3) IN (SELECT CASE WHEN ab.a1 = 8 THEN NULL "
+        "ELSE ab.b2 = 10 END FROM ab) FROM c) FROM b) AS v FROM a",
     ]:
         got = cf.canon_rows([tuple(r) for r in eng.sql(sql).collect()], False)
         want = cf.canon_rows(duck.execute(sql).fetchall(), False)

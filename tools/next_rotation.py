@@ -9,6 +9,13 @@ the CURRENT prefix gets witnessed by this round's driver run), then —
 when the tail no longer fills the block — the least-recently-witnessed
 entries, so coverage keeps cycling instead of freezing.
 
+STALENESS MODE (VERDICT r12 item 4): once the never-witnessed tail is
+closed (r12 — every registry entry holds >=1 driver-file row), the
+fallback IS the policy: all 45 non-sentinel slots re-witness the
+oldest-last-witness entries first, ties broken by registry order, so
+the maximum witness age across the registry shrinks every round. The
+header line reports which mode filled the block.
+
 Usage:
     python tools/next_rotation.py          # names + counts
     python tools/next_rotation.py --block  # paste-ready python tuple body
@@ -65,8 +72,10 @@ def main() -> None:
         for n in pick:
             print(f'    "{n}",')
     else:
+        mode = ("staleness (tail closed — oldest last-witness first)"
+                if not never else "never-witnessed tail")
         print(f"registry {len(names)}; never-witnessed after the pending "
-              f"round-{cur_round} driver run: {len(never)}")
+              f"round-{cur_round} driver run: {len(never)}; mode: {mode}")
         print(f"next rotation ({len(pick)} non-sentinel slots):")
         for n in pick:
             tag = "NEVER" if n in never else f"last r{last_round[n]}"
