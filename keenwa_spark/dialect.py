@@ -283,6 +283,15 @@ def _balanced_end(masked: str, open_pos: int) -> int | None:
 
 _OPERAND_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.$")
 
+#: keywords a backward identifier scan could mistake for the left
+#: operand — a bare ``CASE ... END IN (Q)`` would otherwise grab just
+#: ``END`` and splice garbage (same corruption class as the r12
+#: nested-edit bug, found by the same audit); the fix is the
+#: documented parenthesize-it rejection, matching the operator-chain
+#: guard.
+_LHS_KEYWORDS = frozenset({"END", "THEN", "ELSE", "WHEN", "CASE", "NOT",
+                           "AND", "OR", "IS", "LIKE", "BETWEEN", "IN"})
+
 
 def _lhs_span(masked: str, end: int) -> tuple[int, int] | None:
     """Backward scan for the primary expression ending at ``end``:
@@ -312,7 +321,7 @@ def _lhs_span(masked: str, end: int) -> tuple[int, int] | None:
     k = j
     while k > 0 and masked[k - 1] in _OPERAND_CHARS:
         k -= 1
-    if k == j:
+    if k == j or masked[k:j].upper() in _LHS_KEYWORDS:
         return None
     return (k, j)
 

@@ -160,6 +160,17 @@ def test_rewrite_strict_rejects_ambiguous_operand_chains():
     # parenthesized form is fine
     out = dialect.rewrite_strict("SELECT (a1 + a2) IN (SELECT b2 FROM b) AS x FROM a")
     assert "CASE WHEN ((a1 + a2)) IN" in out
+    # a bare CASE lhs would backward-scan to just "END" and splice
+    # garbage (same corruption class as the r12 nested-edit bug) —
+    # must hit the documented parenthesize-it rejection instead
+    with pytest.raises(NotSupportedError, match="parenthesize"):
+        dialect.rewrite_strict(
+            "SELECT CASE WHEN a1 = 1 THEN a2 END IN (SELECT b2 FROM b) "
+            "AS x FROM a")
+    out = dialect.rewrite_strict(
+        "SELECT (CASE WHEN a1 = 1 THEN a2 END) IN (SELECT b2 FROM b) "
+        "AS x FROM a")
+    assert "CASE WHEN ((CASE WHEN a1 = 1 THEN a2 END)) IN" in out
 
 
 def test_strict_engine_in_projection_matches_duckdb_without_oracle_rewrite(views):
