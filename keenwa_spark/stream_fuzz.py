@@ -54,13 +54,13 @@ Families:
               DIFFERENT spark.sql.shuffle.partitions (a cluster resize
               between crash and restart) — stateful operators must
               keep the checkpointed state partitioning, so the result
-              is invariant to the drift. ``ck2*`` (MULTI-KILL, VERDICT
-              r12 item 5) runs TWO consecutive kill/resume cycles over
-              the same sub-shapes: the second kill lands during the
-              first resume (or stages another clean-boundary crash /
-              restart-after-completion), with an independent second
-              shuffle-partition resize (+3 then +5) — same exact
-              oracle.
+              is invariant to the drift. ``ck2*``/``ck3*`` (MULTI-KILL,
+              VERDICT r12 item 5) run TWO or THREE consecutive
+              kill/resume cycles over the same sub-shapes: each later
+              kill lands during the previous resume (or stages another
+              clean-boundary crash / restart-after-completion), with
+              an independent shuffle-partition resize per cycle (+3,
+              +5, +7) — same exact oracle.
 - ``late``    windowed counts in APPEND mode with a SMALL watermark
               delay and deliberately late batches. Spark's CONTRACT is
               one-sided: data less than ``delay`` late is never
@@ -95,6 +95,7 @@ from __future__ import annotations
 
 import os
 import random
+import re
 import shutil
 import tempfile
 import uuid
@@ -183,29 +184,31 @@ class StreamGen:
         resumed. point == n_batches exercises restart-after-completion
         (the resume must not re-emit anything).
 
-        ``multi`` (VERDICT r12 item 5) adds a SECOND kill that lands
-        during the first resume — mode/point/rescale drawn
-        independently (a staged second point never precedes the first,
-        so the file timeline stays monotone); the second rescale can
-        resize the "cluster" AGAIN relative to the first."""
+        ``multi`` (VERDICT r12 item 5) adds one or two MORE kills, each
+        landing during the previous resume — mode/point/rescale drawn
+        independently per kill (a staged point never precedes an
+        earlier staged point, so the file timeline stays monotone);
+        every rescale resizes the "cluster" AGAIN relative to the
+        last. Kills chain via nested ``second`` dicts."""
         rng = self.rng
-        k = {"mode": rng.choice(["staged", "stop"]),
-             "point": rng.randint(1, n_batches),
-             # restart under a DIFFERENT session shuffle-partition
-             # count (a cluster resize between crash and resume):
-             # stateful operators must keep the CHECKPOINTED state
-             # partitioning, so results are invariant to the drift
-             "rescale": rng.random() < 0.5}
-        if multi:
-            mode2 = rng.choice(["staged", "stop"])
-            k["second"] = {
-                "mode": mode2,
-                "point": (rng.randint(k["point"], n_batches)
-                          if mode2 == "staged"
-                          else rng.randint(1, n_batches)),
-                "rescale": rng.random() < 0.5,
-            }
-        return k
+        n_kills = (1 if not multi else rng.choice([2, 2, 3]))
+        chain: list[dict] = []
+        prev_staged = 1
+        for _ in range(n_kills):
+            mode = rng.choice(["staged", "stop"])
+            point = (rng.randint(prev_staged, n_batches) if mode == "staged"
+                     else rng.randint(1, n_batches))
+            if mode == "staged":
+                prev_staged = point
+            # restart under a DIFFERENT session shuffle-partition
+            # count (a cluster resize between crash and resume):
+            # stateful operators must keep the CHECKPOINTED state
+            # partitioning, so results are invariant to the drift
+            chain.append({"mode": mode, "point": point,
+                          "rescale": rng.random() < 0.5})
+        for i in range(len(chain) - 2, -1, -1):
+            chain[i]["second"] = chain[i + 1]
+        return chain[0]
 
     def _restart(self) -> StreamCase:
         return self.rng.choice(
@@ -213,15 +216,21 @@ class StreamGen:
         )()
 
     def _multikill(self) -> StreamCase:
-        """Two consecutive kill/resume cycles over a kill-restart case
-        (VERDICT r12 item 5): the second kill can land DURING the
-        first resume (stop mode), or stage yet another clean-boundary
-        crash, and can resize the shuffle-partition count a second
-        time. Kind prefix ``ck2`` for dedicated sweeps."""
+        """Two or three consecutive kill/resume cycles over a
+        kill-restart case (VERDICT r12 item 5): each later kill can
+        land DURING the previous resume (stop mode), or stage another
+        clean-boundary crash, and can resize the shuffle-partition
+        count again. Kind prefix ``ck2``/``ck3`` by kill count, for
+        dedicated sweeps."""
         base = self._restart()
         n_b = max(len(base.batches), len(base.batches2 or []))
-        base.params["restart"] = self._kill_params(n_b, multi=True)
-        base.kind = "ck2" + base.kind.removeprefix("ck")
+        k = self._kill_params(n_b, multi=True)
+        base.params["restart"] = k
+        depth = 1
+        while k.get("second"):
+            depth += 1
+            k = k["second"]
+        base.kind = f"ck{depth}" + base.kind.removeprefix("ck")
         return base
 
     def _ckwin(self) -> StreamCase:
@@ -638,7 +647,9 @@ def run_stream_case_restart(spark, case: StreamCase, base_dir: str):
     os.makedirs(in_dir)
     out_dir = os.path.join(base_dir, f"out_{uid}")
     ckpt = os.path.join(base_dir, f"ck_{uid}")
-    two_sided = case.kind.startswith(("cksjoin_", "ck2sjoin_"))
+    # normalize ck/ck2/ck3 prefixes to the pipeline sub-shape
+    shape = re.sub(r"^ck\d?", "ck", case.kind)
+    two_sided = shape.startswith("cksjoin_")
     in2_dir = None
     if two_sided:
         in2_dir = os.path.join(base_dir, f"in2_{uid}")
@@ -651,19 +662,19 @@ def run_stream_case_restart(spark, case: StreamCase, base_dir: str):
 
     def _pipeline():
         src = _src(in_dir)
-        if case.kind.startswith(("ckwin_", "ck2win_")):
+        if shape.startswith("ckwin_"):
             out = windowed_type_counts(src, window=f"{p['window']} seconds",
                                        watermark=f"{p['delay']} seconds")
             return out.select(F.unix_seconds("win_start").alias("ws"),
                               "event_type",
                               F.col("n_events").cast("bigint").alias("n"),
                               F.col("total_value").cast("bigint").alias("s"))
-        if case.kind.startswith(("ckdedup_", "ck2dedup_")):
+        if shape.startswith("ckdedup_"):
             out = dedup_stream(src.where(F.col("ts").isNotNull()),
                                keys=["event_id"], watermark="48 hours")
             return out.select("event_id", "user_id", "event_type",
                               F.col("ts_sec").alias("ts"), "value")
-        if case.kind.startswith(("cksjoin_", "ck2sjoin_")):
+        if shape.startswith("cksjoin_"):
             out = interval_join_streams(
                 src, _src(in2_dir), on="user_id",
                 within=f"{p['within']} seconds", watermark="48 hours")
@@ -680,9 +691,10 @@ def run_stream_case_restart(spark, case: StreamCase, base_dir: str):
                 .outputMode("append")
                 .trigger(availableNow=True).start())
 
-    kills = [p["restart"]]
-    if p["restart"].get("second"):
-        kills.append(p["restart"]["second"])
+    kills, k = [p["restart"]], p["restart"]
+    while k.get("second"):
+        k = k["second"]
+        kills.append(k)
     b1, b2 = case.batches, case.batches2 or []
     n_all = max(len(b1), len(b2))
     written = {in_dir: 0}

@@ -318,25 +318,32 @@ class TestKillRestartRecovery:
     def test_every_subshape_and_kill_mode_is_exercised(self):
         from keenwa_spark.stream_fuzz import StreamGen
 
+        import re
+
         gen = StreamGen(41)
         seen = set()
         rescales = set()
         second = set()
-        for _ in range(600):
+        depths = set()
+        for _ in range(900):
             c = gen.case()
             if c.kind.startswith("ck"):
-                seen.add((c.kind.split("_")[0], c.params["restart"]["mode"]))
-                rescales.add(c.params["restart"]["rescale"])
-                k2 = c.params["restart"].get("second")
-                if k2:
-                    second.add((k2["mode"], k2["rescale"]))
-        assert seen == {(k, m)
-                        for k in ("ckwin", "ckdedup", "cksjoin",
-                                  "ck2win", "ck2dedup", "ck2sjoin")
+                shape = re.sub(r"^ck\d?", "ck", c.kind).split("_")[0]
+                k, depth = c.params["restart"], 1
+                seen.add((shape, k["mode"]))
+                rescales.add(k["rescale"])
+                while k.get("second"):
+                    k = k["second"]
+                    depth += 1
+                    second.add((k["mode"], k["rescale"]))
+                depths.add(depth)
+        assert seen == {(k, m) for k in ("ckwin", "ckdedup", "cksjoin")
                         for m in ("staged", "stop")}
         # the cluster-resize axis (resume under different
         # shuffle.partitions) must be drawn both ways
         assert rescales == {True, False}
-        # and the SECOND kill covers both modes x both resize choices
+        # later kills cover both modes x both resize choices, and the
+        # generator draws single, double AND triple kill chains
         assert second == {(m, r) for m in ("staged", "stop")
                           for r in (True, False)}
+        assert depths == {1, 2, 3}
