@@ -47,8 +47,13 @@ def connected_components(
         # cut lineage: labels derive from edges, and the in-loop
         # edges⋈labels join otherwise shares attribute ids with its own
         # ancestor (Catalyst AttributeMap 'key not found' in Union
-        # constraint rewriting)
-        .localCheckpoint(eager=True)
+        # constraint rewriting). LAZY (r13): eager=True spent one
+        # driver-blocking job per checkpoint; lazy checkpoints
+        # materialize inside the convergence-sum action that
+        # immediately follows, halving the job count per round (the
+        # LogicalRDD lineage cut happens at plan-build time either
+        # way, so the AttributeMap dodge is unchanged).
+        .localCheckpoint(eager=False)
     )
     # init = node list AND the first hop in one shuffle: label starts at
     # min(node, min neighbor) instead of node — identical to running one
@@ -56,7 +61,7 @@ def connected_components(
     labels = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.least(F.col("node"), F.min("dst")).alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # convergence: labels only ever DECREASE, so the label sum is
     # stable iff no label changed — one decimal aggregate per round
@@ -100,8 +105,10 @@ def connected_components(
                 F.least(F.col("a.label"), F.coalesce("jlabel", "a.label")).alias("label"),
             )
         )
-        # checkpoint the frontier: lineage otherwise grows per round
-        labels = jumped.localCheckpoint(eager=True)
+        # checkpoint the frontier: lineage otherwise grows per round.
+        # Lazy — the convergence sum right below materializes it, so
+        # each round costs ONE action instead of two (r13).
+        labels = jumped.localCheckpoint(eager=False)
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             return labels.select(

@@ -111,16 +111,23 @@ def minhash_signatures(
     oracle's GROUP BY.
 
     Two traps this formulation dodges (both measured at sf0.1):
-    - 12 separate ``array_min(transform(hs, ...))`` columns re-evaluate
-      the md5 shingle-hash array once PER COLUMN — Spark's
-      subexpression elimination doesn't fire through lambda-bearing
-      higher-order functions (measured ~5x slower). So all 12 mins
-      come out of ONE ``aggregate`` fold over the hash array;
-    - a plain projection would still get collapsed into downstream
-      selects that reference the signature 12 times (the band keys),
-      re-inlining the fold per reference. The ``explode(array(...))``
-      wrapper is a Generate barrier: CollapseProject does not merge
-      through it, so the fold is materialized exactly once per row.
+    - naive 12 separate ``array_min(transform(...))`` columns
+      re-evaluate the md5 shingle-hash expression once PER COLUMN —
+      Spark's subexpression elimination doesn't fire through
+      lambda-bearing higher-order functions (measured ~5x slower). So
+      the md5 hash array is MATERIALIZED once per row behind an
+      ``explode(array(...))`` Generate barrier (CollapseProject does
+      not merge through it), and the 12 mins then scan that cheap
+      bigint array column;
+    - the r12 shape computed all 12 mins in ONE ``aggregate`` fold
+      whose accumulator was a 12-element array — but every fold step
+      then allocates a fresh 12-array and re-boxes all 12 longs, and
+      the fold lambda is interpreted (HOFs don't codegen). Re-measured
+      r13 (sf0.1, best-of-3, noop sink): the fold costs 1.33s where
+      hash-materialize + 12 ``array_min(transform(hs, affine))``
+      passes cost 0.89s — each pass is 2 arithmetic ops per element
+      with no per-step allocation, so 12 cheap passes beat one
+      allocating pass. Results are bit-identical (same mins).
     """
     # stage the word array once so normalize+split isn't re-evaluated
     # inside both the guard and the transform
@@ -131,19 +138,18 @@ def minhash_signatures(
     # element-access gram construction — see _shingles (slice() was 8x)
     shingles = _shingles_of_words("w", n)
     hashed = f"transform({shingles}, s -> {spark_hash64('s')})"
-    init = f"array_repeat(CAST({MINHASH_P} AS BIGINT), {len(MINHASH_AB)})"
-    steps = ", ".join(
-        f"least(acc[{j}], ({a} * h + {b}) % {MINHASH_P})"
-        for j, (a, b) in enumerate(MINHASH_AB)
-    )
-    fold = f"aggregate({hashed}, {init}, (acc, h) -> array({steps}))"
     sig = words.select(
         F.col(id_col),
-        F.explode(F.expr(f"array({fold})")).alias("mharr"),
+        F.explode(F.expr(f"array({hashed})")).alias("hs"),
     )
     return sig.select(
         F.col(id_col),
-        *[F.col("mharr")[j].alias(f"mh{j}") for j in range(len(MINHASH_AB))],
+        *[
+            F.expr(
+                f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+            ).alias(f"mh{j}")
+            for j, (a, b) in enumerate(MINHASH_AB)
+        ],
     )
 
 

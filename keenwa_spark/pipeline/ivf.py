@@ -85,10 +85,14 @@ def _as_vecs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def _cells_df(spark: SparkSession, cents: Cents) -> DataFrame:
     """The centroid model as ONE row of ``array<struct<cid, cv>>`` —
     broadcast into corpus passes so centroid data never appears in the
-    plan text (constant-size codegen at any K). createDataFrame ON
+    plan text (constant-size codegen at any K). Python-RDD route ON
     PURPOSE — see pq._model_df's round-10 A/B note: a JVM-literal tree
-    of the array-heavy model doubles query wall."""
-    return spark.createDataFrame(
+    of the array-heavy model doubles query wall; single-slice
+    parallelize per litdf.model_df's r13 measurements."""
+    from keenwa_spark.litdf import model_df
+
+    return model_df(
+        spark,
         [([(cid, cv) for cid, cv in cents],)],
         "cells ARRAY<STRUCT<cid: INT, cv: ARRAY<DOUBLE>>>",
     )
@@ -190,9 +194,13 @@ def ivf_train(
 ) -> DataFrame:
     """Train the coarse quantizer; returns (cid, cv) centroids as a
     DataFrame (API mirror of the other pipeline trainers)."""
+    from keenwa_spark.litdf import model_df
+
     cents = _train(emb, k_cells, iters, id_col, vec_col, train_rows)
-    return emb.sparkSession.createDataFrame(
-        [(cid, cv) for cid, cv in cents], "cid INT, cv ARRAY<DOUBLE>"
+    return model_df(
+        emb.sparkSession,
+        [(cid, cv) for cid, cv in cents],
+        "cid INT, cv ARRAY<DOUBLE>",
     )
 
 

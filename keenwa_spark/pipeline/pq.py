@@ -177,13 +177,18 @@ def _fit_books(
 
 
 def _model_df(spark, books: Books) -> DataFrame:
-    # createDataFrame ON PURPOSE (round-10 A/B): a litdf JVM-literal
+    # Python-RDD route ON PURPOSE (round-10 A/B): a litdf JVM-literal
     # tree of the array-heavy model DOUBLES query wall (codegen of
     # thousands of literal nodes dominates), and coalesce(1) is worse
-    # still; the 32-task Python scan is the cheapest of the three for
-    # broadcast-sized array models. Measured: ivfpq 2.03s original vs
-    # 4.55s litdf vs 4.78s coalesce(1) at sf0.1.
-    return spark.createDataFrame(
+    # still. Measured: ivfpq 2.03s original vs 4.55s litdf vs 4.78s
+    # coalesce(1) at sf0.1. r13: the parallelize is pinned to ONE
+    # slice (litdf.model_df) — the default 32 near-empty Python
+    # partitions cost ~0.2s per materialization of a 1-row model
+    # (measured numbers at litdf.model_df).
+    from keenwa_spark.litdf import model_df
+
+    return model_df(
+        spark,
         [([(s, [(pos, cv) for pos, cv in codes]) for s, codes in enumerate(books)],)],
         "books ARRAY<STRUCT<sub: INT, codes: ARRAY<STRUCT<pos: INT, cv: ARRAY<DOUBLE>>>>>",
     )
@@ -191,8 +196,12 @@ def _model_df(spark, books: Books) -> DataFrame:
 
 def _local_model_df(spark, lbooks: "dict[int, Books]") -> DataFrame:
     """(cid, books) — the per-cell model, broadcast-joined on cid
-    (createDataFrame for the same measured reason as _model_df)."""
-    return spark.createDataFrame(
+    (single-slice Python-RDD route for the same measured reasons as
+    _model_df)."""
+    from keenwa_spark.litdf import model_df
+
+    return model_df(
+        spark,
         [
             (cid, [(s, [(pos, cv) for pos, cv in codes])
                    for s, codes in enumerate(bks)])
@@ -207,22 +216,25 @@ def _encode_vecs_local(
     vecs: DataFrame,
     lbooks: "dict[int, Books]",
     backend: str = "auto",
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """(vid, cid, codes) for a (vid, cid, v) residual frame, each row
     encoded with ITS CELL's codebooks — the local-books twin of
     _encode_vecs (same backends, same IEEE fold order, same lowest-pos
     tie-break; the sql/numpy crossover counts the total model size
-    across cells)."""
+    across cells). ``model``: a prebuilt _local_model_df frame shared
+    with the caller's query side, so Spark reuses ONE broadcast
+    exchange instead of building the model twice (r13)."""
     any_books = next(iter(lbooks.values()))
     d = len(any_books[0][0][1])
     if backend == "auto":
         kdim = sum(len(b) for bks in lbooks.values() for b in bks) * d
         backend = "sql" if kdim <= 128 else "numpy"
     if backend == "sql":
+        if model is None:
+            model = _local_model_df(vecs.sparkSession, lbooks)
         return (
-            vecs.join(
-                F.broadcast(_local_model_df(vecs.sparkSession, lbooks)), "cid"
-            )
+            vecs.join(F.broadcast(model), "cid")
             .withColumn("codes", F.expr(_ENC.format(d=d)))
             .select("vid", "cid", "codes")
         )
@@ -271,6 +283,7 @@ def _encode_vecs(
     books: Books,
     backend: str = "auto",
     keep: tuple[str, ...] = (),
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """(vid, *keep, codes) for a (vid, v[, *keep]) frame — the shared
     encode pass of pq_encode / pq_search / ivfpq_search.
@@ -289,7 +302,9 @@ def _encode_vecs(
       production models (m=16, k=256, dim 768 → ~200k interpreted
       steps/row on the sql path);
     - ``auto``: sql only while total-codebook-floats <= 128, else
-      numpy. MEASURED (tools/pq_crossover.py, 50k rows, best-of-3,
+      numpy. ``model``: a prebuilt _model_df frame shared with the
+      caller's query side so ONE broadcast exchange serves both
+      (Spark's ReuseExchange needs the same plan subtree — r13). MEASURED (tools/pq_crossover.py, 50k rows, best-of-3,
       forced-evaluation): numpy is flat 0.5-1.3s across k·dim
       128→32768 while sql grows 0.95s → 11.1s (4096) → 69.6s
       (32768) — the Arrow crossing is a fixed ~0.5s, interpreted HOF
@@ -300,8 +315,10 @@ def _encode_vecs(
         kdim = sum(len(b) for b in books) * d
         backend = "sql" if kdim <= 128 else "numpy"
     if backend == "sql":
+        if model is None:
+            model = _model_df(vecs.sparkSession, books)
         return (
-            vecs.crossJoin(F.broadcast(_model_df(vecs.sparkSession, books)))
+            vecs.crossJoin(F.broadcast(model))
             .withColumn("codes", F.expr(_ENC.format(d=d)))
             .select("vid", *keep, "codes")
         )
@@ -399,11 +416,17 @@ def pq_search(
     if books is None:
         books = pq_train(emb, m, k_codes, iters, id_col, vec_col, train_rows)
     d = len(books[0][0][1])
-    enc = pq_encode(emb, books, id_col, vec_col, encode_backend)
+    # ONE model frame serves the encode pass and the query tables —
+    # identical plan subtree, so Spark reuses the broadcast exchange
+    # instead of re-materializing the model (r13)
+    mdf = _model_df(emb.sparkSession, books)
+    enc = _encode_vecs(
+        _as_vecs(emb, id_col, vec_col), books, encode_backend, model=mdf
+    )
     qt = (
         _as_vecs(queries, id_col, vec_col)
         .select(F.col("vid").alias("query_id"), F.col("v").alias("qv"))
-        .crossJoin(F.broadcast(_model_df(emb.sparkSession, books)))
+        .crossJoin(F.broadcast(mdf))
         .withColumn("tables", F.expr(_TABLES.format(d=d)))
         .select("query_id", "tables")
     )
@@ -605,10 +628,18 @@ def ivfpq_search(
             emb, k_cells, m, k_codes, iters, id_col, vec_col, train_rows,
             local_books=local_books,
         )
+    from keenwa_spark.litdf import model_df as _small_df
+
     any_books = next(iter(books.values())) if local_books else books
     d = len(any_books[0][0][1])
-    cells_kv = spark.createDataFrame(
-        [(cid, cv) for cid, cv in cents], "cid INT, cv ARRAY<DOUBLE>"
+    cells_kv = _small_df(
+        spark, [(cid, cv) for cid, cv in cents], "cid INT, cv ARRAY<DOUBLE>"
+    )
+    # ONE codebook-model frame serves both the corpus encode and the
+    # query tables (broadcast exchange reuse — r13)
+    mdf = (
+        _local_model_df(spark, books) if local_books
+        else _model_df(spark, books)
     )
     # corpus: (vid, cid, codes-of-residual)
     residual = (
@@ -618,9 +649,11 @@ def ivfpq_search(
         .select("vid", "cid", "v")
     )
     if local_books:
-        enc = _encode_vecs_local(residual, books, encode_backend)
+        enc = _encode_vecs_local(residual, books, encode_backend, model=mdf)
     else:
-        enc = _encode_vecs(residual, books, encode_backend, keep=("cid",))
+        enc = _encode_vecs(
+            residual, books, encode_backend, keep=("cid",), model=mdf
+        )
     # queries: nprobe nearest cells, then per-(query, cell) tables on
     # the residual q - c
     probed = _with_cells(_as_vecs(queries, id_col, vec_col), cents).select(
@@ -637,9 +670,9 @@ def ivfpq_search(
         "qv", F.expr("zip_with(qfull, cv, (x, y) -> x - y)")
     )
     if local_books:
-        qres = qres.join(F.broadcast(_local_model_df(spark, books)), "cid")
+        qres = qres.join(F.broadcast(mdf), "cid")
     else:
-        qres = qres.crossJoin(F.broadcast(_model_df(spark, books)))
+        qres = qres.crossJoin(F.broadcast(mdf))
     qt = (
         qres.withColumn("tables", F.expr(_TABLES.format(d=d)))
         .select("query_id", "cid", "tables")
