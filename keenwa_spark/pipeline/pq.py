@@ -278,6 +278,101 @@ def _encode_vecs_local(
     return vecs.mapInPandas(enc, schema)
 
 
+def _books_kdim(books, local_books: bool) -> int:
+    """Total codebook floats — the sql/numpy crossover statistic of
+    _encode_vecs / _encode_vecs_local (shared so ivfpq_search can
+    resolve the backend BEFORE choosing the corpus-pass shape)."""
+    if local_books:
+        any_books = next(iter(books.values()))
+        d = len(any_books[0][0][1])
+        return sum(len(b) for bks in books.values() for b in bks) * d
+    return sum(len(b) for b in books) * len(books[0][0][1])
+
+
+def _fused_assign_encode_numpy(
+    vecs: DataFrame,
+    cents,
+    books,
+    local_books: bool,
+) -> DataFrame:
+    """(vid, cid, codes) straight from the raw (vid, v) corpus frame:
+    coarse assignment, residual, and PQ encode in ONE Arrow-batched
+    mapInPandas pass (r13, guide §4.2 shape — the corpus crosses the
+    Python boundary once, the whole model rides in the task closure,
+    and the interpreted-HOF assign plus the broadcast residual join
+    disappear from the corpus side).
+
+    Bit-exact by construction: assignment is the _assign_ids kernel
+    (sequential over dims, argmin first-occurrence = lowest-cid
+    tie-break), the residual is the same single IEEE subtract as the
+    sql ``zip_with(v, cv, x - y)``, and the encode is the
+    _encode_vecs / _encode_vecs_local numpy kernel unchanged — so the
+    output matches the unfused sql/numpy chain row for row (pinned in
+    tests/test_recall.py::test_fused_corpus_pass_matches_unfused)."""
+    import numpy as np
+    import pandas as pd
+
+    c_ids = np.array([cid for cid, _ in cents], dtype=np.int32)
+    c_mat = np.array([cv for _, cv in cents], dtype=np.float64)
+    if local_books:
+        mats = {
+            int(cid): (
+                [np.array([cv for _, cv in b], dtype=np.float64) for b in bks],
+                [np.array([p for p, _ in b], dtype=np.int32) for b in bks],
+            )
+            for cid, bks in books.items()
+        }
+        any_books = next(iter(books.values()))
+    else:
+        shared = (
+            [np.array([cv for _, cv in b], dtype=np.float64) for b in books],
+            [np.array([p for p, _ in b], dtype=np.int32) for b in books],
+        )
+        any_books = books
+    n_sub = len(any_books)
+    d = len(any_books[0][0][1])
+
+    def _codes(R, ms, ps, out, rows):
+        for s, (M, P) in enumerate(zip(ms, ps)):
+            Rs = R[:, s * d : (s + 1) * d]
+            acc = np.zeros((R.shape[0], len(P)), dtype=np.float64)
+            for j in range(d):  # sequential over dims
+                diff = Rs[:, j : j + 1] - M[:, j][None, :]
+                acc = acc + diff * diff
+            out[rows, s] = P[np.argmin(acc, axis=1)]  # first hit = lowest pos
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(pdf), len(c_ids)), dtype=np.float64)
+            for j in range(c_mat.shape[1]):  # sequential over dims
+                diff = X[:, j : j + 1] - c_mat[:, j][None, :]
+                acc = acc + diff * diff
+            best = np.argmin(acc, axis=1)  # first hit = lowest cid
+            cid = c_ids[best]
+            R = X - c_mat[best]  # the sql zip_with subtract, row-wise
+            out = np.empty((len(pdf), n_sub), dtype=np.int32)
+            if local_books:
+                for c in np.unique(cid):
+                    rows = np.nonzero(cid == c)[0]
+                    ms, ps = mats[int(c)]
+                    _codes(R[rows], ms, ps, out, rows)
+            else:
+                _codes(R, *shared, out, np.arange(len(pdf)))
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "cid": cid,
+                    "codes": [r.tolist() for r in out],
+                }
+            )
+
+    vid_t = vecs.schema["vid"].dataType.simpleString()
+    return vecs.mapInPandas(run, f"vid {vid_t}, cid INT, codes ARRAY<INT>")
+
+
 def _encode_vecs(
     vecs: DataFrame,
     books: Books,
@@ -641,19 +736,33 @@ def ivfpq_search(
         _local_model_df(spark, books) if local_books
         else _model_df(spark, books)
     )
-    # corpus: (vid, cid, codes-of-residual)
-    residual = (
-        ivf_assign(emb, cents, id_col, vec_col)
-        .join(F.broadcast(cells_kv), "cid")
-        .withColumn("v", F.expr("zip_with(v, cv, (x, y) -> x - y)"))
-        .select("vid", "cid", "v")
-    )
-    if local_books:
-        enc = _encode_vecs_local(residual, books, encode_backend, model=mdf)
-    else:
-        enc = _encode_vecs(
-            residual, books, encode_backend, keep=("cid",), model=mdf
+    # corpus: (vid, cid, codes-of-residual). Backend resolved up front
+    # (the _encode_vecs auto rule): on the numpy side the WHOLE corpus
+    # chain — coarse assign, residual subtract, PQ encode — fuses into
+    # one Arrow-batched pass (_fused_assign_encode_numpy, r13): the
+    # corpus crosses the Python boundary once and the interpreted-HOF
+    # assign + broadcast residual join disappear; the sql side keeps
+    # the unfused broadcast-model chain for tiny models.
+    resolved = encode_backend
+    if resolved == "auto":
+        resolved = "sql" if _books_kdim(books, local_books) <= 128 else "numpy"
+    if resolved == "numpy":
+        enc = _fused_assign_encode_numpy(
+            _as_vecs(emb, id_col, vec_col), cents, books, local_books
         )
+    else:
+        residual = (
+            ivf_assign(emb, cents, id_col, vec_col)
+            .join(F.broadcast(cells_kv), "cid")
+            .withColumn("v", F.expr("zip_with(v, cv, (x, y) -> x - y)"))
+            .select("vid", "cid", "v")
+        )
+        if local_books:
+            enc = _encode_vecs_local(residual, books, resolved, model=mdf)
+        else:
+            enc = _encode_vecs(
+                residual, books, resolved, keep=("cid",), model=mdf
+            )
     # queries: nprobe nearest cells, then per-(query, cell) tables on
     # the residual q - c
     probed = _with_cells(_as_vecs(queries, id_col, vec_col), cents).select(

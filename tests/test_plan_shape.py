@@ -217,8 +217,13 @@ def test_q8_star_join_all_broadcast(views):
         ("pl_corpus_curation", (1, 0, 0, 0, 3, 0)),
         ("pl_minhash_lsh_pairs", (0, 0, 0, 0, 2, 0)),
         ("pl_ann_pq_refined_topk", (2, 0, 2, 0, 6, 1)),
-        ("pl_ann_ivfpq_topk", (3, 0, 3, 0, 8, 1)),
-        ("pl_ann_lopq_topk", (4, 0, 2, 0, 8, 1)),
+        # r13 optimization round: the corpus-side coarse-assign HOF +
+        # broadcast residual join + separate encode crossing fused
+        # into ONE Arrow pass (pq._fused_assign_encode_numpy) — one
+        # BHJ, one NLJ and three exchanges left the plan, py stays 1
+        # (was ivfpq (3,0,3,0,8,1), lopq (4,0,2,0,8,1))
+        ("pl_ann_ivfpq_topk", (2, 0, 2, 0, 5, 1)),
+        ("pl_ann_lopq_topk", (3, 0, 1, 0, 5, 1)),
     ],
 )
 def test_expensive_query_exact_plan_census(views, name, census):

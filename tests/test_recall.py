@@ -412,6 +412,56 @@ class TestPqEncodeBackends:
             )
         assert out["sql"] == out["numpy"]
 
+    def test_fused_corpus_pass_matches_unfused(self, cemb):
+        """r13 optimization round: the fused assign+residual+encode
+        Arrow pass (pq._fused_assign_encode_numpy — the numpy-backend
+        corpus side of ivfpq_search) must emit the exact (vid, cid,
+        codes) rows of the unfused sql chain (coarse-assign HOF ->
+        broadcast residual join -> encode), for shared AND per-cell
+        codebooks. Guards the fusion's bit-exactness claims: same
+        sequential-over-dims IEEE folds, same lowest-id tie-breaks."""
+        from pyspark.sql import functions as F
+
+        from keenwa_spark.litdf import model_df
+        from keenwa_spark.pipeline.ivf import _as_vecs, ivf_assign
+        from keenwa_spark.pipeline.pq import (
+            _encode_vecs,
+            _encode_vecs_local,
+            _fused_assign_encode_numpy,
+            ivfpq_train,
+        )
+
+        spark = cemb.sparkSession
+        for local in (False, True):
+            cents, books = ivfpq_train(
+                cemb, k_cells=4, m=4, k_codes=8, local_books=local
+            )
+            fused = {
+                r.vid: (r.cid, tuple(r.codes))
+                for r in _fused_assign_encode_numpy(
+                    _as_vecs(cemb, "vec_id", "embedding"),
+                    cents, books, local,
+                ).collect()
+            }
+            cells_kv = model_df(
+                spark, [(cid, cv) for cid, cv in cents],
+                "cid INT, cv ARRAY<DOUBLE>",
+            )
+            residual = (
+                ivf_assign(cemb, cents, backend="sql")
+                .join(F.broadcast(cells_kv), "cid")
+                .withColumn("v", F.expr("zip_with(v, cv, (x, y) -> x - y)"))
+                .select("vid", "cid", "v")
+            )
+            enc = (
+                _encode_vecs_local(residual, books, "sql") if local
+                else _encode_vecs(residual, books, "sql", keep=("cid",))
+            )
+            unfused = {
+                r.vid: (r.cid, tuple(r.codes)) for r in enc.collect()
+            }
+            assert fused == unfused, f"local_books={local}"
+
     def test_books_roundtrip_parquet_bit_exactly(self, cemb, tmp_path):
         """pq_save/pq_load: a loaded model must encode IDENTICALLY to
         the in-memory one (float64 roundtrips parquet bit-exactly) —
