@@ -40,9 +40,19 @@ def connected_components(
     Raises RuntimeError if not converged within ``max_rounds`` — never
     silently returns partially-merged components.
     """
+    # both directions PLUS a self-loop per endpoint: with (v, v) rows
+    # present, every per-src min over joined labels already includes
+    # the node's own label, so each round's hop is ONE join + ONE
+    # aggregate — the r12 shape needed a second join (labels back onto
+    # the neighbor mins) and its exchange every round just to mix the
+    # own label in (r13, guide §2.1: one shuffle removed per round).
+    # Self-loops only ever contribute the node's current label to a
+    # min — they cannot change any component.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .union(pairs.select(F.col("id_a").alias("src"), F.col("id_a").alias("dst")))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_b").alias("dst")))
         .distinct()
         # cut lineage: labels derive from edges, and the in-loop
         # edges⋈labels join otherwise shares attribute ids with its own
@@ -57,10 +67,11 @@ def connected_components(
     )
     # init = node list AND the first hop in one shuffle: label starts at
     # min(node, min neighbor) instead of node — identical to running one
-    # hop round on identity labels, one round (and its jobs) cheaper
+    # hop round on identity labels, one round (and its jobs) cheaper.
+    # The self-loop makes min(dst) already include the node itself.
     labels = (
         edges.groupBy(F.col("src").alias("node"))
-        .agg(F.least(F.col("node"), F.min("dst")).alias("label"))
+        .agg(F.min("dst").alias("label"))
         .localCheckpoint(eager=False)
     )
     # convergence: labels only ever DECREASE, so the label sum is
@@ -73,21 +84,17 @@ def connected_components(
 
     prev_sum = _label_sum(labels)
     for _ in range(max_rounds):
-        # (a) one hop: adopt min(own, neighbors') label. Join+least, not
-        # a self-union — unioning a frame with its own derivation trips
-        # Catalyst's Union constraint rewriting (AttributeMap key-not-
-        # found) on some lineages.
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy(F.col("src").alias("nnode"))
-            .agg(F.min("label").alias("nlabel"))
-        )
+        # (a) one hop: adopt min(own, neighbors') label — ONE inner
+        # join + ONE aggregate, because the self-loop rows feed each
+        # node's own label into its min (and guarantee every node
+        # survives the inner join). Join, not a self-union — unioning
+        # a frame with its own derivation trips Catalyst's Union
+        # constraint rewriting (AttributeMap key-not-found) on some
+        # lineages.
         hopped = (
-            labels.join(nbr_min, labels.node == nbr_min.nnode, "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("label"))
         )
         # (b) pointer jump: follow the label's own label (labels only
         # ever decrease, so the jump is monotone-safe)
