@@ -123,17 +123,12 @@ def load_prev_round() -> tuple[
 #: own two-clean-rounds rule (VERDICT r10 item 6). Re-add names here
 #: if a future cold-box run raw-flags them again.
 #:
-#: op_interval_overlap re-entered via the r11 recurring flag; its r12
-#: probe was clean round 1 (recorded ratio_norm 0.579, judge's own run
-#:  0.746 — both "drift", median 0.302s vs the 0.504s r11 recording).
-#: r12 recorded zero regressions so the automatic watchlist is empty
-#: for r13; the entry below forces the round-2 probe into the r13
-#: recording — measured clean: median 0.404s, ratio_norm 0.721,
-#: verdict "drift" (BENCH_DETAIL_r13.json). RETIRED per the
-#: two-clean-rounds rule (r12 + r13 both clean); the entry stays only
-#: so the r13 driver recording re-witnesses the closing probe — remove
-#: it in r14 exactly as the r9 set was removed in r11.
-EXTRA_WATCHLIST: set[str] = {"op_interval_overlap"}
+#: op_interval_overlap re-entered via the r11 recurring flag, probed
+#: clean in r12 (ratio_norm 0.579) and r13 (ratio_norm 0.721, median
+#: 0.404s — BENCH_DETAIL_r13.json), and was retired in r14 per the
+#: two-clean-rounds rule, exactly as the r9 set was removed in r11
+#: (VERDICT r13 item 7).
+EXTRA_WATCHLIST: set[str] = set()
 
 
 def probe_watchlist(prev_n: int | None) -> set[str]:

@@ -98,13 +98,14 @@ def minhash_signatures(
 
     shingle -> md5-derived 32-bit hash -> k affine permutations -> MIN
     per doc. The whole signature is a PER-ROW PROJECTION: the shingle
-    hashes are computed into an array once, then each of the k mins is
-    an ``array_min(transform(...))`` fold over it — NO explode, NO
-    groupBy, ZERO shuffle. (Earlier rounds exploded to one row per
-    shingle and aggregated back on doc_id — a corpus-sized shuffle
-    that a per-row fold makes unnecessary; measured ~1.5x faster at
-    sf0.1 and strictly better at 100 TB, where the signature stage now
-    pipelines into the scan.)
+    hashes are computed into an array once (behind a single-element
+    Generate barrier — see the trap notes below), then each of the k
+    mins is an ``array_min(transform(...))`` fold over it — no
+    corpus-expanding explode, NO groupBy, ZERO shuffle. (Earlier
+    rounds exploded to one row per shingle and aggregated back on
+    doc_id — a corpus-sized shuffle that a per-row fold makes
+    unnecessary; measured ~1.5x faster at sf0.1 and strictly better at
+    100 TB, where the signature stage now pipelines into the scan.)
 
     Docs with fewer than ``n`` words have no shingles and are dropped,
     matching the explode formulation (no rows to aggregate) and the

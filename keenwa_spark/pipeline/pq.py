@@ -227,9 +227,7 @@ def _encode_vecs_local(
     exchange instead of building the model twice (r13)."""
     any_books = next(iter(lbooks.values()))
     d = len(any_books[0][0][1])
-    if backend == "auto":
-        kdim = sum(len(b) for bks in lbooks.values() for b in bks) * d
-        backend = "sql" if kdim <= 128 else "numpy"
+    backend = _resolve_backend(backend, lbooks, local_books=True)
     if backend == "sql":
         if model is None:
             model = _local_model_df(vecs.sparkSession, lbooks)
@@ -289,6 +287,21 @@ def _books_kdim(books, local_books: bool) -> int:
     return sum(len(b) for b in books) * len(books[0][0][1])
 
 
+#: sql is only cheaper than the fixed Arrow-crossing cost below this
+#: many total codebook floats (tools/pq_crossover.py table in SCALE.md)
+_SQL_KDIM_MAX = 128
+
+
+def _resolve_backend(backend: str, books, local_books: bool) -> str:
+    """The ONE home of the sql/numpy 'auto' rule (ADVICE r13: the
+    ``kdim <= 128`` threshold was written out in three call sites,
+    which could silently desynchronize the encode paths if edited in
+    one spot). Every encode entry point resolves through here."""
+    if backend != "auto":
+        return backend
+    return "sql" if _books_kdim(books, local_books) <= _SQL_KDIM_MAX else "numpy"
+
+
 def _fused_assign_encode_numpy(
     vecs: DataFrame,
     cents,
@@ -324,13 +337,20 @@ def _fused_assign_encode_numpy(
         }
         any_books = next(iter(books.values()))
     else:
-        shared = (
+        mats = (
             [np.array([cv for _, cv in b], dtype=np.float64) for b in books],
             [np.array([p for p, _ in b], dtype=np.int32) for b in books],
         )
         any_books = books
     n_sub = len(any_books)
     d = len(any_books[0][0][1])
+    # The model ships as a sparkContext BROADCAST, not in the task
+    # closure (ADVICE r13): a pickled closure is re-shipped per task,
+    # which at ivfpq_train's documented local-books upper regime
+    # (1024 cells x 16 x 256 x 48 doubles ~ 1.6 GB) is impractical; a
+    # broadcast lands once per executor and reused Python workers keep
+    # the deserialized value across tasks.
+    b_model = vecs.sparkSession.sparkContext.broadcast((c_ids, c_mat, mats))
 
     def _codes(R, ms, ps, out, rows):
         for s, (M, P) in enumerate(zip(ms, ps)):
@@ -342,6 +362,7 @@ def _fused_assign_encode_numpy(
             out[rows, s] = P[np.argmin(acc, axis=1)]  # first hit = lowest pos
 
     def run(batches):
+        c_ids, c_mat, mats = b_model.value  # once per (reused) worker
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -360,7 +381,7 @@ def _fused_assign_encode_numpy(
                     ms, ps = mats[int(c)]
                     _codes(R[rows], ms, ps, out, rows)
             else:
-                _codes(R, *shared, out, np.arange(len(pdf)))
+                _codes(R, *mats, out, np.arange(len(pdf)))
             yield pd.DataFrame(
                 {
                     "vid": pdf["vid"],
@@ -406,9 +427,7 @@ def _encode_vecs(
       steps scale with the model. Table in SCALE.md.
     """
     d = len(books[0][0][1])
-    if backend == "auto":
-        kdim = sum(len(b) for b in books) * d
-        backend = "sql" if kdim <= 128 else "numpy"
+    backend = _resolve_backend(backend, books, local_books=False)
     if backend == "sql":
         if model is None:
             model = _model_df(vecs.sparkSession, books)
@@ -743,9 +762,7 @@ def ivfpq_search(
     # corpus crosses the Python boundary once and the interpreted-HOF
     # assign + broadcast residual join disappear; the sql side keeps
     # the unfused broadcast-model chain for tiny models.
-    resolved = encode_backend
-    if resolved == "auto":
-        resolved = "sql" if _books_kdim(books, local_books) <= 128 else "numpy"
+    resolved = _resolve_backend(encode_backend, books, local_books)
     if resolved == "numpy":
         enc = _fused_assign_encode_numpy(
             _as_vecs(emb, id_col, vec_col), cents, books, local_books

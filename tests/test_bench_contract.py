@@ -162,3 +162,22 @@ def test_live_repo_invariants():
         return
     assert n < bench.this_round()
     assert q, "a usable prev round must carry per-query timings"
+
+
+def test_micro_control_window_is_partitioned_and_bounded(spark):
+    """VERDICT r13 item 4: the bench stderr's 'WindowExec: No Partition
+    Defined' WARNs came from the probe micro control's old
+    ``partitionBy(lit(1))`` — a foldable key the optimizer erases,
+    leaving an empty partition spec (the r14 runtime scan showed ZERO
+    headline queries emit the warning). Pins both halves of the fix:
+    the executed plan carries a real (non-folded) partition spec, and
+    the window input is bounded at 7 rows by construction, so the
+    single partition is safe at any scale."""
+    from keenwa_spark.plans import executed_plan_text, partitionless_windows
+    from tools.perf_probe import _micro_frame
+
+    df = _micro_frame(spark)
+    assert df.count() == 7  # groupBy(id % 7): bounded window input
+    plan = executed_plan_text(df)
+    assert "Window" in plan  # the shape still exercises a window job
+    assert partitionless_windows(plan) == []

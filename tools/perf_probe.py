@@ -97,34 +97,52 @@ def control_run(spark) -> float:
     return time.time() - t0
 
 
-def control_micro_run(spark) -> float:
-    """Per-JOB overhead control: three tiny multi-stage jobs (shuffle +
-    global window + collect over ~1k synthetic rows). Measures
-    scheduler / JVM / GC latency, which DOMINATES sub-second queries
-    and which the throughput control above cannot see — the round-9
-    finding: late-session suite median moved 1.13x while control_run
-    moved only 1.04x, and the top movers were the SHORTEST queries
-    (win_topn_per_group 0.17->0.28s), i.e. fixed per-job overhead
-    drift, not compute throughput. Touches no repo code."""
+def _micro_frame(spark):
+    """The micro control's query: shuffle + single-partition window +
+    collect over ~1k synthetic rows. The window input is BOUNDED at 7
+    rows by construction (groupBy of id % 7), so one partition is safe
+    at any scale; its partition key is ``k - k`` — constantly 0 but
+    NON-FOLDABLE, so the partition spec survives constant folding and
+    WindowExec does not emit its 'No Partition Defined' warning
+    (VERDICT r13 item 4: the bench stderr's WindowExec WARNs all came
+    from the previous ``partitionBy(lit(1))`` here — a foldable
+    literal key is erased by the optimizer, leaving an empty spec; no
+    headline query emits the warning, verified by the r14 runtime scan
+    and pinned in tests/test_bench_contract.py)."""
     from pyspark.sql.window import Window
 
+    return (
+        spark.range(0, 1_000)
+        .select((F.col("id") % 7).alias("k"), (F.col("id") % 13).alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy(F.col("k") - F.col("k")).orderBy("s", "k")
+            ),
+        )
+    )
+
+
+def control_micro_run(spark) -> float:
+    """Per-JOB overhead control: three tiny multi-stage jobs (shuffle +
+    single-partition window + collect over ~1k synthetic rows; see
+    _micro_frame). Measures scheduler / JVM / GC latency, which
+    DOMINATES sub-second queries and which the throughput control
+    above cannot see — the round-9 finding: late-session suite median
+    moved 1.13x while control_run moved only 1.04x, and the top movers
+    were the SHORTEST queries (win_topn_per_group 0.17->0.28s), i.e.
+    fixed per-job overhead drift, not compute throughput. Touches no
+    repo code. r14: the window's partition key changed from lit(1)
+    (folded to an empty spec → WindowExec WARN per run) to the
+    non-foldable k - k — same single-partition execution over the same
+    ≤7 rows, same job/stage count; interleaved A/B medians recorded in
+    OPTIMIZATION_r14.md show the timing is unchanged, so cross-round
+    micro-ref comparability holds."""
     t0 = time.time()
     for _ in range(3):
-        (
-            spark.range(0, 1_000)
-            .select(
-                (F.col("id") % 7).alias("k"), (F.col("id") % 13).alias("v")
-            )
-            .groupBy("k")
-            .agg(F.sum("v").alias("s"))
-            .withColumn(
-                "r",
-                F.row_number().over(
-                    Window.partitionBy(F.lit(1)).orderBy("s", "k")
-                ),
-            )
-            .collect()
-        )
+        _micro_frame(spark).collect()
     return time.time() - t0
 
 
