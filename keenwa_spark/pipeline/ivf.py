@@ -147,6 +147,8 @@ def _lloyd(X, rows: list[tuple[int, list[float]]], k_cells: int, iters: int) -> 
     means, fixed iterations, empty cells drop) — factored out so
     IVF-PQ composes it without re-collecting the sample. Float op
     sequences are IDENTICAL to the pre-factor _train."""
+    import numpy as np
+
     cents: Cents = [(vid, v) for vid, v in rows if vid < k_cells]
     for _ in range(iters):
         assign = _assign_ids(X, cents)
@@ -155,12 +157,15 @@ def _lloyd(X, rows: list[tuple[int, list[float]]], k_cells: int, iters: int) -> 
             members = X[assign == ci]
             if len(members) == 0:
                 continue  # empty cell drops out (matches the SQL replay)
-            cv = []
-            for d in range(X.shape[1]):
-                acc = 0.0
-                for x in sorted(members[:, d].tolist()):  # sorted fold
-                    acc += x
-                cv.append(acc / len(members))
+            # sorted fold, r14: np.sort + builtin sum is BIT-IDENTICAL
+            # to the old sorted()+loop (same ascending multiset, and
+            # builtin sum left-folds with the same IEEE double adds;
+            # 0.0 + x == x exactly) while sorting in C — the python
+            # per-element loop dominated driver fit time at production
+            # sample sizes (train_rows x dim sorts).
+            S = np.sort(members, axis=0)
+            nm = len(members)
+            cv = [sum(S[:, d].tolist(), 0.0) / nm for d in range(X.shape[1])]
             new.append((cid, cv))
         cents = new
     return cents

@@ -281,3 +281,33 @@ def test_strict_3vl_rewrite_plan_census(views):
     for bad in ("CartesianProduct", "SortMergeJoin", "BatchEvalPython",
                 "ArrowEvalPython", "BroadcastNestedLoopJoin"):
         assert bad not in ex, bad
+
+
+def test_pq_search_sql_backend_reuses_model_broadcast(views):
+    """VERDICT r13 item 3: pq_search builds ONE _model_df frame shared
+    by the corpus encode pass and the query distance tables, claiming
+    Spark reuses the broadcast exchange. Plan-proven here on the sql
+    backend (the only backend where BOTH consumers take the model
+    frame — the numpy backend ships the model in the Arrow pass and
+    the frame has a single consumer, so there is nothing to reuse):
+    the executed plan carries exactly one materialized
+    BroadcastExchange over Scan ExistingRDD[books] and a ReusedExchange
+    at the second consumer. Evidence plan committed at
+    plans/r14/pq_search_sql_backend_reused_exchange.txt."""
+    import tests.conftest as cf
+    from keenwa_spark.pipeline.pq import pq_search
+    from keenwa_spark.plans import executed_plan_text
+    from keenwa_spark.queries import load_all
+
+    load_all()["pl_ann_pq_refined_topk"].fn(views, cf.SF_DIR)  # views
+    emb = views.table("embeddings")
+    df = pq_search(
+        emb, emb.filter("vec_id < 10"), m=4, k_codes=8, topk=5,
+        encode_backend="sql",
+    )
+    df.collect()
+    plan = executed_plan_text(df).split("== Initial Plan ==")[0]
+    assert plan.count("ReusedExchange") == 1, plan
+    # one real model broadcast; the other BroadcastExchanges in the
+    # plan belong to the query-table and scored-stream joins
+    assert plan.count("Scan ExistingRDD") == 1, plan
