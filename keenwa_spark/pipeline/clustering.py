@@ -9,8 +9,9 @@ O(log(diameter)) rounds (near-dup components are tiny — 2-3 rounds).
 
 Scale design: each round is two shuffles (join on node, min-aggregate
 on node) over the EDGE list, which for dedup is far smaller than the
-corpus. The driver-side loop only checks a convergence count — no data
-ever collects. This is the standard large-graph CC pattern (GraphX /
+corpus. The driver-side loop only reads a convergence sum OBSERVED on
+the round's own materialization job (r14) — no data ever collects and
+no extra per-round action runs. This is the standard large-graph CC pattern (GraphX /
 GraphFrames use the same alternating join-aggregate rounds).
 
 Determinism: labels are min(doc_id), so results are unique regardless
@@ -20,7 +21,7 @@ computes the same min-reachable-id closure).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -65,24 +66,29 @@ def connected_components(
         # way, so the AttributeMap dodge is unchanged).
         .localCheckpoint(eager=False)
     )
+    # convergence: labels only ever DECREASE, so the label sum is
+    # stable iff no label changed — one decimal aggregate per round
+    # (exact at any scale) instead of a join+filter+count. The sum is
+    # OBSERVED on the checkpoint-materialization action itself (r14):
+    # a map-side AggregatingAccumulator piggybacking on the round's one
+    # job, instead of a separate labels-sized aggregate (its exchange +
+    # final-agg stage) per round. At 100 TB that removes a V-row
+    # shuffle-read per round; measured best-of-5 at sf0.1: 0.45s vs
+    # 0.56s for the collect-sum shape.
+    sum_col = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+
     # init = node list AND the first hop in one shuffle: label starts at
     # min(node, min neighbor) instead of node — identical to running one
     # hop round on identity labels, one round (and its jobs) cheaper.
     # The self-loop makes min(dst) already include the node itself.
+    obs0 = Observation()
     labels = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("label"))
-        .localCheckpoint(eager=False)
+        .observe(obs0, sum_col)
+        .localCheckpoint(eager=True)
     )
-    # convergence: labels only ever DECREASE, so the label sum is
-    # stable iff no label changed — one decimal aggregate per round
-    # (exact at any scale) instead of a join+filter+count
-    def _label_sum(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0].s
-
-    prev_sum = _label_sum(labels)
+    prev_sum = obs0.get["s"]
     for _ in range(max_rounds):
         # (a) one hop: adopt min(own, neighbors') label — ONE inner
         # join + ONE aggregate, because the self-loop rows feed each
@@ -113,10 +119,12 @@ def connected_components(
             )
         )
         # checkpoint the frontier: lineage otherwise grows per round.
-        # Lazy — the convergence sum right below materializes it, so
-        # each round costs ONE action instead of two (r13).
-        labels = jumped.localCheckpoint(eager=False)
-        new_sum = _label_sum(labels)
+        # Eager, with the convergence sum observed on the same action —
+        # each round costs ONE job and the sum rides it as an
+        # accumulator instead of a second labels-sized aggregate (r14).
+        obs = Observation()
+        labels = jumped.observe(obs, sum_col).localCheckpoint(eager=True)
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("component")

@@ -583,3 +583,91 @@ class TestY4MCodec:
             )
             want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
             assert got == want and len(got) > 0, name
+
+
+def test_connected_components_observe_fusion(spark):
+    """r14: the convergence sum rides the round's checkpoint job as an
+    observed metric instead of a separate collect-aggregate action.
+    Pin (a) multi-round correctness on a 31-node chain (hop+jump needs
+    several rounds, so the fused sum gates a real loop, not just init)
+    and (b) that the fused shape runs strictly fewer jobs than the
+    collect-sum reference on the same input."""
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.pipeline.clustering import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 31)] + [(40, 41), (41, 42), (50, 50)],
+        "id_a LONG, id_b LONG",
+    ).localCheckpoint(eager=True)
+
+    def reference(pairs, max_rounds=25):
+        # the r13 shape: lazy checkpoint + a collect()ed label-sum per round
+        edges = (
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+            .union(pairs.select(F.col("id_a").alias("src"), F.col("id_a").alias("dst")))
+            .union(pairs.select(F.col("id_b").alias("src"), F.col("id_b").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        labels = (
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.min("dst").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+
+        def label_sum(frame):
+            return frame.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0].s
+
+        prev = label_sum(labels)
+        for _ in range(max_rounds):
+            hopped = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("label").alias("label"))
+            )
+            jumped = (
+                hopped.alias("a")
+                .join(
+                    hopped.select(
+                        F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                    ),
+                    F.col("a.label") == F.col("jnode"),
+                    "left",
+                )
+                .select(
+                    F.col("a.node").alias("node"),
+                    F.least(
+                        F.col("a.label"), F.coalesce("jlabel", "a.label")
+                    ).alias("label"),
+                )
+            )
+            labels = jumped.localCheckpoint(eager=False)
+            new = label_sum(labels)
+            if new == prev:
+                return labels.select(
+                    F.col("node").alias("doc_id"), F.col("label").alias("component")
+                )
+            prev = new
+        raise RuntimeError("no converge")
+
+    sc = spark.sparkContext
+
+    def run_in_group(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            rows = sorted((r.doc_id, r.component) for r in fn(pairs).collect())
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return rows, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    got_ref, jobs_ref = run_in_group("cc_ref_r13", reference)
+    got_new, jobs_new = run_in_group("cc_new_r14", connected_components)
+
+    # chain 1..31 all collapse to 1; 40-42 to 40; self-pair 50 stays 50
+    assert got_new == got_ref
+    assert {c for _, c in got_new} == {1, 40, 50}
+    assert jobs_new < jobs_ref, (jobs_new, jobs_ref)
