@@ -243,6 +243,32 @@ DUCK_YARDSTICK = 10
 CONTROL_REF_SEC = 0.997
 
 
+def bucket_skew_stats(spark, sf_dir: str) -> dict[str, dict]:
+    """Max bucket size seen BEFORE the viral-bucket cap for both capped
+    LSH/band families (minhash text LSH on the documents table, aHash
+    banding on the fixture image set) — one tiny aggregate row each,
+    identical bucket population to the operators' own (shared
+    ``_*_band_buckets`` builders). Tracks the cap's headroom as SF
+    grows; never part of any timed measurement."""
+    from keenwa_spark.pipeline.dedup import minhash_bucket_stats
+    from keenwa_spark.pipeline.multimodal import (
+        ahash_bucket_stats,
+        ahash_fingerprints,
+    )
+    from keenwa_spark.queries import ensure_views
+    from keenwa_spark.queries.multimodal_queries import _image_df
+
+    ensure_views(spark, sf_dir)
+    spark.sparkContext.setJobDescription("bench: lsh bucket-skew stats (untimed)")
+    out: dict[str, dict] = {}
+    row = minhash_bucket_stats(spark.table("documents")).collect()[0]
+    out["minhash_lsh"] = row.asDict()
+    row = ahash_bucket_stats(ahash_fingerprints(_image_df(spark))).collect()[0]
+    out["ahash_band"] = row.asDict()
+    spark.sparkContext.setJobDescription(None)
+    return out
+
+
 def duckdb_yardstick(registry, sf_dir: str) -> dict[str, float]:
     """Best-of-3 DuckDB wall-clock for each yardstick query's ORACLE
     SQL over the same parquet files (oracles are semantically identical
@@ -380,6 +406,17 @@ def main() -> None:
     # the fat line outgrew the capture, silently anchoring every
     # vs-prev comparison to round 6).
     rnd = this_round()
+    # bucket-skew headroom for the capped LSH/band families (r14,
+    # VERDICT r13 item 8): max bucket size seen BEFORE each family's
+    # viral-bucket cap, over the same inputs the suite just ran —
+    # reporting-only, computed OUTSIDE the timed region. (An
+    # Observation riding the operators' own agg jobs was prototyped
+    # first, but AQE drops CollectMetrics accumulators from non-final
+    # query stages — observedMetrics came back empty; recomputing the
+    # tiny stats row untimed is the honest fallback.)
+    skew = bucket_skew_stats(spark, sf_dir)
+    print(f"# lsh bucket skew: {json.dumps(skew)}", file=sys.stderr)
+
     detail = {
         "metric": "headline_suite_wall_clock",
         "value": round(total, 3),
@@ -387,6 +424,7 @@ def main() -> None:
         "round": rnd,
         "queries": timings,
         "spread": spreads,
+        "skew": skew,
         "sf": sf,
         "prev_round": prev_n,
         "vs_prev_common_ratio": vs_prev,

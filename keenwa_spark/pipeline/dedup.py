@@ -172,6 +172,35 @@ def minhash_lsh_pairs(
     single viral boilerplate bucket would otherwise produce billions
     of pairs — and it also bounds the collected member lists).
     """
+    # ONE shuffle on (band, bkey): collect each bucket's members and
+    # expand pairs inline with array lambdas. A bucket self-join would
+    # re-execute the whole minhash pipeline for each side plus a window
+    # shuffle for the size guard — measured 1.8s vs 1.5s (1.2x slower)
+    # in isolation at sf0.1, best-of-3 (r4 probe; the r3 bench's
+    # apparent 1.5x regression vs r2 was suite interference — this file
+    # was byte-identical in both rounds). The max_bucket guard bounds
+    # the collected list (that is exactly its job).
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    bucketed = _minhash_band_buckets(df, id_col, text_col, bands)
+    return (
+        bucketed.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def _minhash_band_buckets(
+    df: DataFrame, id_col: str, text_col: str, bands: int
+) -> DataFrame:
+    """(band, bkey, ids) — every LSH bucket with its sorted member
+    list, BEFORE the ``max_bucket`` cap filter. Shared by the pair
+    generator and the skew instrumentation so both see the identical
+    bucket population."""
     sig = minhash_signatures(df, id_col, text_col)
     rows_per_band = len(MINHASH_AB) // bands
     # ONE pass over the signature: explode an inline (band, key) array.
@@ -187,26 +216,28 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.explode(F.expr(f"array({', '.join(band_structs)})")).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    # ONE shuffle on (band, bkey): collect each bucket's members and
-    # expand pairs inline with array lambdas. A bucket self-join would
-    # re-execute the whole minhash pipeline for each side plus a window
-    # shuffle for the size guard — measured 1.8s vs 1.5s (1.2x slower)
-    # in isolation at sf0.1, best-of-3 (r4 probe; the r3 bench's
-    # apparent 1.5x regression vs r2 was suite interference — this file
-    # was byte-identical in both rounds). The max_bucket guard bounds
-    # the collected list (that is exactly its job).
-    pair_expr = (
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), "
-        "y -> struct(x AS id_a, y AS id_b))))"
+    return buckets.groupBy("band", "bkey").agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
     )
-    return (
-        buckets.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """Skew diagnostics for the LSH bucket population (r14, VERDICT r13
+    item 8): one row (max_bucket_seen, n_buckets, n_over_default_cap)
+    measured BEFORE ``minhash_lsh_pairs``'s viral-bucket cap, so the
+    cap's headroom at growing scale is tracked instead of assumed.
+    Untimed diagnostics — bench.py runs it after the suite and records
+    the row in the bench detail."""
+    b = _minhash_band_buckets(df, id_col, text_col, bands)
+    return b.agg(
+        F.max(F.size("ids")).alias("max_bucket_seen"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.size("ids") > 1000).cast("long")).alias("n_over_default_cap"),
     )
 
 

@@ -671,3 +671,43 @@ def test_connected_components_observe_fusion(spark):
     assert got_new == got_ref
     assert {c for _, c in got_new} == {1, 40, 50}
     assert jobs_new < jobs_ref, (jobs_new, jobs_ref)
+
+
+def test_lsh_bucket_skew_observed_on_viral_input(spark):
+    """r14 skew instrumentation (VERDICT r13 item 8): the bucket-stats
+    diagnostics measure max-bucket-size BEFORE the cap filter over the
+    SAME bucket population as the pair generators (shared builder), so
+    a viral bucket is visible in the metric even though its pairs are
+    (correctly) dropped."""
+    from pyspark.sql import functions as F
+
+    from keenwa_spark.pipeline.dedup import minhash_bucket_stats, minhash_lsh_pairs
+    from keenwa_spark.pipeline.multimodal import (
+        ahash_bucket_stats,
+        ahash_near_dup_pairs,
+    )
+
+    viral = "the same viral boilerplate footer text repeated everywhere online"
+    docs = spark.createDataFrame(
+        [(i, viral) for i in range(1, 31)]
+        + [(100, "one unique document about spark shuffles"),
+           (101, "another unique document about bloom filters")],
+        "doc_id LONG, text STRING",
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket=10)
+    got_ids = {r.id_a for r in pairs.collect()} | {r.id_b for r in pairs.collect()}
+    assert not (got_ids & set(range(1, 31)))  # viral bucket dropped
+    stats = minhash_bucket_stats(docs).collect()[0]
+    assert stats.max_bucket_seen == 30  # the dropped viral bucket IS seen
+    assert stats.n_buckets >= 1
+    assert stats.n_over_default_cap == 0
+
+    fp = spark.createDataFrame(
+        [(i, 0xDEADBEEF) for i in range(1, 21)]
+        + [(200, 0x0F0F0F0F0F0F0F0F)],
+        "doc_id LONG, ahash LONG",
+    )
+    ah_pairs = ahash_near_dup_pairs(fp, max_bucket=5)
+    assert ah_pairs.where(F.col("id_a") < 21).count() == 0
+    ah_stats = ahash_bucket_stats(fp).collect()[0]
+    assert ah_stats.max_bucket_seen == 20
