@@ -311,3 +311,35 @@ def test_pq_search_sql_backend_reuses_model_broadcast(views):
     # one real model broadcast; the other BroadcastExchanges in the
     # plan belong to the query-table and scored-stream joins
     assert plan.count("Scan ExistingRDD") == 1, plan
+
+
+def test_scale_md_census_matches_pinned_censuses():
+    """VERDICT r13 item 6: SCALE.md's audit table went stale after the
+    r13 fusion changed the ivfpq/lopq plan shapes. This pin makes
+    tools/plan_audit.py a REQUIRED step of any plan-affecting change:
+    for every query whose executed census is pinned above, the
+    committed SCALE.md row must carry the same counters — a plan change
+    now fails either the census pin (code moved) or this check
+    (doc not regenerated). Pure text parse, no Spark."""
+    import os
+    import re
+
+    pinned = {
+        "pl_corpus_curation": (1, 0, 0, 0, 3, 0),
+        "pl_minhash_lsh_pairs": (0, 0, 0, 0, 2, 0),
+        "pl_ann_pq_refined_topk": (2, 0, 2, 0, 6, 1),
+        "pl_ann_ivfpq_topk": (2, 0, 2, 0, 5, 1),
+        "pl_ann_lopq_topk": (3, 0, 1, 0, 5, 1),
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "SCALE.md")
+    rows: dict[str, tuple[int, ...]] = {}
+    for line in open(path):
+        m = re.match(r"\| (\w+) \| (\d+) \| (\d+) \| (\d+) \| (\d+) \| (\d+) \| (\d+) \|", line)
+        if m:
+            rows[m.group(1)] = tuple(int(m.group(i)) for i in range(2, 8))
+    for name, census in pinned.items():
+        assert name in rows, f"{name} missing from SCALE.md audit table"
+        assert rows[name] == census, (
+            f"SCALE.md stale for {name}: table says {rows[name]}, executed "
+            f"census pin is {census} — re-run tools/plan_audit.py"
+        )
