@@ -185,6 +185,14 @@ def bloom_decontaminate(
     projection -> dense-probe projection -> ONE doc_id aggregation.
     The corpus never joins and never shuffles on text.
     """
+    # NO cross-doc .distinct() on the benchmark hashes (r14, guide
+    # §2.4): bit_or absorbs duplicate grams, and the word aggregation's
+    # MAP-SIDE partial agg already collapses every partition to <=
+    # m_bits/32 rows — a distinct would add the build side's only
+    # data-sized shuffle purely to dedupe rows the next operator
+    # dedupes for free. Filter words are bit-identical (measured, and
+    # the oracle replays them exactly); interleaved best-of-9 at sf0.1:
+    # 1.16 -> 0.96s end to end.
     bench_hashes = benchmark.select(
         F.explode(
             F.expr(
@@ -192,7 +200,7 @@ def bloom_decontaminate(
                 f"s -> {spark_hash64('s')}))"
             )
         ).alias("h")
-    ).distinct()
+    )
     words = bloom_dense_words(
         bloom_build(bench_hashes, m_bits=m_bits, k=k), m_bits
     )
