@@ -143,11 +143,17 @@ def dedup_groups(
 ) -> DataFrame:
     """Full dedup decision table: every doc with its component id and
     a keep flag (representative = min doc_id of the component;
-    singletons keep themselves)."""
+    singletons keep themselves).
+
+    The components side holds only docs that appear in near-dup pairs
+    — bounded by the candidate set, orders of magnitude smaller than
+    the corpus — so it is broadcast (r14): the checkpointed-RDD label
+    frame carries no stats and AQE otherwise leaves a corpus-sized
+    SortMergeJoin in place (probe: tools/r14_curation_bcast_probe.py)."""
     comp = connected_components(pairs)
     return (
         docs.select(F.col(id_col))
-        .join(comp, id_col, "left")
+        .join(F.broadcast(comp), id_col, "left")
         .withColumn("component", F.coalesce("component", F.col(id_col)))
         .withColumn("keep", (F.col(id_col) == F.col("component")))
     )
@@ -185,7 +191,8 @@ def cluster_keep_by_priority(
         prio = F.when(F.col(source_col) == F.lit(str(k)), int(v)).otherwise(prio)
     labeled = (
         df.select(id_col, source_col)
-        .join(comp, id_col, "left")
+        # broadcast: same bounded-components argument as dedup_groups
+        .join(F.broadcast(comp), id_col, "left")
         .withColumn("component", F.coalesce("component", F.col(id_col)))
         .withColumn("priority", prio.cast("bigint"))
     )

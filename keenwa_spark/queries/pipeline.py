@@ -947,11 +947,18 @@ def pl_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE remaining doc_id join (stats ⋈ components) is algorithmically
     # required — and its right side is only the docs that appear in
     # near-dup pairs, not the corpus (singletons coalesce to
-    # themselves).
+    # themselves), so it is BROADCAST (r14): the components side is
+    # bounded by the LSH candidate set — the same tiny-by-construction
+    # argument lsh_verified_pairs broadcasts its candidate ids on —
+    # and the checkpointed-RDD side carries no stats, so AQE never
+    # converts the SortMergeJoin on its own (executed-plan probe:
+    # tools/r14_curation_bcast_probe.py, SMJ 1 -> 0, Exchange 2 -> 1).
+    # Without the hint the CORPUS-sized stats frame pays the join's
+    # exchange + sort.
     stats = text_stats(docs).select("doc_id", "n_words")
     comp = connected_components(minhash_lsh_pairs(docs))
     return (
-        stats.join(comp, "doc_id", "left")
+        stats.join(F.broadcast(comp), "doc_id", "left")
         .withColumn("component", F.coalesce("component", F.col("doc_id")))
         .filter((F.col("n_words") >= 30) & (F.col("doc_id") == F.col("component")))
         .select("doc_id", "n_words", "component")

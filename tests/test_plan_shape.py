@@ -214,7 +214,13 @@ def test_q8_star_join_all_broadcast(views):
         # audit table (identical at sf0.001 and sf0.01; the py=1 cells
         # are the documented Arrow-batched IVF-assignment crossover,
         # the nlj cells are broadcast NLJs of a K-row query/model side)
-        ("pl_corpus_curation", (1, 0, 0, 0, 3, 0)),
+        # r14: the final stats ⋈ components left join broadcasts the
+        # components side explicitly (bounded by the LSH candidate
+        # set; the checkpointed-RDD side has no stats so AQE only
+        # converted the join AFTER the corpus-sized stats exchange had
+        # materialized) — both hash exchanges leave the plan:
+        # was (1,0,0,0,3,0)
+        ("pl_corpus_curation", (1, 0, 0, 0, 1, 0)),
         ("pl_minhash_lsh_pairs", (0, 0, 0, 0, 2, 0)),
         ("pl_ann_pq_refined_topk", (2, 0, 2, 0, 6, 1)),
         # r13 optimization round: the corpus-side coarse-assign HOF +
@@ -325,7 +331,7 @@ def test_scale_md_census_matches_pinned_censuses():
     import re
 
     pinned = {
-        "pl_corpus_curation": (1, 0, 0, 0, 3, 0),
+        "pl_corpus_curation": (1, 0, 0, 0, 1, 0),
         "pl_minhash_lsh_pairs": (0, 0, 0, 0, 2, 0),
         "pl_ann_pq_refined_topk": (2, 0, 2, 0, 6, 1),
         "pl_ann_ivfpq_topk": (2, 0, 2, 0, 5, 1),
